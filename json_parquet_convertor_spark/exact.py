@@ -1,0 +1,64 @@
+"""Cross-engine exact aggregation helpers.
+
+Double-precision SUMs over many rows differ in the last ulps between Spark and
+DuckDB because partial-aggregation order differs. At sf0.1 a lineitem revenue
+sum is ~1e9, where the accumulated error can reach ~1e-4 — enough to flip a
+4-dp rounding at the hash-compare boundary.
+
+Fix: cast each value to DECIMAL(18,4) *before* summing (double→decimal cast of
+identical inputs is identical in both engines), sum exactly in decimal, and
+cast the result back to DOUBLE. Both engines then produce bit-identical
+doubles. Averages are derived as exact-sum / count, again bit-identical.
+
+CRITICAL RULE — only cast RAW STORED columns to decimal, never computed
+doubles. The stored columns are 2-dp money values whose binary expansion sits
+~1e-9 (relative) from the decimal, far from any 4-dp rounding boundary, so
+both engines round them identically. A *computed* double (e.g.
+price*(1-disc)) lands a uniformly-random distance from the boundary, and
+Spark (exact-expansion HALF_UP) vs DuckDB (scaled multiply) then disagree on
+~0.1% of rows — observed as last-digit drift in TPC-H Q1's sum_charge. For
+derived measures, cast the FACTORS to decimal and multiply in decimal
+arithmetic (exact in both engines while precision stays ≤ 38).
+
+Spark side helpers below; the oracle side uses the same construction inline:
+
+    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
+    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x) AS avg_x
+    -- derived measure, decimal factors:
+    CAST(SUM(CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(4,2)))) AS DOUBLE)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact (decimal-path) sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-sum-based average of a double column (sum/count in double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c)
+    )
+
+
+def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Cast a raw stored money/rate column to decimal for exact arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def sql_dsum(expr: str) -> str:
+    """Oracle-side (DuckDB) twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """Oracle-side (DuckDB) twin of :func:`davg`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"

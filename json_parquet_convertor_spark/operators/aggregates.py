@@ -1,0 +1,285 @@
+"""Aggregations (SURVEY.md §2 B4).
+
+All stock Catalyst HashAggregate plans: map-side partial aggregation, one
+shuffle on the group keys, final merge. Double-valued SUMs go through the
+decimal-exact path (see :mod:`json_parquet_convertor_spark.exact`) so Spark
+and the DuckDB oracle produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.exact import davg, dsum
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship ``entry()`` query. Scan → pushed-down
+    date filter → hash aggregate (map-side partials, shuffle on 2 tiny keys).
+    The grouping keys have ~6 combinations, so the shuffle is trivially small
+    at any scale; all the work is in the codegen'd partial aggregation."""
+    from json_parquet_convertor_spark.exact import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dist_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst plans a two-phase expand+aggregate; at
+    scale prefer approx_count_distinct (next query) when exactness isn't
+    required."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_dist_qty"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — THE cardinality operator at 100 TB
+    (fixed-size sketch, no expand). Estimates differ across engines, so the
+    driver records a rows-only check; the value is asserted within rsd in
+    tests/."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+        F.count("*").alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "cnt", "sum_qty")
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .select("l_returnflag", "l_linestatus", "cnt")
+    )
+
+
+@query(
+    "q_agg_groupingsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("jpc_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM jpc_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. These are genuinely float-order-dependent but
+    numerically stable (Welford-style accumulators, values O(1)-O(1e3)), so
+    4-dp rounding is safely inside the cross-engine noise floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_name,
+           list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_supps
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation — arrays sorted on both sides (collect order is
+    nondeterministic by contract)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("s_suppkey")).alias("supp_keys"),
+            F.count("*").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never let Spark infer pivot values
+    at scale (that's an extra distinct scan + a driver collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )

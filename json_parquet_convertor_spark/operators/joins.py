@@ -1,0 +1,356 @@
+"""Joins (SURVEY.md §2 B3).
+
+Scale posture per join:
+- equi joins on big×big (orders⋈lineitem) → sort-merge/shuffled-hash on the
+  key; AQE handles skew (`spark.sql.adaptive.skewJoin.enabled`);
+- small dims (region/nation/supplier, and customer at most SFs) → explicit
+  ``broadcast()`` so no shuffle of the fact side;
+- theta/range joins → keep one side small/banded, or Spark falls back to
+  BroadcastNestedLoopJoin — fine when one side is broadcastable, disastrous
+  otherwise (documented per query);
+- as-of join → no native Spark operator; rewritten as join + row_number
+  (windowed dedup), the standard Spark formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from json_parquet_convertor_spark.exact import dsum
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 200000)
+    return cust.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT a.custkey AS left_key, b.custkey AS right_key, a.n_orders, b.n_lines
+    FROM (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+    FULL JOIN (SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               WHERE l.l_returnflag = 'R' GROUP BY 1) b
+      ON a.custkey = b.custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return a.join(b, a.custkey == b.custkey, "full").select(
+        a.custkey.alias("left_key"),
+        b.custkey.alias("right_key"),
+        "n_orders",
+        "n_lines",
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (the filter keeps the anti-join
+    non-vacuous — every customer has *some* order in this data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join on a small dim: the 25-row nation table ships to
+    every executor; the customer side never shuffles for the join (only the
+    final groupBy shuffles, map-side partial aggregation first)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT p.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice BETWEEN p.p_retailprice * 10 AND p.p_retailprice * 10 + 500
+    WHERE p.p_partkey <= 10
+    GROUP BY 1
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: price-band match. Planned as a
+    BroadcastNestedLoopJoin — correct here because the banded side is
+    pre-filtered tiny and broadcast; at 100 TB you band-bucket both sides
+    first (add a coarse bucket key, equi-join on it, then refine)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 10)
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cond = (li.l_extendedprice >= part.p_retailprice * 10) & (
+        li.l_extendedprice <= part.p_retailprice * 10 + 500
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               TIMESTAMP '2024-01-01' + (o_orderkey % 23) * INTERVAL 1 DAY AS o_ts
+        FROM orders
+    ) o JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_ts
+     AND e.ts < o.o_ts + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join on timestamps with an equi-key (user) — the equi part makes
+    it a plain shuffled hash/sort-merge join with the range as a post-filter,
+    which is exactly the scalable formulation (no nested loop). Order dates
+    (1995-2001) are remapped into the events window (Jan 2024) to make the
+    overlap non-vacuous."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "TIMESTAMP '2024-01-01' + make_interval(0,0,0, CAST(o_orderkey % 23 AS INT))"
+        ).alias("o_ts"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cond = (
+        (ev.user_id == orders.o_custkey)
+        & (ev.ts >= orders.o_ts)
+        & (ev.ts < orders.o_ts + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        orders.join(ev, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT o_orderkey, o_custkey, last_event_ts, last_event_type
+    FROM (
+        SELECT o.o_orderkey, o.o_custkey, CAST(e.ts AS TIMESTAMP) AS last_event_ts,
+               e.event_type AS last_event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts DESC, e.event_id DESC
+               ) AS rn
+        FROM (
+            SELECT o_orderkey, o_custkey,
+                   TIMESTAMP '2024-01-01' + (o_orderkey % 31) * INTERVAL 1 DAY AS o_ts
+            FROM orders
+        ) o LEFT JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_ts
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest event at-or-before each order's timestamp, per
+    user). Spark has no native as-of operator; the scalable rewrite is
+    equi-join on user + inequality filter + windowed keep-latest. Ties on ts
+    broken by event_id for determinism. Order dates are remapped into the
+    events window (Jan 2024) so matches are non-vacuous."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "TIMESTAMP '2024-01-01' + make_interval(0,0,0, CAST(o_orderkey % 31 AS INT))"
+        ).alias("o_ts"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cond = (ev.user_id == orders.o_custkey) & (ev.ts <= orders.o_ts)
+    joined = orders.join(ev, cond, "left")
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("ts").alias("last_event_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever on tiny inputs (5×25 here). Guarded by
+    Spark requiring explicit crossJoin()."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA') AND o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table chain. Fact⋈fact (lineitem⋈orders) shuffles on
+    orderkey; nation/region broadcast explicitly (always tiny); customer is
+    left to AQE — it broadcasts at small SF but correctly shuffles at 100 TB,
+    where it's the second-largest table. Catalyst reorders and pushes the
+    r_name/o_orderstatus filters below the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    from json_parquet_convertor_spark.exact import dec
+
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )

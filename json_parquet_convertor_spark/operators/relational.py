@@ -1,0 +1,440 @@
+"""Scans/sinks, projections/filters, sorts/limits, set ops.
+
+SURVEY.md §2 B1 (generalizes reference A1-A4/A6), B2 (generalizes A5),
+B6, B7. Everything here is a stock Catalyst plan: filters and projections
+reach the parquet scan as PushedFilters/ReadSchema; sorts+limits plan as
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark import convert
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import (
+    load_table,
+    read_csv,
+    read_json,
+    write_csv,
+    write_parquet,
+)
+
+# ---------------------------------------------------------------------------
+# B1 — scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_parquet",
+    oracle="SELECT * FROM lineitem",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet table scan. At scale the interesting part is what is NOT
+    here: no collect, no repartition — the scan parallelism is the file
+    splits (`spark.sql.files.maxPartitionBytes`)."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query("q_scan_json")  # rows-only: reads generated JSON, no DuckDB view
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference input shape (A3/A4): multiLine single-object JSON files read
+    with an explicit schema."""
+    src = convert.write_sample_json(
+        os.path.join(tempfile.gettempdir(), "jpc_scan_json")
+    )
+    df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
+    return df.orderBy("ID")
+
+
+@query("q_convert_json_parquet")  # rows-only
+def q_convert_json_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core pipeline (A3→A5→A6): JSON in → rename/zero-fill/
+    tinyint cast → snappy parquet out → read back."""
+    base = os.path.join(tempfile.gettempdir(), "jpc_convert")
+    src = convert.write_sample_json(os.path.join(base, "json"))
+    dst = os.path.join(base, "parquet")
+    return convert.json_to_parquet(spark, src, dst).orderBy("id")
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + read-back aggregate. Partitioning by a
+    low-cardinality time key is the 100 TB layout primitive: a later
+    ``WHERE o_year = 2024`` becomes partition pruning, not a scan."""
+    from json_parquet_convertor_spark.exact import dsum
+
+    dst = os.path.join(tempfile.gettempdir(), "jpc_sink_partitioned")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(orders, dst, partition_by=["o_year"])
+    back = spark.read.parquet(dst)
+    return back.groupBy("o_year").agg(
+        F.count("*").alias("cnt"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query("q_scan_csv")  # rows-only: round-trips through a temp CSV dir
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with explicit schema (inferSchema would be a
+    second full pass at scale)."""
+    dst = os.path.join(tempfile.gettempdir(), "jpc_scan_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    write_csv(nation, dst)
+    back = read_csv(
+        spark, dst, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    return back.orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# B2 — projections / filters / predicates (generalizes A5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_project_rename_cast",
+    oracle="""
+    SELECT c_custkey AS id,
+           c_name AS full_name,
+           CAST(c_nationkey AS TINYINT) AS nat_tiny,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec
+    FROM customer
+    """,
+)
+def q_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's exact shape (convertor/struct.go:20-28): select + rename +
+    narrowing cast (nationkey fits in a tinyint like the reference's age)."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("full_name"),
+        F.col("c_nationkey").cast("tinyint").alias("nat_tiny"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("bal_dec"),
+    )
+
+
+@query(
+    "q_filter_simple",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def q_filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single comparison predicate — shows up as PushedFilters in the scan."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "q_filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity BETWEEN 10 AND 20)
+      AND (l_discount > 0.05 OR NOT (l_returnflag = 'A'))
+      AND l_linestatus IN ('O', 'F')
+    """,
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            c("l_quantity").between(10, 20)
+            & ((c("l_discount") > 0.05) | ~(c("l_returnflag") == "A"))
+            & c("l_linestatus").isin("O", "F")
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+        )
+    )
+
+
+@query(
+    "q_filter_null_semantics",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           NULLIF(l_returnflag, 'N') AS rf_nulled,
+           (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULL) AS rf_is_null_safe
+    FROM lineitem
+    WHERE NULLIF(l_returnflag, 'N') IS NULL
+       OR (NULLIF(l_linestatus, 'F') IS NOT NULL AND l_orderkey % 100 = 0)
+    """,
+)
+def q_filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / null-safe equality (<=>). The base tables are
+    null-free (the reference's model has no NULL, SURVEY §1), so nulls are
+    derived via NULLIF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rf_nulled = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    ls_nulled = F.nullif(F.col("l_linestatus"), F.lit("F"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rf_nulled.alias("rf_nulled"),
+        rf_nulled.eqNullSafe(F.lit(None)).alias("rf_is_null_safe"),
+    ).filter(
+        rf_nulled.isNull() | (ls_nulled.isNotNull() & (F.col("l_orderkey") % 100 == 0))
+    )
+
+
+@query(
+    "q_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+       OR regexp_matches(p_name, '^[ab].*[0-9]$')
+       OR p_brand LIKE 'Brand#1_'
+    """,
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            c("p_type").like("%BRASS%")
+            | c("p_name").rlike("^[ab].*[0-9]$")
+            | c("p_brand").like("Brand#1_")
+        )
+        .select("p_partkey", "p_name", "p_type", "p_brand")
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT CASE WHEN l_quantity > 40 THEN 'heavy'
+                WHEN l_quantity > 20 THEN 'mid'
+                ELSE 'light' END AS qty_bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_parquet_convertor_spark.exact import dsum
+
+    bucket = (
+        F.when(F.col("l_quantity") > 40, "heavy")
+        .when(F.col("l_quantity") > 20, "mid")
+        .otherwise("light")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(bucket.alias("qty_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_zero_fill",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '') AS seg_zero,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_zero
+    FROM customer
+    """,
+)
+def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's missing-field→zero-value semantics (A4): nulls become
+    '' / 0, never NULL (convertor/struct.go:4-17 — non-pointer fields, all
+    parquet columns required)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("")
+        ).alias("seg_zero"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+            F.lit(0.0),
+        ).alias("bal_zero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, seg_nulled, c_acctbal,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY seg_nulled DESC NULLS LAST, c_acctbal ASC, c_custkey
+           ) AS BIGINT) AS sort_pos
+    FROM (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'AUTOMOBILE') AS seg_nulled, c_acctbal
+        FROM customer
+    )
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, mixed asc/desc, NULLS LAST. The hash compare is
+    order-insensitive, so the sort order is captured as a row_number column
+    computed over the same ordering (ties broken by the unique key)."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).alias("seg_nulled"),
+        "c_acctbal",
+    )
+    w = Window.orderBy(
+        F.col("seg_nulled").desc_nulls_last(), F.col("c_acctbal").asc(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "seg_nulled",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("sort_pos"),
+    ).orderBy("sort_pos")
+
+
+@query(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global limit after sort — Catalyst plans TakeOrderedAndProject (no full
+    sort, per-partition top-N then merge). Tie broken by unique key so the
+    selected set is deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_custkey AS custkey, 'orders' AS src FROM orders
+    UNION ALL
+    SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.lit("orders").alias("src")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return orders.unionByName(cust)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return orders.unionByName(cust).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.intersect(orders)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers without a high-value order (set-difference flavor of the
+    anti-join in q_join_anti; the filter keeps the result non-empty)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.subtract(orders)

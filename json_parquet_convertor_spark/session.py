@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Replaces the reference's bootstrap (``cmd/convertor/main.go:20-72``): env
+config + AWS client construction there becomes session construction here.
+Defaults are tuned for the test harness (local[N]) but every knob is the one
+you would set on a real cluster: AQE for runtime re-planning and skew joins,
+Arrow for pandas-UDF transfer, snappy parquet to match the reference's sink
+(``convertor/convertor.go:182``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "json-parquet-convertor-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    At 100 TB on a real cluster you drop ``master`` and let the cluster
+    manager size executors; everything else below still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # local mode: match cores, not the 200 default (tiny shuffles per
+        # partition otherwise). On a cluster: ~2-3x total cores, or rely on AQE
+        # coalescing from a high initial value.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # broadcast small dims aggressively; the star-schema dims here are
+        # tiny, and at 100 TB the dims are still << executor memory.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

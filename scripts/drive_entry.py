@@ -1,0 +1,56 @@
+"""Drive __spark_entry__.py exactly as the driver would: plain default
+SparkSession (no engine tuning, no UTC tz pre-set), entry() smoke, then a
+sample of queries at sf0.01 hash-compared against DuckDB oracles."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# deliberately NOT the engine's get_spark(): simulate the driver's own session
+# with a non-UTC timezone as the adversarial probe.
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+t0 = time.time()
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.columns}, {time.time()-t0:.1f}s")
+assert len(rows) > 0
+
+qs = e.queries()
+oracles = e.oracle_sql()
+print(f"queries: {len(qs)}, oracled: {len(oracles)}")
+assert set(oracles) <= set(qs)
+
+import duckdb
+
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+from tests.oracle_utils import compare_query
+
+sample = sys.argv[1:] or sorted(oracles)
+fails = []
+for name in sample:
+    ok, detail = compare_query(spark, con, qs[name], oracles[name], SF)
+    status = "OK " if ok else "FAIL"
+    print(f"{status} {name}: {detail[:200]}")
+    if not ok:
+        fails.append(name)
+print(f"\n{len(sample)-len(fails)}/{len(sample)} matched at sf0.01")
+sys.exit(1 if fails else 0)

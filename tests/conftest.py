@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from json_parquet_convertor_spark.session import get_spark
+
+    spark = get_spark(app_name="jpc-tests", cpus=8, shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the driver's view registration replicated."""
+    import duckdb
+
+    con = duckdb.connect()
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()

@@ -1,0 +1,80 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Canonicalization: sort columns by name, stringify every cell deterministically,
+sort the row multiset, compare exactly. This is deliberately STRICTER than a
+tolerance-based compare — the driver hashes values, so only exact matches pass.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"  # pandas renders SQL NULL doubles as NaN
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return _cell(v.item())
+        if isinstance(v, np.ndarray):
+            return _cell(list(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
+    cols = sorted(df_pandas.columns)
+    out = []
+    for _, row in df_pandas[cols].iterrows():
+        out.append(tuple(_cell(row[c]) for c in cols))
+    out.sort()
+    return out
+
+
+def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
+    """Run a registered query and its oracle; return (ok, detail)."""
+    sdf = query_fn(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    duck_pd = duck.execute(oracle_sql).fetchdf()
+
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        return False, (
+            f"column mismatch: spark={sorted(spark_pd.columns)} "
+            f"duck={sorted(duck_pd.columns)}"
+        )
+    if len(spark_pd) != len(duck_pd):
+        return False, f"row count: spark={len(spark_pd)} duck={len(duck_pd)}"
+
+    s_rows = canonical_rows(spark_pd)
+    d_rows = canonical_rows(duck_pd)
+    if s_rows != d_rows:
+        diffs = [
+            (i, s, d)
+            for i, (s, d) in enumerate(zip(s_rows, d_rows))
+            if s != d
+        ][:5]
+        return False, f"value mismatch (first diffs of {len(s_rows)} rows): {diffs}"
+    return True, f"{len(s_rows)} rows match"
