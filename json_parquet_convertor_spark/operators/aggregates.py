@@ -239,7 +239,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT n_name,
-           list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+           array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS supp_keys,
            CAST(COUNT(*) AS BIGINT) AS n_supps
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY 1
@@ -247,14 +247,18 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation — arrays sorted on both sides (collect order is
-    nondeterministic by contract)."""
+    nondeterministic by contract), then serialized to a comma-joined string:
+    the driver's pandas-based canonicalizer cannot hash list cells, so every
+    oracled query must return scalar columns only."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("s_suppkey")).alias("supp_keys"),
+            F.array_join(
+                F.sort_array(F.collect_set("s_suppkey")).cast("array<string>"), ","
+            ).alias("supp_keys"),
             F.count("*").alias("n_supps"),
         )
     )

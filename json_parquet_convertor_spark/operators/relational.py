@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,15 @@ from json_parquet_convertor_spark.sources.io import (
 # B1 — scans / sources / sinks
 # ---------------------------------------------------------------------------
 
+# Per-process unique token so concurrent harness runs (driver verify + local
+# pytest) never collide on the same scratch directories.
+_RUN_TOKEN = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+
+def run_tmp(name: str) -> str:
+    """Per-run-unique scratch dir for sink/round-trip queries."""
+    return os.path.join(tempfile.gettempdir(), f"jpc_{_RUN_TOKEN}", name)
+
 
 @query(
     "q_scan_parquet",
@@ -45,7 +55,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference input shape (A3/A4): multiLine single-object JSON files read
     with an explicit schema."""
     src = convert.write_sample_json(
-        os.path.join(tempfile.gettempdir(), "jpc_scan_json")
+        run_tmp("scan_json")
     )
     df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
     return df.orderBy("ID")
@@ -55,7 +65,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_convert_json_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core pipeline (A3→A5→A6): JSON in → rename/zero-fill/
     tinyint cast → snappy parquet out → read back."""
-    base = os.path.join(tempfile.gettempdir(), "jpc_convert")
+    base = run_tmp("convert")
     src = convert.write_sample_json(os.path.join(base, "json"))
     dst = os.path.join(base, "parquet")
     return convert.json_to_parquet(spark, src, dst).orderBy("id")
@@ -77,7 +87,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WHERE o_year = 2024`` becomes partition pruning, not a scan."""
     from json_parquet_convertor_spark.exact import dsum
 
-    dst = os.path.join(tempfile.gettempdir(), "jpc_sink_partitioned")
+    dst = run_tmp("sink_partitioned")
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
@@ -93,7 +103,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip with explicit schema (inferSchema would be a
     second full pass at scale)."""
-    dst = os.path.join(tempfile.gettempdir(), "jpc_scan_csv")
+    dst = run_tmp("scan_csv")
     nation = load_table(spark, sf_dir, "nation")
     write_csv(nation, dst)
     back = read_csv(

@@ -47,8 +47,12 @@ def get_spark(
         # tiny, and at 100 TB the dims are still << executor memory.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # NOTE: spark.driver.memory cannot be set here — the JVM is already
+    # being launched by getOrCreate, so builder-time driver-heap configs are
+    # silently ignored. Set it before process start instead, e.g.
+    # PYSPARK_SUBMIT_ARGS="--driver-memory 32g pyspark-shell" or
+    # spark-submit --driver-memory.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

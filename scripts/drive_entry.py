@@ -44,9 +44,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 from tests.oracle_utils import compare_query
 
-sample = sys.argv[1:] or sorted(oracles)
+sample = sys.argv[1:] or sorted(qs)
 fails = []
 for name in sample:
+    if name not in oracles:
+        # rows-only query: driver records a weaker ran+rows check
+        try:
+            n = qs[name](spark, SF).count()
+            print(f"OK  {name}: rows-only, {n} rows")
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: rows-only raised {exc!r:.200}")
+            fails.append(name)
+        continue
     ok, detail = compare_query(spark, con, qs[name], oracles[name], SF)
     status = "OK " if ok else "FAIL"
     print(f"{status} {name}: {detail[:200]}")

@@ -45,6 +45,27 @@ def _cell(v) -> str:
     return str(v)
 
 
+def assert_hashable_cells(df_pandas, label: str) -> None:
+    """Mirror the driver's canonicalization constraint: its pandas
+    sort_values-based hasher crashes on list/dict/ndarray cells
+    (`unhashable type: 'list'` — CORRECTNESS_r01 q_agg_collect). Any oracled
+    query must therefore return scalar columns only; arrays are serialized
+    to strings on both sides (concat_ws / array_to_string)."""
+    import numpy as np
+
+    if len(df_pandas) == 0:
+        return
+    first = df_pandas.iloc[0]
+    for c in df_pandas.columns:
+        v = first[c]
+        if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+            raise AssertionError(
+                f"{label}: column {c!r} holds unhashable {type(v).__name__} "
+                "cells — the driver's canonicalizer would crash; serialize "
+                "the array to a string on both sides"
+            )
+
+
 def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
     cols = sorted(df_pandas.columns)
     out = []
@@ -59,6 +80,9 @@ def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
     sdf = query_fn(spark, sf_dir)
     spark_pd = sdf.toPandas()
     duck_pd = duck.execute(oracle_sql).fetchdf()
+
+    assert_hashable_cells(spark_pd, "spark result")
+    assert_hashable_cells(duck_pd, "oracle result")
 
     if sorted(spark_pd.columns) != sorted(duck_pd.columns):
         return False, (
