@@ -1,1 +1,276 @@
-"""Scalar function families (SURVEY.md §2 B8) — populated in Phase 2."""
+"""Scalar function families (SURVEY.md §2 B8).
+
+One query per family, each exercising >=5 functions as aliased columns with a
+DuckDB oracle twin. Everything here is a built-in ``pyspark.sql.functions``
+expression — JVM-side, inside whole-stage codegen, no Python in the data path.
+``q_fn_json`` generalizes the reference's own domain (JSON field access,
+``/root/reference/convertor/convertor.go:137-141``) to column level.
+
+Cross-dialect rules (see exact.py and the q_agg_collect lesson):
+- arrays are serialized via array_join / array_to_string before leaving the
+  query — the driver's canonicalizer cannot hash list cells;
+- float-valued computed columns are rounded to 4 dp on both sides;
+- integer-returning functions whose width differs across engines (length,
+  floor, size, ...) are cast to a common type on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_type) AS lo_type,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           substring(p_name, 1, 4) AS sub4,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           replace(p_name, ' ', '_') AS name_snake,
+           array_to_string(string_split(p_name, ' '), '|') AS name_words,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/trim/substring/concat_ws/length/lpad/
+    replace/split/regexp_extract — all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("lo_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 1, 4).alias("sub4"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.array_join(F.split("p_name", " "), "|").alias("name_words"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_r1,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           round(abs(p_retailprice - 1000), 4) AS price_abs_dev,
+           round(pow(p_size, 2), 4) AS size_sq,
+           round(sqrt(p_retailprice), 4) AS price_sqrt,
+           round(ln(p_retailprice), 4) AS price_ln,
+           round(exp(p_size % 5), 4) AS size_exp,
+           CAST(((-p_size % 7) + 7) % 7 AS INT) AS size_pmod,
+           CAST(sign(p_retailprice - 1000) AS INT) AS price_sign
+    FROM part
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pow/sqrt/ln/exp/pmod/sign. Floats
+    rounded at 4 dp (single-input elementary fns are correctly rounded in
+    both engines, so 4 dp is exact); width-divergent ints cast."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("price_abs_dev"),
+        F.round(F.pow("p_size", F.lit(2)), 4).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.exp(F.col("p_size") % 5), 4).alias("size_exp"),
+        F.pmod(-F.col("p_size"), F.lit(7)).cast("int").alias("size_pmod"),
+        F.signum(F.col("p_retailprice") - 1000).cast("int").alias("price_sign"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(day(o_orderdate) AS INT) AS o_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31') AS INT)
+               AS days_to_eoy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/dayofmonth/date_trunc/date_add/datediff/
+    last_day/unix_timestamp. Session tz is pinned UTC (sources.io), so
+    Spark's tz-aware timestamps and DuckDB's naive ones agree."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("plus30"),
+        F.datediff(
+            F.lit("2024-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT p_partkey,
+           CAST(v AS INT) - 1 AS pos,
+           CAST(v AS INT) AS val,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+               AS words_distinct,
+           array_to_string(string_split(p_name, ' ')[1:2], ',') AS first2,
+           array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ',')
+               AS words_upper,
+           COALESCE(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), ','), '')
+               AS long_words,
+           CAST(list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS INT)
+               AS total_chars
+    FROM part, unnest(generate_series(1, (p_size % 4) + 1)) AS t(v)
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: array(split)/size/array_contains/posexplode/
+    array_distinct/slice/sort_array/transform/filter/aggregate (higher-order).
+    posexplode runs over sequence(1, n) so the oracle can reconstruct `pos`
+    from the value itself (pos = val - 1) — DuckDB lacks WITH ORDINALITY.
+    All array-typed outputs leave serialized (driver canonicalizer rule)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    seq = F.sequence(F.lit(1), (F.col("p_size") % 4) + 1)
+    return p.select(
+        "p_partkey",
+        F.posexplode(seq).alias("pos", "val"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.array_join(F.sort_array(F.array_distinct(words)), ",").alias(
+            "words_distinct"
+        ),
+        F.array_join(F.slice(words, 1, 2), ",").alias("first2"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias(
+            "words_upper"
+        ),
+        F.array_join(F.filter(words, lambda w: F.length(w) > 4), ",").alias(
+            "long_words"
+        ),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+            "total_chars"
+        ),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT p_partkey, 'brand' AS key, p_brand AS value,
+           'brand,type' AS keys_str,
+           concat_ws(',', p_brand, p_type) AS vals_str,
+           2 AS n_entries,
+           p_brand AS brand_val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'type', p_type,
+           'brand,type',
+           concat_ws(',', p_brand, p_type),
+           2,
+           p_brand
+    FROM part
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map/map_keys/map_values/element_at/size/explode(map).
+    The oracle reconstructs the exploded key-value rows via UNION ALL over the
+    two known keys (DuckDB's map cells aren't hash-comparable anyway)."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.explode(m).alias("key", "value"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_str"),
+        F.array_join(F.map_values(m), ",").alias("vals_str"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.missing') AS k_missing,
+           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER)))
+               AS roundtrip
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family on events.props — the reference's own domain
+    (JSON field access, convertor/convertor.go:137-141) generalized to column
+    level: get_json_object / from_json(schema) / to_json / missing-path null."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+        F.to_json(parsed).alias("roundtrip"),
+    )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'none') AS seg_co,
+           IFNULL(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'auto') AS seg_nvl,
+           CASE WHEN NULLIF(c_mktsegment, 'MACHINERY') IS NOT NULL
+                THEN 'kept' ELSE 'machine' END AS seg_nvl2,
+           NULLIF(c_mktsegment, 'FURNITURE') AS seg_nullif,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5k
+    FROM customer
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: coalesce/nvl/nvl2/nullif/greatest/least."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(seg, F.lit("BUILDING")), F.lit("none")).alias("seg_co"),
+        F.nvl(F.nullif(seg, F.lit("AUTOMOBILE")), F.lit("auto")).alias("seg_nvl"),
+        F.nvl2(
+            F.nullif(seg, F.lit("MACHINERY")), F.lit("kept"), F.lit("machine")
+        ).alias("seg_nvl2"),
+        F.nullif(seg, F.lit("FURNITURE")).alias("seg_nullif"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+    )
