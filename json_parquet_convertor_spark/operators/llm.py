@@ -1,1 +1,421 @@
-"""LLM-data-pipeline operators (SURVEY.md §2 B11) — Phase 4."""
+"""LLM-data-pipeline operators (SURVEY.md §2 B11, the north-star extension).
+
+Dedup, text analysis, and similarity search over the ``documents`` /
+``embeddings`` tables — the operators a 100 TB training-data pipeline runs
+all day. Everything is built-in DataFrame ops (JVM-side, codegen'd); there
+is NO all-pairs crossJoin anywhere: near-dup and all-pairs similarity go
+through bucketed LSH (candidates meet only inside equi-join buckets), which
+is the only formulation that survives 100 TB.
+
+Scale posture per operator is documented on each query. Common knobs:
+- dedup keys are group-by hashes (shuffle carries a 64-bit key, not the text);
+- LSH band/bucket joins are plain equi-joins → shuffle-hash/sort-merge,
+  AQE-skew-safe, linear in candidates rather than quadratic in rows;
+- cosine math stays in higher-order array functions (no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           text,
+           sha256(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: hash-groupBy on the content, keep the smallest
+    doc_id as the deterministic representative, count copies.
+
+    100 TB: group directly on sha2(text) so the shuffle key is 32 bytes, not
+    the document; the text column rides along as ``first(text)`` (equal by
+    construction within a group). Collision probability at 2^-256 is far
+    below hardware error rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.sha2("text", 256))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("text").alias("text"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("doc_id", "text", "fingerprint", "n_copies")
+    )
+
+
+# MinHash parameters: K total hashes split into B bands of R rows.
+# P(candidate | jaccard=s) = 1 - (1 - s^R)^B — with 16/4/4 the S-curve
+# midpoint sits near s≈0.55, right for "near-duplicate" detection.
+_MH_K, _MH_B, _MH_R = 16, 4, 4
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) MinHash signatures over 3-word sequence shingles.
+
+    Sequence shingles (not bare words) are what make this discriminative:
+    independent docs drawing from a shared vocabulary still share most
+    *words*, but near-duplicates are the only docs sharing word *runs*.
+    One explode + one groupBy: the map side computes K hashes per shingle
+    (all JVM xxhash64 with the hash index as seed column), the reduce side
+    takes per-doc minima — a single linear shuffle on doc_id."""
+    words = F.split("text", " ")
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+        F.element_at(words, i + 3),
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+                    shingle_at,
+                )
+            )
+        ).alias("tok"),
+    )
+    hashed = shingles.select(
+        "doc_id",
+        *[F.xxhash64(F.col("tok"), F.lit(i)).alias(f"h{i}") for i in range(_MH_K)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MH_K)]
+    )
+
+
+@query("q_dedup_near")  # rows-only: MinHash estimates are engine-specific
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding
+    (shingle → minhash → band → bucket-join). Deterministic: xxhash64 with
+    fixed per-hash seeds, so the same inputs always give the same pairs.
+
+    Candidates form ONLY inside (band_idx, band_hash) equi-join buckets —
+    never an all-pairs crossJoin — so the cost is linear in bucket
+    occupancy. At 100 TB this is the standard web-scale dedup layout:
+    signatures are one linear shuffle, the band join shuffles 16 bytes per
+    (doc, band), and AQE handles hot buckets (near-identical boilerplate)
+    via skew-join splitting. Estimated Jaccard = fraction of matching
+    signature components; pairs below 0.5 are dropped."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _minhash_signatures(docs)
+
+    bands = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(_MH_K)]).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * _MH_R + r}") for r in range(_MH_R)])
+                    for b in range(_MH_B)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(_MH_K))
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text corpus statistics per language: doc counts, char stats,
+    whitespace token counts. Token counting is size(split(...)) — a codegen'd
+    JVM expression, the cheap first-pass quality signal at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double") / F.count("n_chars")).alias("avg_chars"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        (F.sum(n_tokens.cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS doc_len,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, doc_len, CAST(COUNT(*) AS BIGINT) AS tf_raw
+        FROM terms GROUP BY doc_id, term, doc_len
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf_raw, df.df,
+           round((tf.tf_raw / tf.doc_len) * ln(n.n_docs / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via explode(split) + two aggregations + an equi-join on term.
+    The document-frequency side is tiny relative to the corpus (vocab <<
+    corpus) — at 100 TB broadcast it; here AQE makes that call. The n_docs
+    scalar joins in as a broadcast literal (crossJoin with a 1-row frame, the
+    scale-safe way to attach a global constant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("doc_len"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term", "doc_len").agg(
+        F.count("*").alias("tf_raw")
+    )
+    df = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = (F.col("tf_raw") / F.col("doc_len")) * F.log(
+        F.col("n_docs") / F.col("df")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf_raw",
+            "df",
+            F.round(tfidf, 4).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Higher-order-function dot product — JVM-side, no Python in the path."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           round(
+               list_inner_product(CAST(embedding AS DOUBLE[]), pe)
+               / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(pe, pe))), 4) AS cos_sim
+    FROM embeddings CROSS JOIN probe
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one probe vector. The probe is a 1-row
+    broadcast crossJoin (a query parameter, not a data-data cartesian); the
+    dot/norm math is higher-order array functions, so the scan stays inside
+    whole-stage codegen and Catalyst plans TakeOrderedAndProject for the
+    top-k — per-partition heaps, no global sort.
+
+    100 TB: brute force IS the right baseline (one linear scan, no state);
+    the sub-linear path is q_sim_pairs_lsh's bucketing. Floats widen to
+    double before math to match DuckDB exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
+    cos = _dot("e", "pe") / (
+        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("pe", "pe"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# Signed-random-projection LSH: P hyperplanes → P sign bits → bucket key.
+# P(same bucket | angle θ) = (1 - θ/π)^P. With P=6 over N vectors the
+# expected bucket occupancy is N/64 — enough co-occupancy to surface the
+# most-similar pairs while pruning ~98% of the N²/2 candidate space.
+_SRP_PLANES = 6
+
+
+def _srp_hyperplanes(dim: int = 64):
+    """Deterministic Gaussian hyperplanes (fixed seed 42)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((_SRP_PLANES, dim))
+
+
+@query("q_sim_pairs_lsh")  # rows-only: bucketing recall is engine-specific
+def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs similarity via signed-random-projection LSH.
+
+    Each vector gets a bucket key of sign bits against fixed
+    seeded hyperplanes (pure JVM expressions: zip_with/aggregate dot against
+    literal arrays). Pairs form ONLY inside bucket equi-joins — the shuffle
+    key is one BIGINT, cost linear in bucket occupancy, never an all-pairs
+    crossJoin. Exact cosine ranks the candidates; the query returns the
+    top-50 candidate pairs (TakeOrderedAndProject — per-partition heaps,
+    no global sort).
+
+    100 TB: identical plan shape — signatures are a map-only pass, the
+    bucket join is a standard shuffle join; recall is tuned by running
+    multiple independent tables (union of T such plans) and precision by the
+    exact-cosine refilter."""
+    planes = _srp_hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bits = [
+        F.when(
+            _dot("e", F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1
+        ).otherwise(0)
+        for plane in planes
+    ]
+    bucket = sum(
+        (bit * F.lit(2**i) for i, bit in enumerate(bits)), F.lit(0)
+    ).cast("bigint")
+    sigs = emb.select("vec_id", "e", bucket.alias("bucket"))
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+        )
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INT) AS dim,
+           round(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))), 4) AS norm,
+           round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings by id with the array column carried through the
+    join and reduced to scalar features (dim / L2 norm / first component)
+    after. The array rides the shuffle untouched — at 100 TB you'd bucket
+    both tables on the id to make this a shuffle-free co-located join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("e").alias("dim"),
+        F.round(F.sqrt(_dot("e", "e")), 4).alias("norm"),
+        F.round(F.element_at("e", 1), 4).alias("first_dim"),
+    )
