@@ -1,1 +1,170 @@
-"""UDF / UDAF / UDTF surface (SURVEY.md §2 B10) — Phase 4."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B10).
+
+The reference's only "function" is the hand-written row-mapper ``toParquet``
+(``/root/reference/convertor/struct.go:20-28``); ``q_udf_python`` expresses
+exactly that shape as a row-at-a-time Python UDF. It exists to be contrasted:
+every other query here uses the Arrow-vectorized path (pandas UDF /
+mapInPandas), which moves data JVM↔Python in columnar batches and is the only
+Python execution model that survives 100 TB. Rule of thumb encoded here:
+
+- row UDF        → ~1e5 rows/s/core   (pickle per row)    — q_udf_python
+- pandas UDF     → ~1e7 rows/s/core   (Arrow per batch)   — q_udf_pandas
+- built-in exprs → no Python at all                        — everything else
+
+Cross-engine note: rounding happens JVM-side (``F.round`` = HALF_UP, matching
+DuckDB) AFTER the UDF returns raw doubles — numpy's ``round`` is half-to-even
+and would diverge at exact .00005 boundaries.
+"""
+
+# NOTE: no `from __future__ import annotations` here — stringized type hints
+# break pandas_udf eval-type inference (UNSUPPORTED_SIGNATURE).
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR) || ':' || c_name || ':'
+               || CAST(CAST(c_nationkey AS TINYINT) AS VARCHAR) AS person_label
+    FROM customer
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``toParquet`` row-map (struct.go:20-28) as a scalar
+    Python UDF: field remapping + the narrowing int→tinyint cast, one row at
+    a time. Deliberately the slow path — each row round-trips through
+    pickle; kept here as the parity/contrast case for q_udf_pandas."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    @F.udf("string")
+    def person_label(custkey, name, nationkey):
+        # mirrors toParquet: stringly ID, name carried, age narrowed (int8)
+        narrowed = int(nationkey) & 0x7F if nationkey >= 0 else int(nationkey)
+        return f"{custkey}:{name}:{narrowed}"
+
+    return cust.select(
+        "c_custkey",
+        person_label("c_custkey", "c_name", "c_nationkey").alias("person_label"),
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           round(sqrt(l_extendedprice) + ln(l_quantity + 1), 4) AS feature
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Series → Series over Arrow batches).
+    The arithmetic runs as numpy ops over whole columns — no per-row Python.
+    Rounding is applied JVM-side afterwards (HALF_UP, matches DuckDB)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    @pandas_udf("double")
+    def feature(price: pd.Series, qty: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.sqrt(price) + np.log(qty + 1.0)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_price("l_extendedprice", "l_discount"), 4).alias("disc_price"),
+        F.round(feature("l_extendedprice", "l_quantity"), 4).alias("feature"),
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS weighted_avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: a custom weighted mean the built-in agg
+    set lacks. Each group arrives as pandas Series (Arrow transfer), reduces
+    to one scalar — composable with built-in aggs in the same .agg().
+    The 3-value group key keeps state bounded at any scale; numpy-vs-engine
+    summation order differs only ~1e-13 relative, far inside 4 dp."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.sum(price.values * qty.values) / np.sum(qty.values))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in aggs in
+    # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
+    # UDF as well.
+    @pandas_udf("long")
+    def group_size(qty: pd.Series) -> int:
+        return int(len(qty))
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        ),
+        group_size("l_quantity").alias("n_rows"),
+    )
+
+
+@query(
+    "q_udtf_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' ')[1:5], 1) AS INT) AS pos,
+           unnest(string_split(text, ' ')[1:5]) AS token
+    FROM documents
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python table function: one row → N rows via mapInPandas (Arrow batch
+    in, Arrow batch out) — the tokenizer shape of a training-data pipeline.
+    Emits (doc_id, pos, token) for each doc's first 5 whitespace tokens.
+    mapInPandas streams batches, so peak memory is one batch regardless of
+    input size; the fan-out happens inside the Python worker with no
+    driver involvement."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def tokenize(batches):
+        for pdf in batches:
+            ids, poss, toks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, tok in enumerate(text.split(" ")[:5], start=1):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    toks.append(tok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "token": pd.Series(toks, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(tokenize, "doc_id long, pos int, token string")
