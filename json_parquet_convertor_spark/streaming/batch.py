@@ -1,1 +1,266 @@
-"""Streaming operators, batch-mode equivalents (SURVEY.md §2 B9) — Phase 3."""
+"""Streaming operators (SURVEY.md §2 B9) — the reference's core identity.
+
+The reference IS a streaming job: SQS-notified JSON files converted to
+parquet with at-least-once ack (``/root/reference/convertor/convertor.go:
+79-104`` poll loop, ``:157-164`` ack, ``:59-75`` worker pool). Here that
+generalizes to Structured Streaming: file-source micro-batches replace the
+SQS poll, checkpoint + the parquet sink's ``_spark_metadata`` commit log
+replace the visibility-timeout lease and upgrade at-least-once to
+exactly-once per sink file.
+
+Correctness strategy (SURVEY §5): the four windowed/dedup queries run in
+BATCH mode against the ``events`` table so DuckDB can oracle them — the
+window semantics (tumbling/sliding/session/dedup) are identical in a stream,
+which ``tests/test_streaming.py`` asserts via readStream+Trigger.AvailableNow
+(stream ≡ batch). ``q_stream_convert`` and ``q_stream_watermark`` ARE real
+readStream executions (rows-only oracle — DuckDB cannot run a stream).
+
+Cross-engine note: window bounds leave as epoch-second BIGINTs, not
+timestamps — DuckDB's epoch-reconstruction returns TIMESTAMPTZ which
+hash-compares differently from Spark's naive timestamps.
+
+Scale posture: all window aggregations are single-shuffle hash aggregates
+keyed on (window, key); state size in a real stream is bounded by the
+watermark horizon, and the file source parallelizes by input split exactly
+like the batch scan. ``maxFilesPerTrigger`` is the back-pressure knob
+(replacing the reference's bounded channel, convertor.go:60).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark import convert
+from json_parquet_convertor_spark.exact import dsum
+from json_parquet_convertor_spark.operators.relational import run_tmp
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+def _win_epoch(col: str) -> F.Column:
+    """Window-bound timestamp → epoch seconds (truncating, matches oracle
+    floor(epoch(...)))."""
+    return F.col(col).cast("long")
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT) AS win_start,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 + 600 AS BIGINT) AS win_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window count/sum per event_type. Epoch-aligned
+    windows — identical bucketing in batch and stream mode."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            _win_epoch("w.start").alias("win_start"),
+            _win_epoch("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH e AS (
+        SELECT value, floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS s1
+        FROM events
+    ),
+    expanded AS (
+        SELECT value, s1 AS win_start FROM e
+        UNION ALL
+        SELECT value, s1 - 300 AS win_start FROM e
+    )
+    SELECT CAST(win_start AS BIGINT) AS win_start,
+           CAST(win_start + 600 AS BIGINT) AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min wide, 5 min slide) — every event lands in
+    exactly 2 windows; the oracle expands that membership explicitly via
+    UNION ALL of the two epoch-aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            _win_epoch("w.start").alias("win_start"),
+            _win_epoch("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flags AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flags
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+    Spark: native session_window (merging state store windows in a stream).
+    Oracle: the classic gap-and-island rewrite — lag + cumulative new-session
+    flags. Session end = last event + gap, matching session_window's bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _win_epoch("w.start").alias("session_start"),
+            _win_epoch("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    WITH amplified AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_id % 10 = 0
+    )
+    SELECT DISTINCT event_id, user_id, event_type, ts, value FROM amplified
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by event_id after simulating the reference's at-least-once
+    redelivery (convertor.go:48 — a message re-appears after the visibility
+    timeout; every 10th event is re-delivered here). Batch dropDuplicates is
+    deterministic because redelivered rows are bit-identical; the streaming
+    twin (dropDuplicates within a watermark, bounded state) is exercised in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    return ev.unionByName(redelivered).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# real readStream executions (rows-only: DuckDB cannot run a stream)
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_convert")  # rows-only
+def q_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference end-to-end as a stream (A1→A6→A7): watch a directory of
+    JSON person files → schema-enforced parse → rename/zero-fill/tinyint
+    cast → parquet sink with checkpoint, Trigger.AvailableNow.
+
+    The checkpoint + ``_spark_metadata`` commit log is the exactly-once
+    upgrade of the reference's delete-after-write SQS ack. maxFilesPerTrigger
+    (=2 here) is the back-pressure bound, standing in for the reference's
+    ≤10-message poll batches (convertor.go:52)."""
+    base = os.path.join(run_tmp("stream_convert"), uuid.uuid4().hex[:8])
+    src = convert.write_sample_json(os.path.join(base, "json"))
+    out = os.path.join(base, "parquet")
+    ckpt = os.path.join(base, "ckpt")
+
+    stream = (
+        spark.readStream.schema(convert.PERSON_JSON_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+    converted = convert.person_to_parquet_df(stream)
+    q = (
+        converted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("id")
+
+
+@query("q_stream_watermark")  # rows-only
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling via watermark on a real stream: events replayed
+    through a file source, 10-minute watermark, tumbling count, update-mode
+    memory sink. The watermark bounds the aggregation state (windows older
+    than max(ts) - 10 min are finalized and dropped); the late-drop behavior
+    itself is asserted in tests/test_streaming.py with a crafted two-batch
+    out-of-order replay."""
+    base = os.path.join(run_tmp("stream_watermark"), uuid.uuid4().hex[:8])
+    src = os.path.join(base, "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src)
+
+    sink = f"jpc_wm_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            _win_epoch("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,169 @@
+"""B9 streaming harness tests (SURVEY.md §5 strategy 4).
+
+The oracled B9 queries run in batch mode for the DuckDB gate; these tests
+replay the same data through a REAL readStream (file source,
+Trigger.AvailableNow) and assert:
+
+1. stream ≡ batch for the tumbling window aggregation;
+2. the watermark actually drops late data (two-micro-batch out-of-order
+   replay with maxFilesPerTrigger=1);
+3. streaming dropDuplicates dedups a redelivered event within the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stream_events_dir(spark, sf_dir, tmp_path) -> str:
+    """Materialize events (micros timestamps) as a parquet dir a file source
+    can watch."""
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir, tmp_path):
+    from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.registry import QUERIES
+
+    registry.load_all()
+    batch = {
+        tuple(r)
+        for r in QUERIES["q_stream_tumbling"](spark, sf_dir)
+        .drop("sum_value")  # decimal-exact sum needs the full-table agg path
+        .collect()
+    }
+
+    src = _stream_events_dir(spark, sf_dir, tmp_path)
+    schema = spark.read.parquet(src).schema
+    sink = f"jpc_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            F.col("w.end").cast("long").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table(sink).collect()}
+    assert streamed == batch
+
+
+def _write_single_parquet(df, target_file: str) -> None:
+    """Write df as exactly one parquet FILE (file sources watch flat files)."""
+    tmp = target_file + ".dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.move(os.path.join(tmp, part), target_file)
+    shutil.rmtree(tmp)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = tmp_path / "wm_src"
+    src.mkdir()
+
+    def ts_df(*stamps):
+        return spark.createDataFrame(
+            [(s, 1) for s in stamps], ["ts_s", "v"]
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+    # batch 1: an event in the 09:00 window, plus one at 11:00 that moves the
+    # watermark to 10:50 (effective from the NEXT batch — watermark
+    # propagation lags one micro-batch)
+    _write_single_parquet(
+        ts_df("2024-01-01 09:05:00", "2024-01-01 11:00:00"), str(src / "a.parquet")
+    )
+    # batch 2: on-time event; the 10:50 watermark takes effect, finalizing
+    # and emitting the 09:00 window with count 1
+    _write_single_parquet(ts_df("2024-01-01 11:01:00"), str(src / "b.parquet"))
+    # batch 3: a LATE event for the long-closed 09:00 window — must be dropped
+    _write_single_parquet(ts_df("2024-01-01 09:01:00"), str(src / "c.parquet"))
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        os.utime(src / name, (1_000_000 * (i + 1),) * 2)
+
+    sink = f"jpc_wm_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "n")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["win_start"]: r["n"] for r in spark.table(sink).collect()}
+
+    win_0900 = 1704099600  # 2024-01-01 09:00:00 UTC
+    # the 09:00 window was finalized with only the on-time event; the late
+    # one was dropped by the watermark (batch mode would count 2)
+    assert rows.get(win_0900) == 1, rows
+    # and the dropped event did not resurrect the window as a second row
+    assert len([r for r in rows if r == win_0900]) == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dd_src"
+    src.mkdir()
+
+    def ev_df(rows):
+        return spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    _write_single_parquet(
+        ev_df([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")]),
+        str(src / "a.parquet"),
+    )
+    # redelivery of event 1 (the reference's at-least-once retry) in a later
+    # micro-batch, still inside the watermark horizon
+    _write_single_parquet(
+        ev_df([(1, "2024-01-01 10:00:00"), (3, "2024-01-01 10:02:00")]),
+        str(src / "b.parquet"),
+    )
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    sink = f"jpc_dd_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table(sink).collect())
+    assert ids == [1, 2, 3], ids
