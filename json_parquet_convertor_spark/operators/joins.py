@@ -266,32 +266,54 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (latest event at-or-before each order's timestamp, per
-    user). Spark has no native as-of operator; the scalable rewrite is
-    equi-join on user + inequality filter + windowed keep-latest. Ties on ts
-    broken by event_id for determinism. Order dates are remapped into the
-    events window (Jan 2024) so matches are non-vacuous."""
+    user) via the union-merge formulation: tag both sides, union them, one
+    window per user ordered by (ts, tag, event_id), and ``last(...,
+    ignoreNulls)`` carries the most recent event forward onto each order row.
+
+    This is THE scale-safe as-of: one linear shuffle on the user key, state
+    per row is O(1). The naive LEFT JOIN ``ON user match AND ts <= o_ts`` +
+    keep-latest materializes every (order x all-prior-events) pair first —
+    quadratic per user, and hot users skew the shuffle. Ties on ts are
+    broken by event_id (events sort before orders at equal ts, so an event
+    AT the order timestamp matches, = the oracle's ``ts <= o_ts``).
+    Order dates are remapped into the events window (Jan 2024) so matches
+    are non-vacuous."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        "o_custkey",
+        F.col("o_custkey").alias("u"),
         F.expr(
             "TIMESTAMP '2024-01-01' + make_interval(0,0,0, CAST(o_orderkey % 31 AS INT))"
-        ).alias("o_ts"),
+        ).alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("timestamp").alias("ev_ts"),
+        F.lit(None).cast("string").alias("ev_type"),
+        F.lit(None).cast("long").alias("event_id"),
     )
-    ev = load_table(spark, sf_dir, "events")
-    cond = (ev.user_id == orders.o_custkey) & (ev.ts <= orders.o_ts)
-    joined = orders.join(ev, cond, "left")
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("user_id").alias("u"),
+        "ts",
+        F.lit(0).alias("is_order"),
+        F.col("ts").alias("ev_ts"),
+        F.col("event_type").alias("ev_type"),
+        "event_id",
+    )
+    merged = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ts", "is_order", F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        merged.select(
             "o_orderkey",
-            "o_custkey",
-            F.col("ts").alias("last_event_ts"),
-            F.col("event_type").alias("last_event_type"),
+            F.col("u").alias("o_custkey"),
+            "is_order",
+            F.last("ev_ts", ignorenulls=True).over(w).alias("last_event_ts"),
+            F.last("ev_type", ignorenulls=True).over(w).alias("last_event_type"),
         )
+        .filter(F.col("is_order") == 1)
+        .drop("is_order")
     )
 
 

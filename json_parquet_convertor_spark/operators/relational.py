@@ -308,24 +308,52 @@ def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort, mixed asc/desc, NULLS LAST. The hash compare is
-    order-insensitive, so the sort order is captured as a row_number column
-    computed over the same ordering (ties broken by the unique key)."""
+    order-insensitive, so the sort order is captured as a global row-number
+    column computed over the same ordering (ties broken by the unique key).
+
+    The global row number is built scale-safely — NOT with an unpartitioned
+    ``Window.orderBy`` (which funnels the whole table through one task):
+
+    1. ``repartitionByRange`` on the sort keys — a distributed range sort;
+       partition ids increase with key order by construction;
+    2. per-partition ``row_number`` (window partitioned by partition id);
+    3. per-partition counts → cumulative offsets (one window over
+       #partitions rows — bounded by cluster size, not data size) broadcast
+       back, ``sort_pos = offset + local_rn``.
+    """
     from pyspark.sql.window import Window
 
+    sort_keys = [
+        F.col("seg_nulled").desc_nulls_last(),
+        F.col("c_acctbal").asc(),
+        F.col("c_custkey").asc(),
+    ]
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).alias("seg_nulled"),
         "c_acctbal",
     )
-    w = Window.orderBy(
-        F.col("seg_nulled").desc_nulls_last(), F.col("c_acctbal").asc(), "c_custkey"
+    ranged = cust.repartitionByRange(16, *sort_keys).withColumn(
+        "pid", F.spark_partition_id()
     )
-    return cust.select(
-        "c_custkey",
-        "seg_nulled",
-        "c_acctbal",
-        F.row_number().over(w).cast("bigint").alias("sort_pos"),
-    ).orderBy("sort_pos")
+    local_rn = F.row_number().over(Window.partitionBy("pid").orderBy(*sort_keys))
+    with_rn = ranged.withColumn("local_rn", local_rn)
+
+    counts = with_rn.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        with_rn.join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            "seg_nulled",
+            "c_acctbal",
+            (F.col("offset") + F.col("local_rn")).cast("bigint").alias("sort_pos"),
+        )
+        .orderBy("sort_pos")
+    )
 
 
 @query(
