@@ -1,0 +1,89 @@
+"""Benchmark harness: time every declared query at a given scale factor.
+
+Usage (matches the driver contract):
+    python bench.py                       # sf dir from $SPARK_GRAFT_SF_DIR
+                                          # (default /root/testdata/sf0.1),
+                                          # local[$SPARK_GRAFT_CPUS]
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "total_query_sec", "value": <sum of per-query medians>,
+     "unit": "sec", "queries": {"<name>": <median sec>, ...}, "sf": 0.1,
+     "cpus": N, "reps": R}
+
+Method: warm SparkSession (one untimed warmup pass of the flagship), then
+each registered query runs REPS times (default 3) and reports the median.
+Execution is forced JVM-side via the noop sink — full plan runs, nothing is
+collected to Python, so the numbers measure the engine, not row transfer.
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    """Execute the full plan without moving rows to Python."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="jpc-bench", cpus=cpus)
+
+    # warmup: spin up executors, JIT the scan/agg path
+    _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                _force(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                print(f"BENCH ERROR {name}: {exc!r}", file=sys.stderr)
+                samples = []
+                break
+            samples.append(time.perf_counter() - t0)
+        if samples:
+            timings[name] = round(statistics.median(samples), 4)
+            print(f"{name}: {timings[name]}s (reps={samples})", file=sys.stderr)
+
+    sf = None
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            sf = None
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "reps": reps,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
