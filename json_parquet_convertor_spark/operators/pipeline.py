@@ -1,0 +1,598 @@
+"""Extended training-data-pipeline operators (beyond SURVEY §2's 71).
+
+The operators a 100 TB LLM-corpus pipeline needs on top of the declared
+inventory: more dedup families (SimHash, exact n-gram Jaccard,
+embedding-cosine), text analysis (language-ID, quality scoring, token
+counting, document fingerprinting), IVF-style ANN, and multimodal binary
+column plumbing. Same ground rules as operators/llm.py: built-in JVM
+expressions wherever possible, candidates only ever meet inside equi-join
+buckets, Python only via Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.operators.llm import _dot
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint = sign of per-bit vote
+    sums over token hashes (term frequency weights the vote naturally via
+    the explode), then banded search — fingerprints split into 8×8-bit
+    chunks, pairs meet only inside chunk equi-join buckets, final filter
+    keeps Hamming distance <= 7 (bit_count of XOR, a single JVM op).
+    With 8 chunks and threshold 7 the banding is EXACT by pigeonhole:
+    any pair within distance 7 must agree on at least one full chunk, so
+    no qualifying pair can be missed (tests/test_pipeline.py asserts this
+    against a brute-force recomputation).
+
+    100 TB: one explode + one groupBy for fingerprints (linear), the band
+    join shuffles (doc_id, 8-bit chunk) only. Deterministic: xxhash64."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.xxhash64("tok")
+    # bit 63 of a signed long cannot be a Python literal (1 << 63 overflows
+    # java.lang.Long parsing) — shift JVM-side instead.
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = sum(
+        (
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ),
+        F.lit(0).cast("long"),
+    ).cast("long")
+    fps = votes.select("doc_id", fp.alias("fp"))
+
+    chunks = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", 8 * j).bitwiseAND(F.lit(0xFF))
+                    for j in range(8)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact n-gram Jaccard (inverted index, fully oracled)
+# ---------------------------------------------------------------------------
+
+# 3-word shingle list as a DuckDB expression (docs with >= 3 tokens)
+_DUCK_SHINGLES = """
+        list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i + 1] || ' '
+                 || string_split(text, ' ')[i + 2])
+"""
+
+
+def _spark_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct 3-word shingles for docs with >= 3 tokens."""
+    words = F.split("text", " ")
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i),
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+    )
+    return (
+        docs.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), F.size(words) - 2), tri)
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    rare AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= 100
+    ),
+    pruned AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.3
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via an inverted shingle index: pairs form
+    only where a shared shingle exists (equi-join on the shingle), then
+    |A∩B| / (|A|+|B|-|A∩B|) >= 0.3. The complement to q_dedup_near: exact
+    instead of estimated, still never an all-pairs crossJoin.
+
+    Hot-key guard for scale: shingles appearing in > 100 docs (boilerplate)
+    are dropped from the index before the self-join — the standard
+    stop-shingle pruning that keeps bucket occupancy bounded; true
+    near-dup pairs share plenty of rare shingles so recall is unaffected.
+    Intersection counts use the UNPRUNED sets, so the Jaccard itself is
+    exact for every surviving pair... counted on pruned shingles only —
+    identical on both sides, hence oracle-stable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _spark_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
+    )
+    pruned = sh.join(rare.select("sh"), "sh")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-dup (multi-table SRP LSH)
+# ---------------------------------------------------------------------------
+
+
+@query("q_dedup_embed")  # rows-only: LSH recall is engine-specific
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates with MULTI-TABLE signed-random-
+    projection LSH: T=4 independent tables of 8 sign bits each; a pair is a
+    candidate if it collides in ANY table (union → distinct), recall
+    1-(1-p^8)^4 instead of p^8. Exact cosine >= 0.35 refilters candidates.
+
+    100 TB: T map-only signature passes + T bucket equi-joins — still no
+    all-pairs anything; union-distinct of candidate pairs shuffles only id
+    pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    tables = [rng.standard_normal((8, 64)) for _ in range(4)]
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    cand = None
+    for t, planes in enumerate(tables):
+        bits = [
+            F.when(
+                _dot("e", F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1
+            ).otherwise(0)
+            for plane in planes
+        ]
+        bucket = sum(
+            (bit * F.lit(2**i) for i, bit in enumerate(bits)), F.lit(0)
+        ).cast("long")
+        sigs = emb.select("vec_id", bucket.alias("bucket"))
+        a, b = sigs.alias("a"), sigs.alias("b")
+        pairs_t = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, tokens, fingerprint
+# ---------------------------------------------------------------------------
+
+# Fixed marker-n-gram profiles (the mechanism of n-gram language-ID; the
+# synthetic corpus shares one vocabulary across langs, so this demonstrates
+# the scoring pipeline, not classifier accuracy).
+_LANG_MARKERS = {"en": " the ", "es": " data ", "zh": " window "}
+
+
+def _occ_sql(marker: str) -> str:
+    return (
+        f"CAST((length(text) - length(replace(text, '{marker}', '')))"
+        f" / {len(marker)} AS INT)"
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_occ_sql(' the ')} AS s_en,
+           {_occ_sql(' data ')} AS s_es,
+           {_occ_sql(' window ')} AS s_zh,
+           CASE WHEN {_occ_sql(' the ')} >= {_occ_sql(' data ')}
+                 AND {_occ_sql(' the ')} >= {_occ_sql(' window ')} THEN 'en'
+                WHEN {_occ_sql(' data ')} >= {_occ_sql(' window ')} THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: occurrence counts of per-language marker
+    n-grams (substring counting via the length/replace identity — pure JVM
+    string ops, no regex engine), argmax with a fixed tie order. One linear
+    scan; profiles ride along as literals, nothing is broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def occ(marker: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(marker))))
+            / len(marker)
+        ).cast("int")
+
+    s_en, s_es, s_zh = occ(" the "), occ(" data "), occ(" window ")
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_zh), "en")
+        .when(s_es >= s_zh, "es")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        s_en.alias("s_en"),
+        s_es.alias("s_es"),
+        s_zh.alias("s_zh"),
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('a', 'the'))) AS INT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           round(n_uniq / n_tokens, 4) AS uniq_ratio,
+           round(n_stop / n_tokens, 4) AS stop_ratio,
+           round(0.4 * (n_uniq / n_tokens)
+                 + 0.3 * (1 - n_stop / n_tokens)
+                 + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, type-token (uniqueness) ratio,
+    stopword ratio, combined into one bounded score — the cheap
+    pre-training filter pass. All higher-order array functions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words).cast("int")
+    n_uniq = F.size(F.array_distinct(words)).cast("int")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("a", "the"))
+    ).cast("int")
+    uniq_ratio = n_uniq / n_tokens
+    stop_ratio = n_stop / n_tokens
+    score = (
+        0.4 * uniq_ratio
+        + 0.3 * (1 - stop_ratio)
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> CAST(ceil(length(w) / 4.0) AS INT)))
+                AS INT) AS subword4_tokens,
+           round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    lexer ([a-z]+|[0-9]+ runs), and a 4-chars-per-piece subword estimate
+    (ceil(len/4) per word — the budget heuristic for context-length
+    planning). chars/token is the compression-ratio signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    ws_tokens = F.size(words).cast("int")
+    re_tokens = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)
+    ).cast("int")
+    subword = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        re_tokens.alias("re_tokens"),
+        subword.alias("subword4_tokens"),
+        F.round(F.length("text") / F.size(words), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform({_DUCK_SHINGLES}, s -> md5(s))
+               )) AS hs
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id,
+           md5(array_to_string(hs[1:4], ',')) AS fingerprint,
+           hs[1] AS min_hash
+    FROM h
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every 3-word shingle
+    (the rolling-window k-gram), keep the bottom-4 hashes (a bottom-k
+    sketch — stable under small edits, the MOSS/winnowing idea), and
+    digest them into one fingerprint. md5 is used as the shingle hash
+    because both engines implement it identically, making the whole
+    sketch oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _spark_shingles(docs).select("doc_id", F.md5("sh").alias("h"))
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, 4).alias("bottom"))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", F.col("bottom"))).alias("fingerprint"),
+            F.element_at("bottom", 1).alias("min_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity: IVF-style ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_ann_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+        SELECT vec_id, c_id, e FROM (
+            SELECT e.vec_id, c.c_id, CAST(e.embedding AS DOUBLE[]) AS e,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                                c.c_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probe AS (SELECT c_id AS pc, e AS pe FROM assign WHERE vec_id = 42)
+    SELECT a.vec_id,
+           round(list_inner_product(a.e, p.pe)
+                 / (sqrt(list_inner_product(a.e, a.e))
+                    * sqrt(list_inner_product(p.pe, p.pe))), 4) AS cos_sim
+    FROM assign a CROSS JOIN probe p
+    WHERE a.c_id = p.pc AND a.vec_id <> 42
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 5
+    """,
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer (8 fixed seed vectors as
+    centroids) partitions the corpus into cells; a probe searches ONLY its
+    own cell (nprobe=1) — the partition-pruning pattern that makes ANN
+    sub-linear. Assignment is a broadcast join against the 8-row centroid
+    table (a dim join, not all-pairs) + keep-nearest window.
+
+    100 TB: write the corpus partitioned by cell_id; a probe then touches
+    one partition (real IVF), and the centroid table comes from a seeded
+    MLlib KMeans instead of seed rows. Deterministic here by construction:
+    fixed centroid ids, distance ties broken by c_id."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("c_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id", "e")
+    )
+    probe = assign.filter(F.col("vec_id") == 42).select(
+        F.col("c_id").alias("pc"), F.col("e").alias("pe")
+    )
+    cos = _dot("e", "pe") / (F.sqrt(_dot("e", "e")) * F.sqrt(_dot("pe", "pe")))
+    return (
+        assign.join(
+            F.broadcast(probe), (F.col("c_id") == F.col("pc")) & (F.col("vec_id") != 42)
+        )
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary columns + decode stub
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: an opaque ``binary`` payload column (here
+    synthesized as the utf-8 bytes of text — at 100 TB this is the image/
+    audio blob, read straight from parquet BINARY) decoded per-batch in a
+    mapInPandas stub. The Spark-side shape is the real thing — binary
+    Arrow batches into Python, typed feature rows out, no driver
+    involvement, peak memory = one batch.
+
+    The decode itself STUBS the media library (none installed in this
+    environment): if PIL were importable it would decode real images; the
+    fallback computes deterministic fake features (byte count, md5
+    checksum, dims derived from length) so the pipeline stays testable
+    end-to-end."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_stub(batches):
+        try:  # pragma: no cover - media libs absent in this environment
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if have_pil:  # pragma: no cover
+                raise NotImplementedError(
+                    "real image decode path: Image.open(io.BytesIO(p))"
+                )
+            n_bytes = [len(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() for p in payloads
+                    ],
+                    "fake_width": pd.Series(
+                        [n % 640 for n in n_bytes], dtype="int32"
+                    ),
+                    "fake_height": pd.Series(
+                        [(n * 7) % 480 for n in n_bytes], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_stub,
+        "doc_id long, n_bytes int, checksum string, fake_width int, fake_height int",
+    )

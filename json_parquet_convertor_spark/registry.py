@@ -45,6 +45,7 @@ def load_all() -> None:
         aggregates,
         joins,
         llm,
+        pipeline,
         relational,
         udfs,
         windows,

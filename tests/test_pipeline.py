@@ -1,0 +1,123 @@
+"""Invariant tests for the extended pipeline operators (dedup family).
+
+The dedup methods are independent estimators of the same ground truth, so
+they cross-validate each other: strong exact-Jaccard near-dups must be
+found by the MinHash-LSH screen; embedding near-dup pairs must genuinely
+have the cosine they claim; exact dedup must be idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from json_parquet_convertor_spark import registry
+
+registry.load_all()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    out1 = registry.QUERIES["q_dedup_exact"](spark, sf_dir)
+    n1 = out1.count()
+    # dedup of the deduped text column changes nothing
+    n2 = out1.dropDuplicates(["text"]).count()
+    assert n1 == n2
+
+
+def test_minhash_finds_strong_near_dups(spark, sf_dir):
+    """Every pair with exact n-gram Jaccard >= 0.7 must be surfaced by the
+    MinHash-LSH screen (est_jaccard >= 0.5 output). Deterministic: fixed
+    hash seeds, fixed data."""
+    exact = registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir)
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact.filter("jaccard >= 0.7").collect()
+    }
+    screened = _pairs(registry.QUERIES["q_dedup_near"](spark, sf_dir))
+    missed = strong - screened
+    assert not missed, f"MinHash screen missed strong near-dups: {missed}"
+
+
+def test_simhash_banding_is_exact(spark, sf_dir):
+    """The 8x8-bit banded search must return EXACTLY the pairs within
+    Hamming distance 7 — guaranteed by pigeonhole (a pair differing in <= 7
+    bits agrees on >= 1 of the 8 chunks). Verified against a brute-force
+    O(n^2) recomputation over the collected fingerprints (test-only; the
+    query itself never does all-pairs)."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp_col = sum(
+        (
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(64)
+        ),
+        F.lit(0).cast("long"),
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in votes.select("doc_id", fp_col.alias("fp")).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 7
+    }
+    banded = _pairs(registry.QUERIES["q_dedup_simhash"](spark, sf_dir))
+    assert banded == brute
+
+
+def test_simhash_overlaps_strong_near_dups(spark, sf_dir):
+    """SimHash (TF-cosine) and exact n-gram Jaccard are different
+    similarity measures, but on real near-duplicates they must mostly
+    agree: >= 70% of strong Jaccard pairs within simhash's reach."""
+    exact = registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir)
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact.filter("jaccard >= 0.7").collect()
+    }
+    if not strong:
+        pytest.skip("no strong near-dups at this scale factor")
+    sim = _pairs(registry.QUERIES["q_dedup_simhash"](spark, sf_dir))
+    recall = len(strong & sim) / len(strong)
+    assert recall >= 0.7, f"simhash recall on strong near-dups: {recall:.2f}"
+
+
+def test_embed_pairs_cosine_verified(spark, sf_dir):
+    """q_dedup_embed's output claims cos >= 0.35 — recompute independently
+    with numpy on the collected vectors."""
+    import numpy as np
+
+    pairs = registry.QUERIES["q_dedup_embed"](spark, sf_dir).collect()
+    if not pairs:
+        pytest.skip("no embed near-dup pairs at this scale factor")
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in pairs:
+        a, b = emb[r["vec_a"]], emb[r["vec_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.35 - 1e-9
+        assert abs(round(cos, 4) - r["cos_sim"]) < 1e-9
