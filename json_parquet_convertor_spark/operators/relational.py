@@ -50,7 +50,18 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem")
 
 
-@query("q_scan_json")  # rows-only: reads generated JSON, no DuckDB view
+@query(
+    "q_scan_json",
+    # golden-value oracle: the embedded reference samples (convert.py
+    # SAMPLE_PERSONS) are the full expected output of the JSON scan
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1122', 'KIM', 'CM', CAST(34 AS INT)),
+        ('12',   'AMY', 'AC', CAST(56 AS INT)),
+        ('1234', 'Jon', 'CM', CAST(12 AS INT))
+    ) AS t("ID", "name", "nationality", "age")
+    """,
+)
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference input shape (A3/A4): multiLine single-object JSON files read
     with an explicit schema."""
@@ -61,7 +72,19 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("ID")
 
 
-@query("q_convert_json_parquet")  # rows-only
+@query(
+    "q_convert_json_parquet",
+    # golden-value oracle: fresh goldens computed from the current sample
+    # JSON (the reference's checked-in person2 golden is stale, SURVEY §5);
+    # age narrowed to TINYINT per the reference's INT32/INT_8 annotation
+    oracle="""
+    SELECT * FROM (VALUES
+        ('1122', 'KIM', 'CM', CAST(34 AS TINYINT)),
+        ('12',   'AMY', 'AC', CAST(56 AS TINYINT)),
+        ('1234', 'Jon', 'CM', CAST(12 AS TINYINT))
+    ) AS t(id, name, nationality, age)
+    """,
+)
 def q_convert_json_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core pipeline (A3→A5→A6): JSON in → rename/zero-fill/
     tinyint cast → snappy parquet out → read back."""
@@ -99,7 +122,12 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_scan_csv")  # rows-only: round-trips through a temp CSV dir
+@query(
+    "q_scan_csv",
+    # the CSV round-trip is lossless on nation, so the source table IS the
+    # expected output
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip with explicit schema (inferSchema would be a
     second full pass at scale)."""
