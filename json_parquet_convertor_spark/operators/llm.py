@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -65,6 +65,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K, _MH_B, _MH_R = 16, 4, 4
 
 
+
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{K-1}) MinHash signatures over 3-word sequence shingles.
 
@@ -74,6 +75,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     One explode + one groupBy: the map side computes K hashes per shingle
     (all JVM xxhash64 with the hash index as seed column), the reduce side
     takes per-doc minima — a single linear shuffle on doc_id."""
+    docs = spread(docs)
     words = F.split("text", " ")
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ",
@@ -92,9 +94,16 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
             )
         ).alias("tok"),
     )
+    # One string hash per shingle; the K minhash functions then re-hash the
+    # resulting 8-byte long with per-function seeds — a proper independent
+    # family at a fraction of the cost of K string hashes (the string is
+    # digested once). Plain long arithmetic would overflow under ANSI mode
+    # (the driver's session default), so the mixing stays inside xxhash64.
     hashed = shingles.select(
+        "doc_id", F.xxhash64("tok").alias("base")
+    ).select(
         "doc_id",
-        *[F.xxhash64(F.col("tok"), F.lit(i)).alias(f"h{i}") for i in range(_MH_K)],
+        *[F.xxhash64(F.col("base"), F.lit(i)).alias(f"h{i}") for i in range(_MH_K)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MH_K)]
@@ -115,7 +124,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     via skew-join splitting. Estimated Jaccard = fraction of matching
     signature components; pairs below 0.5 are dropped."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = _minhash_signatures(docs)
+    # The band search self-joins the signatures; without a materialization
+    # barrier Spark recomputes the whole explode+hash+groupBy pipeline for
+    # BOTH join sides. Cache the (small: K longs/doc) signature table; at
+    # 100 TB you'd write it to a parquet stage table instead.
+    sig = _minhash_signatures(docs).cache()
 
     bands = sig.select(
         "doc_id",
@@ -231,7 +244,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — at 100 TB broadcast it; here AQE makes that call. The n_docs
     scalar joins in as a broadcast literal (crossJoin with a 1-row frame, the
     scale-safe way to attach a global constant)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     terms = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("doc_len"),
@@ -240,9 +253,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term", "doc_len").agg(
         F.count("*").alias("tf_raw")
     )
-    df = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # document frequency derives from tf (already one row per (doc, term)) —
+    # a count, not a second explode+countDistinct pass over the corpus
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     tfidf = (F.col("tf_raw") / F.col("doc_len")) * F.log(
         F.col("n_docs") / F.col("df")
@@ -303,7 +316,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: brute force IS the right baseline (one linear scan, no state);
     the sub-linear path is q_sim_pairs_lsh's bucketing. Floats widen to
     double before math to match DuckDB exactly."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
@@ -351,7 +364,7 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple independent tables (union of T such plans) and precision by the
     exact-cosine refilter."""
     planes = _srp_hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bits = [

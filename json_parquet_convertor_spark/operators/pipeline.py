@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.operators.llm import _dot
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # ---------------------------------------------------------------------------
 # dedup: SimHash
@@ -37,7 +37,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one explode + one groupBy for fingerprints (linear), the band
     join shuffles (doc_id, 8-bit chunk) only. Deterministic: xxhash64."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = F.xxhash64("tok")
     # bit 63 of a signed long cannot be a Python literal (1 << 63 overflows
@@ -59,7 +59,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).cast("long"),
     ).cast("long")
-    fps = votes.select("doc_id", fp.alias("fp"))
+    # the chunk self-join reads fps twice — cache the tiny (doc_id, fp)
+    # table instead of recomputing the 64-vote aggregation per side
+    fps = votes.select("doc_id", fp.alias("fp")).cache()
 
     chunks = fps.select(
         "doc_id",
@@ -118,7 +120,7 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
         F.element_at(words, i + 2),
     )
     return (
-        docs.filter(F.size(words) >= 3)
+        spread(docs).filter(F.size(words) >= 3)
         .select(
             "doc_id",
             F.explode(
@@ -171,7 +173,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact for every surviving pair... counted on pruned shingles only —
     identical on both sides, hence oracle-stable."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _spark_shingles(docs)
+    # the shingle index feeds sizes, the df-prune, and both sides of the
+    # self-join — cache it once (at 100 TB: a parquet stage table)
+    sh = _spark_shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = (
         sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
@@ -216,36 +220,50 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything; union-distinct of candidate pairs shuffles only id
     pairs."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(42)
-    tables = [rng.standard_normal((8, 64)) for _ in range(4)]
+    hyperplanes = rng.standard_normal((32, 64))  # 4 tables x 8 planes
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).cache()  # read by the bucket join sides + the exact-cosine refilter
 
-    cand = None
-    for t, planes in enumerate(tables):
-        bits = [
-            F.when(
-                _dot("e", F.array(*[F.lit(float(v)) for v in plane])) >= 0, 1
-            ).otherwise(0)
-            for plane in planes
-        ]
-        bucket = sum(
-            (bit * F.lit(2**i) for i, bit in enumerate(bits)), F.lit(0)
-        ).cast("long")
-        sigs = emb.select("vec_id", bucket.alias("bucket"))
-        a, b = sigs.alias("a"), sigs.alias("b")
-        pairs_t = a.join(
+    # 32 per-row hyperplane dots as interpreted higher-order functions would
+    # be the slow shape (HOFs don't enter whole-stage codegen); one Arrow
+    # batch + numpy matmul computes all 4 bucket keys per vector at memory
+    # bandwidth — the standard embedding-pipeline pattern at scale.
+    def _srp(col):
+        mat = np.vstack(col.to_numpy())  # (n, 64)
+        signs = (mat @ hyperplanes.T) >= 0  # (n, 32)
+        weights = 1 << np.arange(8)
+        packed = signs.reshape(len(mat), 4, 8) @ weights  # (n, 4)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    # this module uses `from __future__ import annotations`, which stringizes
+    # literal hints and breaks pandas_udf eval-type inference — attach real
+    # type objects instead
+    _srp.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    srp_buckets = pandas_udf(_srp, "array<long>")
+
+    sigs = emb.select(
+        "vec_id",
+        F.posexplode(srp_buckets("e")).alias("table_idx", "bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(
+        )
+        .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+        .distinct()
+    )
 
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
@@ -490,7 +508,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed centroid ids, distance ties broken by c_id."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = emb.filter(F.col("vec_id") < 8).select(

@@ -53,6 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions for CPU-bound per-row work.
+
+    Small benchmark tables arrive as a single parquet file → one partition →
+    one task doing all the hashing/dot-product work. If the scan has fewer
+    partitions than the cluster has slots, repartition up; at real scale the
+    input is already split (partitions >> cores) and this is a no-op, so no
+    gratuitous shuffle is added on big inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_json(
     spark: SparkSession,
     path: str,
