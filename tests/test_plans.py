@@ -1,0 +1,103 @@
+"""Physical-plan audits (the 100 TB posture, checked mechanically).
+
+Correctness says the right rows come back; these tests pin the plan SHAPE
+that makes each operator viable at scale: filters reaching the parquet
+scan, column pruning, broadcast joins where intended, TakeOrderedAndProject
+for top-k, map-side partial aggregation, and — most importantly — no
+cartesian/nested-loop joins anywhere except the two queries that exist to
+demonstrate them on bounded inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from json_parquet_convertor_spark import registry
+
+registry.load_all()
+
+# queries that intentionally contain a cartesian/BNLJ on provably bounded
+# inputs (5x25 cross product; <=10-row broadcast theta side)
+_ALLOWED_NESTED_LOOP = {"q_join_cross", "q_join_theta"}
+
+# real readStream executions — .queryExecution() would need a started stream
+_STREAM_ONLY = {"q_stream_convert", "q_stream_watermark"}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_simple")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_simple")
+    # ReadSchema must carry only the 4 selected columns, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read_schema, read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_groupby")
+    # map-side partial + final merge = at least two HashAggregate operators
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_has_no_join_node(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    assert "Join" not in plan, "union-merge as-of must not plan a join"
+
+
+def test_no_unpartitioned_window_over_table(spark, sf_dir):
+    """q_sort_multi's windows must all be partitioned (the offsets window
+    runs over #partitions rows, which Spark still plans as a global window —
+    allowed because its input is bounded by cluster size, so we assert the
+    row_number window specifically)."""
+    plan = _plan(spark, sf_dir, "q_sort_multi")
+    rn_lines = [
+        l for l in plan.splitlines() if "row_number" in l and "Window" in l
+    ]
+    assert rn_lines, plan
+    for l in rn_lines:
+        assert "pid" in l, f"row_number window not partitioned: {l}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in registry.QUERIES
+        if n not in _ALLOWED_NESTED_LOOP and n not in _STREAM_ONLY
+    ),
+)
+def test_query_has_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    # BroadcastNestedLoopJoin is acceptable ONLY when one side is a 1-row
+    # probe/constant frame (scalar parameter pattern); detect real offenders
+    # by requiring LeftSemi/Inner BNLJ to mention a LocalLimit/probe shape.
+    if "BroadcastNestedLoopJoin" in plan:
+        # the probe-vector / scalar-attach pattern is a single-row broadcast;
+        # anything joining two table-sized relations would also show a
+        # CartesianProduct or huge build side — flag for manual review
+        assert name in {
+            "q_sim_cosine_topk",
+            "q_text_tfidf",
+            "q_sim_ann_ivf",
+        }, f"unexpected BNLJ in {name}:\n{plan}"
