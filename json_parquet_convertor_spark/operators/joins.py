@@ -376,3 +376,64 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables — THE shuffle elimination
+    primitive for repeated big×big joins at 100 TB. Both sides are written
+    ``bucketBy(8, join_key)`` (+ sortBy, so the sort-merge join needs no
+    sort either); Spark's bucketing guarantees bucket i of orders and
+    bucket i of customer hold the same key range, so the merge join reads
+    them pairwise with NO Exchange before the join (asserted in
+    tests/test_plans.py). The only shuffle left in the query is the final
+    tiny aggregation.
+
+    The ``merge`` hint opts out of the broadcast that AQE would otherwise
+    pick for the small test dim — at 100 TB customer outgrows broadcast
+    and this bucketed plan is exactly what you want already in place."""
+    import uuid
+
+    from json_parquet_convertor_spark.operators.relational import run_tmp
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"jpc_orders_b_{suffix}", f"jpc_cust_b_{suffix}"
+    base = run_tmp(f"bucketed_{suffix}")
+
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .saveAsTable(t_cust)
+    )
+    orders_b, cust_b = spark.table(t_orders), spark.table(t_cust)
+    return (
+        orders_b.hint("merge")
+        .join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting / sharding (B12 extension).
+
+The bread-and-butter corpus-management ops of a training-data pipeline:
+reproducible train/val/test splits, per-stratum sampling, and balanced
+shard assignment. All use the same primitive — a deterministic integer
+mix of the stable row id — so the SAME row lands in the SAME split on
+every engine, every run, at every scale (the property `rand()`-based
+sampling does not have). The mix constant is Knuth's 2654435761; products
+stay < 2^63 for any realistic id so ANSI mode is safe, and DuckDB
+computes the identical arithmetic, which makes all three queries fully
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+# deterministic id → [0, 100) bucket, identical in Spark and DuckDB
+_MIX = 2654435761
+
+
+def _bucket(col: str, mod: int) -> F.Column:
+    return F.pmod(F.col(col) * F.lit(_MIX), F.lit(mod)).cast("int")
+
+
+def _bucket_sql(col: str, mod: int) -> str:
+    return f"CAST(({col} * {_MIX}) % {mod} AS INT)"
+
+
+@query(
+    "q_sample_split",
+    oracle=f"""
+    SELECT CASE WHEN {_bucket_sql('doc_id', 100)} < 80 THEN 'train'
+                WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by hashed doc_id, with a
+    per-language stratification summary. Because assignment is a pure
+    function of the id, adding or re-ordering data never moves an existing
+    row between splits — the property that keeps eval sets uncontaminated
+    across corpus versions."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket("doc_id", 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, {_bucket_sql('doc_id', 100)} AS bucket
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 100)} < 10
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample, uniform within every stratum because the
+    hash is independent of lang. One scan, the predicate is a pure
+    projection — no shuffle at all; at 100 TB this is how you cut dev
+    subsets out of the corpus without a sort or a rand() seed headache."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket("doc_id", 100)
+    return docs.select("doc_id", "lang", b.alias("bucket")).filter(
+        F.col("bucket") < 10
+    )
+
+
+@query(
+    "q_corpus_shard",
+    oracle=f"""
+    SELECT {_bucket_sql('doc_id', 8)} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced 8-way shard assignment for distributed training data
+    loading (each trainer rank reads shard = its rank). The mix constant
+    decorrelates shard from id ranges so shards stay balanced even when
+    ids are assigned sequentially; the summary proves it. At scale this
+    becomes ``df.write.partitionBy('shard')`` — one output dir per rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(_bucket("doc_id", 8).alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

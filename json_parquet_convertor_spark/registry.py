@@ -47,6 +47,7 @@ def load_all() -> None:
         llm,
         pipeline,
         relational,
+        sampling,
         udfs,
         windows,
     )

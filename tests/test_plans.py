@@ -101,3 +101,21 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_text_tfidf",
             "q_sim_ann_ivf",
         }, f"unexpected BNLJ in {name}:\n{plan}"
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed+sorted by the join key → the sort-merge join
+    itself needs no Exchange (and no Sort); the only shuffle in the plan is
+    the final aggregation."""
+    plan = _plan(spark, sf_dir, "q_join_bucketed")
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # below the join: bucketed scans only — no Exchange may appear
+    assert "Exchange" not in join_part, join_part
+    # whole plan: exactly the one aggregation exchange
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
