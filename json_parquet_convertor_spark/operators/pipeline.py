@@ -614,3 +614,66 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_stub,
         "doc_id long, n_bytes int, checksum string, fake_width int, fake_height int",
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(k * 200 AS INT) AS frame_off,
+           CAST(least(200, octet_length(encode(text)) - k * 200) AS INT) AS frame_len,
+           md5(substring(text, CAST(k * 200 + 1 AS INT), 200)) AS frame_sig
+    FROM documents,
+         unnest(generate_series(
+             0, least(3, octet_length(encode(text)) // 200 + 1) - 1)) AS t(k)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload: one row in → up to 3
+    evenly-spaced frame rows out (index, byte offset, length, content
+    signature), the video-preprocessing shape of a multimodal pipeline.
+    Decode is stubbed like q_multimodal_decode (payload = utf-8 bytes, a
+    frame = a 200-byte slice, signature = md5 of the slice) so the whole
+    fan-out — including the per-frame checksums — is oracle-checkable
+    (the corpus is ASCII, so byte slices == char slices for DuckDB).
+
+    The fan-out happens inside mapInPandas over Arrow batches: no driver
+    involvement, no explode of materialized frame arrays — at 100 TB the
+    payload bytes stream through the Python worker once."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            ids, idxs, offs, lens, sigs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = min(3, len(data) // 200 + 1)
+                for k in range(n_frames):
+                    off = k * 200
+                    chunk = data[off : off + 200]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    sigs.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_idx int, frame_off int, frame_len int, frame_sig string",
+    )

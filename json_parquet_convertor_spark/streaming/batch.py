@@ -264,3 +264,63 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running profile (event count + last-seen timestamp) held in
+    explicit keyed state — the arbitrary-state API that covers operators the
+    built-in windowed aggs can't express (per-entity accumulators, custom
+    session logic, online feature stores).
+
+    The state store scales horizontally: state is partitioned by the group
+    key exactly like a shuffle, each executor holds only its keys' state,
+    and checkpointing makes it fault-tolerant. Here the replay is a single
+    AvailableNow batch over one file, so the final emission per user equals
+    the batch aggregate and the query is DuckDB-oracleable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = os.path.join(run_tmp("stream_stateful"), uuid.uuid4().hex[:8])
+    src = os.path.join(base, "events")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def track(key, pdf_iter, state: GroupState):
+        count, last = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            batch_last = int(pdf["ts"].astype("int64").max() // 1_000_000_000)
+            last = max(last, batch_last)
+        state.update((count, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "last_seen": [last]}
+        )
+
+    sink = f"jpc_st_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, last_seen long",
+        stateStructType="count long, last long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,83 @@
+"""Reference-parity tests for the A4/A5 conversion semantics (SURVEY §1).
+
+The reference's contract (convertor/struct.go:4-28, convertor.go:137-141):
+unknown JSON keys silently dropped; missing keys become zero values
+("" / 0), never NULL; a type-mismatched record is skipped entirely; age
+narrows to 8-bit. These tests feed adversarial inputs through the same
+code path the queries use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from json_parquet_convertor_spark import convert
+from json_parquet_convertor_spark.sources.io import read_json
+
+
+def _write(dirpath, name, obj_or_text):
+    os.makedirs(dirpath, exist_ok=True)
+    body = (
+        obj_or_text
+        if isinstance(obj_or_text, str)
+        else json.dumps(obj_or_text, indent=1)
+    )
+    with open(os.path.join(dirpath, name), "w") as f:
+        f.write(body)
+
+
+def test_type_mismatch_record_is_skipped(spark, tmp_path):
+    """json.Unmarshal error → whole record skipped (convertor.go:138-141)."""
+    src = str(tmp_path / "bad")
+    _write(src, "good.json", {"ID": "1", "name": "A", "nationality": "X", "age": 3})
+    _write(src, "bad.json", {"ID": "2", "name": "B", "nationality": "Y", "age": "not-a-number"})
+    df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
+    out = convert.person_to_parquet_df(df).collect()
+    assert [r["id"] for r in out] == ["1"]
+
+
+def test_unknown_keys_dropped(spark, tmp_path):
+    """encoding/json ignores unknown keys (convertor.go:138)."""
+    src = str(tmp_path / "extra")
+    _write(
+        src,
+        "extra.json",
+        {"ID": "9", "name": "Z", "nationality": "Q", "age": 5, "shoe_size": 44},
+    )
+    df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
+    assert df.columns == ["ID", "name", "nationality", "age"]
+    assert df.count() == 1
+
+
+def test_missing_keys_zero_filled_not_null(spark, tmp_path):
+    """Non-pointer Go struct fields → zero values, and the parquet columns
+    are required: '' and 0, never NULL (struct.go:4-17)."""
+    src = str(tmp_path / "missing")
+    _write(src, "partial.json", {"ID": "7"})
+    df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
+    row = convert.person_to_parquet_df(df).collect()[0]
+    assert row["id"] == "7"
+    assert row["name"] == ""
+    assert row["nationality"] == ""
+    assert row["age"] == 0
+
+
+def test_age_narrows_to_tinyint(spark, tmp_path):
+    """INT32/INT_8 annotation → readers see TINYINT (struct.go:16)."""
+    src = str(tmp_path / "narrow")
+    _write(src, "p.json", {"ID": "1", "name": "A", "nationality": "X", "age": 34})
+    dst = str(tmp_path / "narrow_out")
+    back = convert.json_to_parquet(spark, src, dst)
+    assert dict(back.dtypes)["age"] == "tinyint"
+
+    import duckdb
+
+    con = duckdb.connect()
+    cols = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{dst}/*.parquet')"
+        ).fetchall()
+    }
+    assert cols["age"] == "TINYINT"

@@ -32,25 +32,13 @@ def _stream_events_dir(spark, sf_dir, tmp_path) -> str:
     return src
 
 
-def test_stream_equals_batch_tumbling(spark, sf_dir, tmp_path):
-    from json_parquet_convertor_spark import registry
-    from json_parquet_convertor_spark.registry import QUERIES
-
-    registry.load_all()
-    batch = {
-        tuple(r)
-        for r in QUERIES["q_stream_tumbling"](spark, sf_dir)
-        .drop("sum_value")  # decimal-exact sum needs the full-table agg path
-        .collect()
-    }
-
-    src = _stream_events_dir(spark, sf_dir, tmp_path)
+def _run_windowed_stream(spark, src, window_args):
     schema = spark.read.parquet(src).schema
     sink = f"jpc_t_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.schema(schema)
         .parquet(src)
-        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .groupBy(F.window("ts", *window_args).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("w.start").cast("long").alias("win_start"),
@@ -65,7 +53,30 @@ def test_stream_equals_batch_tumbling(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
-    streamed = {tuple(r) for r in spark.table(sink).collect()}
+    return {tuple(r) for r in spark.table(sink).collect()}
+
+
+@pytest.mark.parametrize("window_args", [("10 minutes",), ("10 minutes", "5 minutes")])
+def test_stream_equals_batch_windows(spark, sf_dir, tmp_path, window_args):
+    """Tumbling and sliding window aggregations must produce identical
+    results replayed through a real readStream and computed in batch."""
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    batch = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", *window_args).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            F.col("w.end").cast("long").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    src = _stream_events_dir(spark, sf_dir, tmp_path)
+    streamed = _run_windowed_stream(spark, src, window_args)
     assert streamed == batch
 
 
