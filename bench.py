@@ -63,6 +63,9 @@ def main() -> int:
         if samples:
             timings[name] = round(statistics.median(samples), 4)
             print(f"{name}: {timings[name]}s (reps={samples})", file=sys.stderr)
+        # queries that cache intermediates (LSH signatures) must not carry
+        # their cache into other queries' measurements
+        spark.catalog.clearCache()
 
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))
