@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 
 from json_parquet_convertor_spark import registry
+from json_parquet_convertor_spark.plans.inspect import audit, physical_plan
 
 registry.load_all()
 
@@ -25,8 +26,7 @@ _STREAM_ONLY = {"q_stream_convert", "q_stream_watermark"}
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = registry.QUERIES[name](spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(registry.QUERIES[name](spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -54,9 +54,9 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_groupby_has_partial_aggregation(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_agg_groupby")
+    facts = audit(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
     # map-side partial + final merge = at least two HashAggregate operators
-    assert plan.count("HashAggregate") >= 2
+    assert facts["hash_aggregates"] >= 2
 
 
 def test_asof_has_no_join_node(spark, sf_dir):
