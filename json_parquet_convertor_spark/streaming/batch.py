@@ -299,7 +299,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         count, last = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             count += len(pdf)
-            batch_last = int(pdf["ts"].astype("int64").max() // 1_000_000_000)
+            # Timestamp.timestamp() is unit-independent (datetime64[ns] vs
+            # [us] varies by pandas/Arrow version; a raw int64 view would
+            # silently change meaning)
+            batch_last = int(pdf["ts"].max().timestamp())
             last = max(last, batch_last)
         state.update((count, last))
         yield pd.DataFrame(
