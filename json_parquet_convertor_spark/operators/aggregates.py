@@ -117,7 +117,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
 

@@ -240,8 +240,14 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-order replay."""
     base = os.path.join(run_tmp("stream_watermark"), uuid.uuid4().hex[:8])
     src = os.path.join(base, "events")
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    ev.write.mode("overwrite").parquet(src)
+    # one week of events is plenty to exercise the watermark mechanics;
+    # replaying the whole table only slows the smoke check down
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("ts", "event_type", "value")
+    )
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
 
     sink = f"jpc_wm_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(ev.schema).parquet(src)
