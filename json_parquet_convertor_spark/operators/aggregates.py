@@ -62,14 +62,31 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the flagship ``entry()`` query. Scan → pushed-down
     date filter → hash aggregate (map-side partials, shuffle on 2 tiny keys).
     The grouping keys have ~6 combinations, so the shuffle is trivially small
-    at any scale; all the work is in the codegen'd partial aggregation."""
+    at any scale; all the work is in the codegen'd partial aggregation.
+
+    ``spread()`` sits between the (pushed-down) filter and the aggregate:
+    the benchmark tables are single-row-group files, so without it the
+    whole decimal-heavy partial aggregation runs in the one scan task
+    (measured 1.6 s → 1.2 s at sf0.1). On a properly-split input it is a
+    no-op, preserving the classic scan→partial-agg plan at scale."""
     from json_parquet_convertor_spark.exact import dec
+    from json_parquet_convertor_spark.sources.io import spread
 
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
     charge = disc_price * (F.lit(1) + dec("l_tax", 4, 2))
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        spread(filtered)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
