@@ -233,8 +233,13 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar family on events.props — the reference's own domain
     (JSON field access, convertor/convertor.go:137-141) generalized to column
-    level: get_json_object / from_json(schema) / to_json / missing-path null."""
-    ev = load_table(spark, sf_dir, "events")
+    level: get_json_object / from_json(schema) / to_json / missing-path null.
+
+    JSON parsing is CPU-heavy per row, so the single-row-group benchmark
+    file is spread() across cores first (no-op on split inputs)."""
+    from json_parquet_convertor_spark.sources.io import spread
+
+    ev = spread(load_table(spark, sf_dir, "events").select("event_id", "props"))
     parsed = F.from_json("props", "k INT")
     return ev.select(
         "event_id",
