@@ -169,18 +169,46 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped from the index before the self-join — the standard
     stop-shingle pruning that keeps bucket occupancy bounded; true
     near-dup pairs share plenty of rare shingles so recall is unaffected.
-    Intersection counts use the UNPRUNED sets, so the Jaccard itself is
-    exact for every surviving pair... counted on pruned shingles only —
-    identical on both sides, hence oracle-stable."""
+    Intersection counts are taken on the pruned shingles, identically on
+    both sides, hence oracle-stable.
+
+    Perf shape: the index carries xxhash64(shingle) longs, not the ~20-char
+    strings — smaller cache, cheaper shuffles, cheaper join compares; the
+    oracle keeps string shingles (counts diverge only on a 64-bit hash
+    collision, ~2^-64 per shingle pair). Document frequency is a window
+    count fused onto the same pass, and the cached (doc, shingle-hash, df)
+    table (a parquet stage table at 100 TB) feeds sizes, the prune, and
+    both self-join sides."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # the shingle index feeds sizes, the df-prune, and both sides of the
-    # self-join — cache it once (at 100 TB: a parquet stage table)
-    sh = _spark_shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 100)
+    words = F.split("text", " ")
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i),
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
     )
-    pruned = sh.join(rare.select("sh"), "sh")
+    sh = (
+        spread(docs)
+        .filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.xxhash64(tri(i)),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    shw = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).cache()
+    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
