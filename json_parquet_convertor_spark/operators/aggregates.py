@@ -304,3 +304,22 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@query("q_agg_sketch_quantiles")  # rows-only: sketch values are engine-specific
+def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group via the Greenwald-Khanna sketch
+    (percentile_approx) — the mergeable, bounded-memory path at 100 TB
+    where exact percentiles would sort each group. Deterministic for a
+    fixed accuracy but engine-specific, so the driver records rows-only;
+    tests bound the error against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000)
+        .cast("array<double>")
+        .getItem(1)
+        .alias("approx_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "exact_median"
+        ),
+    )

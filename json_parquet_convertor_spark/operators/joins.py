@@ -437,3 +437,56 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CASE l_returnflag WHEN 'A' THEN CAST(1.10 AS DECIMAL(4,2))
+                                         WHEN 'N' THEN CAST(1.20 AS DECIMAL(4,2))
+                                         ELSE CAST(1.30 AS DECIMAL(4,2)) END))
+                AS DOUBLE) AS weighted_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys — the manual fix when AQE skew-split
+    isn't enough. The fact side's join key (l_returnflag, 3 values over the
+    whole table) is maximally skewed: a plain key join funnels each flag's
+    rows through ONE task. Salting appends a deterministic salt in [0, 8)
+    to the fact side and replicates the dim side 8x via explode(sequence),
+    so the join key becomes (flag, salt) — 24 evenly-loaded partitions
+    instead of 3 hot ones. The post-join aggregate is salt-oblivious.
+
+    The oracle computes the same weighted sum join-free (CASE lookup),
+    proving the salt changed the distribution, not the semantics."""
+    salt_n = 8
+    dim = spark.createDataFrame(
+        [("A", "1.10"), ("N", "1.20"), ("R", "1.30")], ["flag", "factor_s"]
+    ).select("flag", F.col("factor_s").cast("decimal(4,2)").alias("factor"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.pmod(F.col("l_orderkey") * F.lit(2654435761), F.lit(salt_n)).alias(
+            "salt"
+        ),
+    )
+    joined = li.join(
+        F.broadcast(dim_salted),
+        (li.l_returnflag == dim_salted.flag) & (li.salt == dim_salted.salt),
+    )
+    from json_parquet_convertor_spark.exact import dec
+
+    return joined.groupBy("flag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(dec("l_extendedprice", 18, 4) * F.col("factor"))
+        .cast("double")
+        .alias("weighted_price"),
+    )

@@ -705,3 +705,29 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id long, frame_idx int, frame_off int, frame_len int, frame_sig string",
     )
+
+
+@query(
+    "q_text_vocab",
+    oracle="""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 terms by frequency (ties broken by
+    term for determinism). The frequency table is the input to stopword
+    lists, BPE merges, and df-pruning thresholds; at 100 TB the explode +
+    count is one linear shuffle on the term and the top-k is
+    TakeOrderedAndProject (per-partition heaps)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(20)
+    )

@@ -504,3 +504,44 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return cust.subtract(orders)
+
+
+@query(
+    "q_sink_compacted",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           64 AS n_files_small,
+           4 AS n_files_compacted
+    FROM events
+    """,
+)
+def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every long-running
+    pipeline needs: streaming sinks and over-parallel writers leave
+    thousands of small files, and at 100 TB the resulting open/seek storm
+    dominates scan time. Write 64 shards, compact to 4 with repartition,
+    and verify both layouts hold identical rows. File counts are computed
+    engine-side via countDistinct(input_file_name()) — no driver listing."""
+    import os as _os
+
+    base = run_tmp("compaction")
+    small, compacted = _os.path.join(base, "small"), _os.path.join(base, "big")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    n_small = (
+        spark.read.parquet(small)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").cast("int").alias("n_files_small"))
+    )
+    back = spark.read.parquet(compacted)
+    n_comp = back.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f").cast("int").alias("n_files_compacted")
+    )
+    return (
+        back.agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(n_small))
+        .crossJoin(F.broadcast(n_comp))
+    )

@@ -108,3 +108,11 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
             5, 0.1 * r["exact_parts"]
         )
+
+
+def test_sketch_quantile_near_exact(spark, sf_dir):
+    """Greenwald-Khanna approx median within 1% of the exact median at
+    accuracy=1000."""
+    for r in registry.QUERIES["q_agg_sketch_quantiles"](spark, sf_dir).collect():
+        rel = abs(r["approx_median"] - r["exact_median"]) / r["exact_median"]
+        assert rel < 0.01, r
