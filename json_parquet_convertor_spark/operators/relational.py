@@ -545,3 +545,59 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_small))
         .crossJoin(F.broadcast(n_comp))
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT event_id, user_id, value * 2 AS value
+        FROM events WHERE event_id % 3 = 0
+    ),
+    inserts AS (
+        SELECT event_id + 1000000 AS event_id, user_id, value
+        FROM events WHERE event_id % 97 = 0
+    ),
+    changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+           COALESCE(c.user_id, b.user_id) AS user_id,
+           round(COALESCE(c.value, b.value), 4) AS value,
+           CASE WHEN c.event_id IS NULL THEN 'unchanged'
+                WHEN b.event_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM (SELECT event_id, user_id, value FROM events) b
+    FULL JOIN changes c ON b.event_id = c.event_id
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) expressed as the classic full-outer-join merge —
+    the pattern under every incremental pipeline when a transactional table
+    format isn't available: base FULL OUTER JOIN changes on the key,
+    coalesce changed columns over base columns, tag each row's action.
+
+    At 100 TB the join shuffles on the merge key exactly once (AQE handles
+    the typical skew of hot keys in the changes side), and the result is
+    rewritten partition-wise — with Delta/Iceberg this same plan runs under
+    MERGE INTO with file-level pruning. The change set here is derived
+    deterministically from the base (every 3rd event updated, every 97th
+    re-keyed as an insert) so the oracle can reproduce it."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    updates = base.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    inserts = base.filter(F.col("event_id") % 97 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"), "user_id", "value"
+    )
+    changes = updates.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.event_id") == F.col("c.event_id"), "full").select(
+        F.coalesce(F.col("c.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.round(F.coalesce(F.col("c.value"), F.col("b.value")), 4).alias("value"),
+        F.when(F.col("c.event_id").isNull(), "unchanged")
+        .when(F.col("b.event_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
