@@ -168,3 +168,54 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(tokenize, "doc_id long, pos int, token string")
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_returnflag))
+                 / STDDEV_SAMP(l_extendedprice) OVER (PARTITION BY l_returnflag), 4)
+               AS price_z
+    FROM lineitem
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): whole-group in, whole-group
+    out — per-group feature normalization (z-score within return flag), the
+    shape used for per-entity standardization and per-group model scoring.
+    Each group arrives as one pandas DataFrame over Arrow; the 3-value
+    group key bounds the per-task working set at any scale (for
+    high-cardinality groups this is the memory-risk API — each group must
+    fit in one worker, unlike mapInPandas which streams batches).
+
+    Rounding stays JVM-side (HALF_UP) and the numpy-vs-engine summation
+    difference in mean/std is ~1e-13 relative — inside 4 dp."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = pdf["l_extendedprice"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "price_z_raw": z,
+            }
+        )
+
+    out = li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        "l_orderkey long, l_linenumber int, l_returnflag string, price_z_raw double",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("price_z_raw", 4).alias("price_z"),
+    )
