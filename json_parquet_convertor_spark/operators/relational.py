@@ -601,3 +601,63 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "q_scan_orc",
+    # ORC round-trips nation losslessly, so the source table is the oracle
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the other columnar format Spark ships
+    natively (vectorized reader, predicate pushdown, zlib/zstd). Same
+    declarative surface as parquet: at 100 TB the choice between them is an
+    ecosystem question (Hive lineage vs everything else), not a Spark one."""
+    dst = run_tmp("scan_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").orc(dst)
+    return spark.read.orc(dst).orderBy("n_nationkey")
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    WITH persons(id, name, nat, age) AS (
+        VALUES ('1234', 'Jon', 'CM', 12), ('12', 'AMY', 'AC', 56),
+               ('1122', 'KIM', 'CM', 34)
+    ),
+    lines AS (
+        SELECT unnest([
+            '{',
+            ' "ID": "' || id || '",',
+            ' "name": "' || name || '",',
+            ' "nationality": "' || nat || '",',
+            ' "age": ' || CAST(age AS VARCHAR),
+            '}'
+        ]) AS line
+        FROM persons
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN contains(line, 'nationality') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nationality_lines,
+           CAST(MIN(length(line)) AS INT) AS min_len,
+           CAST(MAX(length(line)) AS INT) AS max_len
+    FROM lines
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (spark.read.text) — the raw-ingest format
+    for logs and unparsed corpora: one string column, no schema, line
+    splits parallelize by file offset. Stats over the reference sample
+    files' lines; the oracle reconstructs the same line set inline."""
+    src = convert.write_sample_json(run_tmp("scan_text"))
+    lines = spark.read.text(src).select(F.col("value").alias("line"))
+    nonempty = lines.filter(F.length(F.trim("line")) > 0)
+    return nonempty.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("line").contains("nationality"), 1).otherwise(0)
+        ).cast("bigint").alias("n_nationality_lines"),
+        F.min(F.length("line")).alias("min_len"),
+        F.max(F.length("line")).alias("max_len"),
+    )
