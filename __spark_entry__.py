@@ -30,11 +30,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q_agg_groupby"](spark, "/root/testdata/sf0.001")
 
 
+# Verification priority: the driver walks this dict in order under a budget
+# (round 2 checked exactly the first 50 registry entries), so queries that
+# have never received a driver CORRECTNESS row come first, then queries whose
+# implementation changed after their last driver check, then the rest
+# (cheapest first so a partial sweep still maximizes coverage).
+_VERIFY_PRIORITY = [
+    # -- never driver-checked (B8 scalar functions) --
+    "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
+    "q_fn_json", "q_fn_conditional",
+    # -- never driver-checked (B10 UDFs) --
+    "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_explode",
+    "q_udf_grouped_map",
+    # -- never driver-checked (sampling / sharding) --
+    "q_sample_split", "q_sample_stratified", "q_corpus_shard",
+    # -- never driver-checked (relational extensions) --
+    "q_sink_compacted", "q_merge_upsert", "q_scan_orc", "q_scan_text",
+    # -- never driver-checked (B9 streaming; slower, so after the cheap ones) --
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_convert", "q_stream_watermark",
+    "q_stream_stateful",
+    # -- green in round 1 only; edited or never re-checked since --
+    "q_sort_multi",  # rewritten after its only driver check
+    "q_filter_simple", "q_filter_compound", "q_filter_null_semantics",
+    "q_filter_like", "q_case_when", "q_zero_fill",
+    "q_limit", "q_topk",
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_win_rank", "q_win_analytic", "q_win_frame_rows", "q_win_frame_range",
+    "q_win_topk_per_group",
+    # -- green in round 2 (cheap scans/projections/joins first) --
+    "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
+    "q_sink_partitioned", "q_project_rename_cast",
+    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+    "q_join_range", "q_join_asof", "q_join_cross", "q_join_multiway",
+    "q_agg_global", "q_agg_groupby", "q_agg_distinct",
+    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_groupingsets", "q_agg_having", "q_agg_stats", "q_agg_collect",
+    "q_pivot", "q_agg_sketch_quantiles",
+    # -- green in round 2 (heavier LLM-pipeline operators last) --
+    "q_dedup_exact", "q_text_stats", "q_text_langid", "q_text_quality",
+    "q_text_tokens", "q_text_vocab", "q_sim_cosine_topk", "q_sim_ann_ivf",
+    "q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
+    "q_join_bucketed", "q_join_salted", "q_text_tfidf", "q_text_fingerprint",
+    "q_sim_pairs_lsh", "q_dedup_near", "q_dedup_embed",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    """Reorder ``mapping`` by verification priority (unknown keys keep their
+    registration order at the end, so new operators are never dropped)."""
+    rank = {k: i for i, k in enumerate(_VERIFY_PRIORITY)}
+    keys = sorted(mapping, key=lambda k: rank.get(k, len(rank)))
+    return {k: mapping[k] for k in keys}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _ordered(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return dict(registry.ORACLES)
+    return _ordered(registry.ORACLES)

@@ -83,12 +83,15 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
         F.element_at(words, i + 2),
         F.element_at(words, i + 3),
     )
-    shingles = docs.select(
+    # Docs with <3 tokens have no 3-shingles; without this guard element_at
+    # would index past the array end and throw under Spark 4's default ANSI
+    # mode (same guard as _spark_shingles in pipeline.py).
+    shingles = docs.filter(F.size(words) >= 3).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+                    F.sequence(F.lit(0), F.size(words) - 3),
                     shingle_at,
                 )
             )

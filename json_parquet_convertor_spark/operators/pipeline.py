@@ -23,45 +23,69 @@ from json_parquet_convertor_spark.sources.io import load_table, spread
 # ---------------------------------------------------------------------------
 
 
-@query("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) 64-bit SimHash fingerprints, one Arrow/numpy pass.
+
+    fp bit i = sign of the per-bit vote sum over token hashes (+1 if the
+    token's hash has bit i set, else -1; term frequency weights the vote
+    naturally). All tokens of an Arrow batch are hashed in ONE vectorized
+    call (pandas' fixed-key siphash — deterministic across processes and
+    executors), then each doc's ±1 votes reduce in a tiny numpy matrix.
+
+    100 TB: fingerprints are computed entirely partition-local — zero
+    shuffle, linear in tokens (the previous formulation exploded tokens and
+    shuffled them into a 64-conditional-sum aggregation)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            tok_lists = [t.split(" ") for t in pdf["text"]]
+            counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            all_toks = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            hs = pd.util.hash_array(all_toks)  # uint64, deterministic key
+            fps = np.empty(len(pdf), dtype=np.uint64)
+            for i in range(len(pdf)):
+                seg = hs[bounds[i] : bounds[i + 1]]
+                ones = ((seg[:, None] >> shifts) & np.uint64(1)).sum(
+                    axis=0, dtype=np.int64
+                )
+                votes = 2 * ones - len(seg)
+                fps[i] = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "fp": fps.view(np.int64)}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, fp long")
+
+
+@query("q_dedup_simhash")  # rows-only: the siphash fingerprint has no DuckDB twin
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint = sign of per-bit vote
-    sums over token hashes (term frequency weights the vote naturally via
-    the explode), then banded search — fingerprints split into 8×8-bit
-    chunks, pairs meet only inside chunk equi-join buckets, final filter
-    keeps Hamming distance <= 7 (bit_count of XOR, a single JVM op).
-    With 8 chunks and threshold 7 the banding is EXACT by pigeonhole:
-    any pair within distance 7 must agree on at least one full chunk, so
-    no qualifying pair can be missed (tests/test_pipeline.py asserts this
-    against a brute-force recomputation).
+    sums over token hashes (see :func:`_simhash_fingerprints`), then banded
+    search — fingerprints split into 8×8-bit chunks, pairs meet only inside
+    chunk equi-join buckets, final filter keeps Hamming distance <= 7
+    (bit_count of XOR, a single JVM op). With 8 chunks and threshold 7 the
+    banding is EXACT by pigeonhole: any pair within distance 7 must agree on
+    at least one full chunk, so no qualifying pair can be missed
+    (tests/test_pipeline.py asserts this against a brute-force
+    recomputation over the same fingerprints).
 
-    100 TB: one explode + one groupBy for fingerprints (linear), the band
-    join shuffles (doc_id, 8-bit chunk) only. Deterministic: xxhash64."""
+    100 TB: fingerprints are shuffle-free and linear; the band join
+    shuffles (doc_id, 8-bit chunk) only. Deterministic: fixed-key siphash."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.xxhash64("tok")
-    # bit 63 of a signed long cannot be a Python literal (1 << 63 overflows
-    # java.lang.Long parsing) — shift JVM-side instead.
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    fp = sum(
-        (
-            F.when(
-                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(64)
-        ),
-        F.lit(0).cast("long"),
-    ).cast("long")
     # the chunk self-join reads fps twice — cache the tiny (doc_id, fp)
-    # table instead of recomputing the 64-vote aggregation per side
-    fps = votes.select("doc_id", fp.alias("fp")).cache()
+    # table instead of recomputing the fingerprint pass per side
+    fps = _simhash_fingerprints(docs).cache()
 
     chunks = fps.select(
         "doc_id",

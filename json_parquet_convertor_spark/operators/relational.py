@@ -8,7 +8,9 @@ TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -32,6 +34,14 @@ from json_parquet_convertor_spark.sources.io import (
 # Per-process unique token so concurrent harness runs (driver verify + local
 # pytest) never collide on the same scratch directories.
 _RUN_TOKEN = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+# The whole per-process scratch tree is removed at interpreter exit so sink /
+# round-trip queries never leak /tmp data across runs.
+atexit.register(
+    shutil.rmtree,
+    os.path.join(tempfile.gettempdir(), f"jpc_{_RUN_TOKEN}"),
+    ignore_errors=True,
+)
 
 
 def run_tmp(name: str) -> str:

@@ -44,7 +44,9 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.udf("string")
     def person_label(custkey, name, nationkey):
         # mirrors toParquet: stringly ID, name carried, age narrowed (int8)
-        narrowed = int(nationkey) & 0x7F if nationkey >= 0 else int(nationkey)
+        # via a true two's-complement wrap — CAST(x AS TINYINT) maps 128..255
+        # to -128..-1, which `& 0x7F` would not.
+        narrowed = ((int(nationkey) + 128) % 256) - 128
         return f"{custkey}:{name}:{narrowed}"
 
     return cust.select(

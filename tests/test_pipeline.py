@@ -47,33 +47,14 @@ def test_simhash_banding_is_exact(spark, sf_dir):
     bits agrees on >= 1 of the 8 chunks). Verified against a brute-force
     O(n^2) recomputation over the collected fingerprints (test-only; the
     query itself never does all-pairs)."""
-    from pyspark.sql import functions as F
-
+    from json_parquet_convertor_spark.operators.pipeline import (
+        _simhash_fingerprints,
+    )
     from json_parquet_convertor_spark.sources.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.xxhash64("tok")
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    fp_col = sum(
-        (
-            F.when(
-                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(64)
-        ),
-        F.lit(0).cast("long"),
-    )
     fps = {
-        r["doc_id"]: r["fp"]
-        for r in votes.select("doc_id", fp_col.alias("fp")).collect()
+        r["doc_id"]: r["fp"] for r in _simhash_fingerprints(docs).collect()
     }
     ids = sorted(fps)
     brute = {
