@@ -33,6 +33,39 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Queries dominated by a single-table scan+agg, re-benched against a
+# properly split (multi-file) copy of their input to show what the plan does
+# when parallelism is not capped by the fixtures' single row group
+# (BASELINE.md "Known measurement ceiling").
+_SPLIT_QUERIES = (
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_scan_parquet",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_dedup_exact",
+)
+
+
+def _make_split_dir(spark, sf_dir: str) -> str:
+    """One-time repartition(32) copies of the big tables (lineitem,
+    documents); every other table is symlinked unchanged."""
+    from json_parquet_convertor_spark.operators.relational import run_tmp
+    from json_parquet_convertor_spark.sources.io import TABLES, load_table
+
+    split = run_tmp("bench_split")
+    os.makedirs(split, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(split, f"{t}.parquet")
+        if t in ("lineitem", "documents"):
+            load_table(spark, sf_dir, t).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(dst)
+        elif not os.path.lexists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    return split
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -67,6 +100,24 @@ def main() -> int:
         # their cache into other queries' measurements
         spark.catalog.clearCache()
 
+    # split-input variant: same queries, multi-file inputs — parallelism no
+    # longer capped at one task by the single-row-group fixtures. NOT part
+    # of `value` (the 2x gate compares like-for-like against BASELINE).
+    split_timings: dict[str, float] = {}
+    try:
+        split_dir = _make_split_dir(spark, sf_dir)
+        for name in _SPLIT_QUERIES:
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _force(registry.QUERIES[name](spark, split_dir))
+                samples.append(time.perf_counter() - t0)
+            split_timings[name] = round(statistics.median(samples), 4)
+            print(f"{name}@split: {split_timings[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH ERROR split variant: {exc!r}", file=sys.stderr)
+
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -75,11 +126,17 @@ def main() -> int:
         except ValueError:
             sf = None
 
+    by_cost_desc = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    )
     out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        # descending by cost so a stdout-tail truncation only ever loses the
+        # cheapest entries (BENCH_r02 lost the 17 alphabetically-first ones)
+        "queries": by_cost_desc,
+        "queries_split_input": split_timings,
         "sf": sf,
         "cpus": cpus,
         "reps": reps,

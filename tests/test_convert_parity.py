@@ -63,6 +63,37 @@ def test_missing_keys_zero_filled_not_null(spark, tmp_path):
     assert row["age"] == 0
 
 
+def test_reference_golden_is_stale_and_fresh_conversion_diverges(spark, tmp_path):
+    """The reference repo ships a STALE golden: sample_json/person2.json.parquet
+    holds ("1234", "Jack", "CM", 22) while the checked-in person2.json reads
+    ("1234", "Jon", "CM", 12) — the parquet predates the JSON's last edit
+    (SURVEY §5; convertor/struct.go:20-28 is the mapping it was produced by).
+    Pin that divergence: converting today's JSON must reproduce the JSON's
+    values, NOT the stale golden's name/age."""
+    import duckdb
+
+    golden = duckdb.connect().execute(
+        "SELECT ID, name, nationality, age "
+        "FROM read_parquet('/root/reference/sample_json/person2.json.parquet')"
+    ).fetchall()
+    assert golden == [("1234", "Jack", "CM", 22)]  # the stale row, as shipped
+
+    with open("/root/reference/sample_json/person2.json") as f:
+        src_json = json.load(f)
+    assert (src_json["name"], src_json["age"]) == ("Jon", 12)  # current JSON
+
+    src = str(tmp_path / "p2")
+    _write(src, "person2.json", src_json)
+    df = read_json(spark, src, schema=convert.PERSON_JSON_SCHEMA)
+    row = convert.person_to_parquet_df(df).collect()[0]
+    assert (row["id"], row["name"], row["nationality"], row["age"]) == (
+        "1234",
+        "Jon",
+        "CM",
+        12,
+    )
+
+
 def test_age_narrows_to_tinyint(spark, tmp_path):
     """INT32/INT_8 annotation → readers see TINYINT (struct.go:16)."""
     src = str(tmp_path / "narrow")

@@ -140,6 +140,65 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len([r for r in rows if r == win_0900]) == 1
 
 
+def test_stream_convert_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """The reference acks an SQS message only after the parquet write
+    (convertor/convertor.go:48,157-164): a crash between write and ack
+    redelivers the message after the visibility timeout and the file is
+    converted AGAIN — at-least-once. The Structured Streaming upgrade:
+    the checkpoint + sink commit log make a restart skip everything already
+    committed, even though the same input files are still sitting in the
+    source directory (the redelivery analogue), and a rewrite of an
+    already-seen path is not reprocessed either. Restarting must add zero
+    rows; only a genuinely new file adds exactly its own rows."""
+    import json as _json
+
+    from json_parquet_convertor_spark import convert
+
+    src = str(tmp_path / "json_in")
+    out = str(tmp_path / "parquet_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def person(pid, age):
+        return _json.dumps(
+            {"ID": pid, "name": f"p{pid}", "nationality": "XX", "age": age}, indent=1
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(convert.PERSON_JSON_SCHEMA)
+            .option("multiLine", "true")
+            .json(src)
+        )
+        q = (
+            convert.person_to_parquet_df(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(person("1", 30))
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(person("2", 40))
+    assert run_once() == ["1", "2"]
+
+    # restart 1: same inputs still present (= un-acked redelivery) — and one
+    # of them rewritten in place with identical content; nothing reprocessed
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(person("1", 30))
+    assert run_once() == ["1", "2"]
+
+    # restart 2: one genuinely new file — exactly its rows are appended
+    with open(os.path.join(src, "c.json"), "w") as f:
+        f.write(person("3", 50))
+    assert run_once() == ["1", "2", "3"]
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "dd_src"
     src.mkdir()
