@@ -323,3 +323,109 @@ def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_median"
         ),
     )
+
+
+@query(
+    "q_agg_freq_items",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+    )
+    SELECT tok, freq
+    FROM counts
+    WHERE freq >= (SELECT SUM(freq) FROM counts) * 0.005
+    """,
+)
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: every token whose corpus frequency is >= 0.5% of all
+    tokens — the support-threshold formulation that stays well-defined as
+    data grows (a fixed top-k does not). One explode + one groupBy builds
+    the term-frequency table; the total re-derives FROM that table (no
+    second corpus pass) and reaches the filter as a 1-row broadcast.
+    The tf table is cached — it is read twice (total + filter) and at 100 TB
+    it is the vocabulary, several orders smaller than the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq")).cache()
+    total = counts.agg(F.sum("freq").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= F.col("n_total") * 0.005)
+        .select("tok", "freq")
+    )
+
+
+@query(
+    "q_agg_time_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    )
+    SELECT 'hour' AS grain,
+           CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS grain,
+           CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 2, 3
+    """,
+)
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable "continuous aggregate"
+    shape): hourly AND daily event counts per type in ONE pass via grouping
+    sets — Catalyst expands each row into its grouping-set memberships
+    before the single shuffle, so the input is scanned once however many
+    grains are materialized. The oracle states the same result as two plain
+    GROUP BYs. Window bounds leave as epoch-second BIGINTs (cross-engine
+    timestamp hashing pitfall)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        "event_type",
+    )
+    rolled = ev.groupingSets(
+        [["day_b", "event_type"], ["day_b", "hour_b", "event_type"]],
+        "day_b",
+        "hour_b",
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    return rolled.select(
+        F.when(F.col("hour_b").isNull(), "day").otherwise("hour").alias("grain"),
+        F.coalesce(F.col("hour_b"), F.col("day_b")).cast("long").alias(
+            "bucket_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
+@query("q_agg_hll_union")  # rows-only: sketch estimates are engine-specific
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-event-type HLL sketches of
+    user_id (hll_sketch_agg, Apache DataSketches) plus an 'ALL' row whose
+    sketch is the UNION of the partials (hll_union_agg) — never a rescan.
+    This mergeability is the 100 TB primitive: sketch each partition/day
+    once, combine partials for any rollup after the fact. Estimates are
+    engine-specific (rows-only check); tests bound them against exact
+    distinct counts."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # partials are read twice (per-group estimates + union) — cache the
+    # 5-row sketch table, not the events scan
+    partials = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).cache()
+    per_group = partials.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    overall = partials.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_group.unionByName(overall)

@@ -671,3 +671,59 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("line")).alias("min_len"),
         F.max(F.length("line")).alias("max_len"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot (SQL MELT) operator — the
+    inverse of q_pivot and the standard preprocessing step for per-metric
+    ML feature tables. Narrow, shuffle-free transform: each input row emits
+    one row per value column inside the same task (Catalyst Expand node),
+    so at 100 TB it's a pure map stage that preserves partitioning."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# q_scan_jsonlines round-trip dir, written once per (process, sf_dir)
+_JSONL_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_scan_jsonlines",
+    # lossless long/string round-trip, so the source table is the oracle
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON (jsonlines) source/sink round-trip — the
+    default interchange format for web-scale corpora (Common Crawl derived
+    sets, API exports). Unlike the reference's pretty-printed multiLine
+    files (one JSON doc per whole file, unsplittable), NDJSON splits by
+    line offset, so a 100 TB input parallelizes like any text scan.
+    Explicit schema on read — schema inference would be a second full pass."""
+    if sf_dir not in _JSONL_CACHE:
+        dst = run_tmp("jsonlines")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").json(dst)
+        _JSONL_CACHE[sf_dir] = dst
+    return spark.read.schema("doc_id long, lang string, n_chars long").json(
+        _JSONL_CACHE[sf_dir]
+    )

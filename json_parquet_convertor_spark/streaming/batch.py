@@ -348,3 +348,63 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CAST(length(event_type) AS BIGINT) AS weight
+        FROM events
+    )
+    SELECT e.event_type, d.weight,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4)) * d.weight) AS DOUBLE)
+               AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — THE feature-pipeline shape: an
+    unbounded event stream joined per-micro-batch against a bounded
+    dimension (user profile, price list), then aggregated. The static side
+    broadcasts — no stream-side shuffle for the join, and the dimension is
+    re-resolvable per batch (a slowly-changing dim picks up updates).
+
+    Real readStream execution (AvailableNow over the memoized replay copy);
+    the dim is derived deterministically from the data (weight =
+    length(event_type)) so DuckDB can oracle the stream's final output."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = _replay_source(spark, sf_dir, "enrich", lambda: ev)
+
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.length("event_type").cast("long").alias("weight"),
+        )
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type", "weight")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)") * F.col("weight"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    sink = f"jpc_en_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

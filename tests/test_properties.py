@@ -116,3 +116,46 @@ def test_sketch_quantile_near_exact(spark, sf_dir):
     for r in registry.QUERIES["q_agg_sketch_quantiles"](spark, sf_dir).collect():
         rel = abs(r["approx_median"] - r["exact_median"]) / r["exact_median"]
         assert rel < 0.01, r
+
+
+def test_hll_union_estimates_near_exact(spark, sf_dir):
+    """Per-group DataSketches HLL estimates and the union-merged ALL row
+    must land within 5% of exact distinct counts (default lgK=12 gives
+    ~1.6% rsd), and the union must be >= the largest partial."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in registry.QUERIES["q_agg_hll_union"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= max(2, 0.05 * ex), (k, est[k], ex)
+    assert est["ALL"] >= max(v for k, v in est.items() if k != "ALL")
+
+
+def test_freq_items_threshold_is_exact(spark, sf_dir):
+    """Every returned heavy hitter meets the 0.5% support threshold, and
+    sum-of-returned-frequencies never exceeds the corpus token total."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    rows = registry.QUERIES["q_agg_freq_items"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.explode(F.split("text", " ")).alias("t")
+    ).count()
+    assert rows, "no heavy hitters found"
+    for r in rows:
+        assert r["freq"] >= total * 0.005
+    assert sum(r["freq"] for r in rows) <= total
