@@ -156,9 +156,9 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+# Full exact-Jaccard pair SQL — the q_dedup_ngram_jaccard oracle, and the
+# edge set q_dedup_cluster's oracle builds its recursive closure on.
+_DUCK_JACCARD_PAIRS = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
         FROM documents
@@ -181,8 +181,10 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE c / (sa.n + sb.n - c) >= 0.3
-    """,
-)
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_DUCK_JACCARD_PAIRS)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via an inverted shingle index: pairs form
     only where a shared shingle exists (equi-join on the shingle), then
@@ -254,6 +256,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.3)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs_all AS ({_DUCK_JACCARD_PAIRS}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs_all
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs_all
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS canon_id
+    FROM reach GROUP BY s
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pair graph —
+    the step that turns pairwise dedup output into actionable groups: every
+    document in a component maps to one canonical id (the component's min
+    doc_id), and "keep one per canon_id" is then a trivial dedup.
+
+    Spark: iterative min-label propagation. Each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    groupBy-min); converged when the global label sum stops decreasing —
+    label sums are strictly decreasing until fixpoint, so the check is a
+    cheap scalar agg, not a join. Rounds needed = component diameter; near-
+    dup clusters are shallow (a handful of rounds). localCheckpoint after
+    each round truncates the lineage so plans stay flat. At 100 TB the same
+    loop runs with a parquet stage table per round (or the large-star/
+    small-star variant for adversarial diameters); every round is shuffle-
+    bounded by the edge count, never all-pairs.
+
+    Oracle: DuckDB recursive-CTE transitive closure + min over reachable —
+    exact, feasible because near-dup components are tiny."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lab")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    while True:
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lab").alias("dlab")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlab").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lab")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("doc_id", F.col("lab").alias("canon_id"))
 
 
 # ---------------------------------------------------------------------------

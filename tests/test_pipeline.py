@@ -102,3 +102,21 @@ def test_embed_pairs_cosine_verified(spark, sf_dir):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.35 - 1e-9
         assert abs(round(cos, 4) - r["cos_sim"]) < 1e-9
+
+
+def test_dedup_cluster_labels_are_consistent(spark, sf_dir):
+    """Component labeling invariants: every pair's endpoints share one
+    canonical id; each canon_id is a member that maps to itself; labels
+    never exceed the member's own id (canon = component min)."""
+    labels = {
+        r["doc_id"]: r["canon_id"]
+        for r in registry.QUERIES["q_dedup_cluster"](spark, sf_dir).collect()
+    }
+    assert labels, "no near-dup clusters at this scale factor"
+    for doc, canon in labels.items():
+        assert canon <= doc
+        assert labels[canon] == canon  # canonical doc maps to itself
+    for a, b in _pairs(
+        registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b"
+    ):
+        assert labels[a] == labels[b], (a, b)
