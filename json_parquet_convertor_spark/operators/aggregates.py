@@ -313,7 +313,10 @@ def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact percentiles would sort each group. Deterministic for a
     fixed accuracy but engine-specific, so the driver records rows-only;
     tests bound the error against the exact percentile."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from json_parquet_convertor_spark.sources.io import spread
+
+    # sketch building is CPU-bound per row — spread past the single-file scan
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000)
         .cast("array<double>")

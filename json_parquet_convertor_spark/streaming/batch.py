@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -196,6 +197,26 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real readStream executions (rows-only: DuckDB cannot run a stream)
 # ---------------------------------------------------------------------------
 
+# Stateful streaming cost is dominated by per-shard state-store overhead
+# (init + snapshot + commit per micro-batch per shard), and the shard count
+# is fixed at the FIRST batch from spark.sql.shuffle.partitions. A few
+# thousand window/user keys need nowhere near 32 shards — measured at sf0.1,
+# 8 shards runs the watermark stream 4-7x faster than 32. On a real cluster
+# you size this to state volume (keys x bytes / executor memory), not to
+# core count; the batch queries are unaffected (conf is restored).
+_STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # File-stream sources need a micro-timestamp parquet directory (the fixture
 # stores TIMESTAMP(NANOS), which the file source can't read directly). The
 # replay copy is written ONCE per (sf_dir, query) per process and reused by
@@ -278,14 +299,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -339,14 +361,15 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -399,12 +422,13 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"jpc_en_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
