@@ -357,7 +357,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes = rng.standard_normal((32, 64))  # 4 tables x 8 planes
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn(
+        # precompute each vector's norm ONCE — the pair refilter then needs a
+        # single interpreted-HOF dot per pair instead of three
+        "nrm",
+        F.sqrt(_dot("e", "e")),
     ).cache()  # read by the bucket join sides + the exact-cosine refilter
 
     # 32 per-row hyperplane dots as interpreted higher-order functions would
@@ -377,10 +383,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _srp.__annotations__ = {"col": pd.Series, "return": pd.Series}
     srp_buckets = pandas_udf(_srp, "array<long>")
 
+    # the bucket self-join reads sigs twice, and self-joins recompute the
+    # whole upstream plan per side — cache the signature table so the Arrow
+    # pass runs once (at 100 TB this is the materialized signature stage)
     sigs = emb.select(
         "vec_id",
         F.posexplode(srp_buckets("e")).alias("table_idx", "bucket"),
-    )
+    ).cache()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -395,9 +404,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
