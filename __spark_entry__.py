@@ -60,7 +60,8 @@ _VERIFY_PRIORITY = [
     "q_win_topk_per_group",
     # -- new in round 3 (never checked yet) --
     "q_unpivot", "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
-    "q_agg_hll_union", "q_stream_enrich", "q_dedup_cluster",
+    "q_agg_hll_union", "q_stream_enrich", "q_dedup_cluster", "q_stream_join",
+    "q_text_scrub_pii",
     # -- green in round 2 (cheap scans/projections/joins first) --
     "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
     "q_sink_partitioned", "q_project_rename_cast",

@@ -850,3 +850,64 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "term")
         .limit(20)
     )
+
+
+@query(
+    "q_text_scrub_pii",
+    oracle=r"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS INT) AS n_phones
+    FROM enriched
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails and phone numbers, the
+    compliance pass every training corpus goes through before the tokenizer.
+    Pure JVM regexp_replace/regexp_extract_all (codegen'd, no Python in the
+    data path), linear scan, no shuffle at all. The patterns avoid
+    backreferences/lookarounds so Java regex (Spark) and RE2 (DuckDB) agree
+    character-for-character. The corpus has no real PII, so deterministic
+    synthetic contact strings are appended per doc and then scrubbed —
+    the oracle reproduces the same enrichment."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{4}"
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+    )

@@ -432,3 +432,76 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+    ),
+    c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS buy_ts, value FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(buy_ts)) AS BIGINT) AS buy_epoch,
+           value
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND buy_ts >= click_ts
+       AND buy_ts < click_ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — click→purchase attribution within 30
+    minutes per user, both sides unbounded. THE hard streaming primitive:
+    each side must buffer rows until the other side's watermark passes the
+    interval bound, so the join condition's time range IS the state-size
+    contract (state = 30 minutes of both streams, per key, regardless of
+    total data volume).
+
+    Real readStream on both sides (same replay source, filtered per side),
+    watermarks on both, append mode. AvailableNow drains everything, so the
+    emitted matches equal the batch interval join and DuckDB can oracle a
+    stream-stream join exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    src = _replay_source(spark, sf_dir, "join", lambda: ev)
+
+    def side(event_type: str):
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "10 minutes")
+        )
+
+    clicks = side("click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    buys = side("purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts"), "value"
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_ts").cast("long").alias("click_epoch"),
+        F.col("buy_ts").cast("long").alias("buy_epoch"),
+        "value",
+    )
+    sink = f"jpc_sj_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
