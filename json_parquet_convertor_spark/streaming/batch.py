@@ -278,11 +278,12 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     than max(ts) - 10 min are finalized and dropped); the late-drop behavior
     itself is asserted in tests/test_streaming.py with a crafted two-batch
     out-of-order replay."""
-    # one week of events is plenty to exercise the watermark mechanics;
-    # replaying the whole table only slows the smoke check down
+    # two days of events is plenty to exercise the watermark mechanics
+    # (hundreds of windows advancing the watermark); replaying the whole
+    # table only slows the smoke check down
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
         .select("ts", "event_type", "value")
     )
     src = _replay_source(spark, sf_dir, "watermark", lambda: ev)
