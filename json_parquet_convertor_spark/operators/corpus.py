@@ -1,0 +1,291 @@
+"""Corpus-preparation operators (B12 extension, round 3).
+
+The second tier of training-data-pipeline ops on top of sampling.py and
+pipeline.py: sequence packing for LLM pretraining batches, normalized-prefix
+deduplication, deterministic per-stratum reservoir sampling, robust
+mode/median aggregates, and int8 embedding quantization. Like the rest of
+B12 these go beyond the reference's converter surface
+(convertor/convertor.go:59-184 only maps one JSON shape to one parquet row)
+— they are what the same JSON→Parquet corpus needs next at 100 TB.
+
+Every query here is fully DuckDB-oracled: the only nondeterminism anywhere
+would come from hashing or float math, so hashing is md5 (identical hex in
+both engines) and float expressions are written operation-for-operation
+identically on both sides (IEEE doubles are bit-deterministic given the
+same op order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+# Knuth multiplicative mix — same constant as sampling.py so shard
+# assignment is consistent across the whole pipeline.
+_MIX = 2654435761
+
+# tokens per packed training sequence
+_PACK = 512
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST((doc_id * {_MIX}) % 8 AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset
+        FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(n_tokens AS INT) AS n_tokens,
+           tok_offset,
+           CAST(floor(tok_offset / {_PACK}) AS INT) AS first_pack,
+           CAST(floor((tok_offset + n_tokens - 1) / {_PACK}) AS INT) AS last_pack,
+           CAST(floor((tok_offset + n_tokens - 1) / {_PACK})
+                > floor(tok_offset / {_PACK}) AS INT) AS straddles
+    FROM o
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    order and chunk the token stream every _PACK tokens, reporting each
+    document's byte... token offset and the pack(s) it lands in (documents
+    may straddle a pack boundary — standard pretraining behavior).
+
+    Scale design: packing is embarrassingly parallel across shards — the
+    hash-mix shard keeps every window partition small and balanced, so the
+    only shuffle is one exchange on `shard` and the running sum is a single
+    in-partition window. At 100 TB you raise the shard count with the data;
+    per-shard order (doc_id) is stable so re-runs and engine changes yield
+    byte-identical packs — the property that makes training resumable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(8)).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first_pack = F.floor(F.col("tok_offset") / _PACK).cast("int")
+    last_pack = F.floor(
+        (F.col("tok_offset") + F.col("n_tokens") - 1) / _PACK
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "tok_offset",
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        (last_pack > first_pack).cast("int").alias("straddles"),
+    )
+
+
+@query(
+    "q_text_dedup_prefix",
+    oracle="""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+               AS prefix_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_text_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix deduplication: documents sharing the same first 16
+    tokens collapse to one representative (min doc_id) — the cheap catch for
+    templated/boilerplate near-copies that exact-hash dedup misses when only
+    the tail differs (the RefinedWeb/CCNet "URL+prefix" trick).
+
+    Scale design: one groupBy on a 32-byte md5 of a bounded prefix — the
+    shuffle key is fixed-width no matter how long documents get, and the
+    prefix slice means the hash reads at most 16 tokens per doc. Linear,
+    one exchange, no self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pref = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16)))
+    return docs.groupBy(pref.alias("prefix_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum uniform sample (k=20 per language):
+    rank rows by a hash of their id and keep the k smallest — the
+    distributed, re-runnable replacement for reservoir sampling (same
+    sample every run, every engine, any partitioning; a true reservoir's
+    output depends on encounter order, which a cluster does not have).
+
+    Scale design: md5 order is uniform-random but pure, so this is one
+    shuffle on `lang` plus an in-partition top-k; with AQE the rank filter
+    collapses to a per-partition TakeOrdered before the exchange when k is
+    small relative to partition size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+@query(
+    "q_agg_mode_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag, CAST(l_quantity AS INT) AS qty FROM lineitem
+    ), c AS (
+        SELECT l_returnflag, qty, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM v GROUP BY 1, 2
+    ), m AS (
+        SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY l_returnflag ORDER BY cnt DESC, qty
+            ) AS rn
+            FROM c
+        )
+        WHERE rn = 1
+    )
+    SELECT v.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           median(CAST(v.qty AS DOUBLE)) AS median_qty,
+           m.mode_qty, m.mode_count
+    FROM v JOIN m USING (l_returnflag)
+    GROUP BY v.l_returnflag, m.mode_qty, m.mode_count
+    """,
+)
+def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central-tendency aggregates per group: exact median (linear
+    interpolation at even counts) and a DETERMINISTIC mode (most frequent
+    value, smallest value wins ties — engines' built-in mode() is
+    tie-nondeterministic, so it is computed explicitly via count + rank).
+
+    Scale design: median is Spark's built-in sort-based exact percentile —
+    one shuffle on the group key; mode is a two-level aggregation
+    (group+value counts, then a tiny per-group top-1 window) whose first
+    level does map-side partial aggregation, so the wide rows never move.
+    The 3-row mode side is broadcast back onto the median aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.median(F.col("qty").cast("double")).alias("median_qty"),
+    )
+    return med.join(F.broadcast(mode), "l_returnflag")
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM t
+    )
+    SELECT vec_id, label,
+           CAST(len(e) AS INT) AS dim,
+           scale,
+           array_to_string(
+               list_transform(e, x -> CAST(CAST(
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE floor(x / scale + 0.5) END
+               AS INT) AS VARCHAR)), ',') AS q_csv
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x| / 127, elements rounded to [-127, 127] — the 4× storage
+    and bandwidth cut applied before ANN index build or shipping vectors to
+    trainers. Emitted as a csv string (the driver canonicalizer cannot hash
+    array cells) with the scale kept alongside for dequantization.
+
+    Scale design: a pure per-row projection — zero shuffle, fully
+    JVM-codegen'd array expressions (transform/array_max), no Python in the
+    data path. The float math (max|x|/127, x/scale + 0.5, floor) is written
+    operation-for-operation identically in the DuckDB oracle, so the raw
+    double `scale` hash-matches bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    df = df.withColumn(
+        "scale",
+        F.array_max(F.transform("e", F.abs)) / F.lit(127.0),
+    )
+    q = F.transform(
+        "e",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
+        .cast("int"),
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        F.size("e").cast("int").alias("dim"),
+        "scale",
+        F.array_join(
+            F.transform(q, lambda c: c.cast("string")), ","
+        ).alias("q_csv"),
+    )
