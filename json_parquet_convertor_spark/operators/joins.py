@@ -490,3 +490,77 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_price"),
     )
+
+
+@query(
+    "q_composite_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_composite_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): the canonical multi-operator
+    composite — selective dim filter, 3-way join, decimal-exact revenue
+    aggregate, deterministic top-10. Exercises the whole stack in one plan
+    the way a real report query would.
+
+    Scale design: both date filters and the mktsegment predicate push into
+    the parquet scans (plan-asserted pushdown elsewhere), so the joins see
+    ~1/5 of customers and a fraction of orders/lineitem; the orders⋈customer
+    side shrinks enough for AQE to broadcast it into the lineitem join at
+    small SFs while the same declarative plan falls back to shuffled joins
+    at 100 TB. The top-10 is TakeOrderedAndProject — no global sort. The
+    tiebreak (revenue, date, orderkey) makes the LIMIT deterministic across
+    engines; revenue is summed in decimal so ties are exact, not
+    float-jittered (exact.py's factor-cast rule)."""
+    from json_parquet_convertor_spark.exact import dec
+
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = (
+        F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("order_date"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
