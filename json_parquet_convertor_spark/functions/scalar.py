@@ -279,3 +279,43 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
         F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    WITH t AS (
+        SELECT n_nationkey, n_regionkey,
+               struct_pack(key := n_nationkey, name := n_name) AS s
+        FROM nation
+    )
+    SELECT n_nationkey,
+           (s).name AS s_name,
+           CAST((s).key * 2 AS BIGINT) AS s_key2,
+           CAST(to_json(s) AS VARCHAR) AS s_json,
+           (struct_pack(inner_s := s, rk := n_regionkey)).inner_s.name
+               AS nested_name,
+           CAST(to_json(struct_pack(inner_s := s, rk := n_regionkey))
+                AS VARCHAR) AS nested_json
+    FROM t
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: struct construction (named fields), field access,
+    struct nesting, and to_json serialization — the typed-record toolkit
+    that the reference's fixed Go struct (convertor/struct.go:4-28) becomes
+    at column level. All codegen'd; to_json emits byte-identical compact
+    JSON in both engines for int/string fields."""
+    n = load_table(spark, sf_dir, "nation")
+    s = F.struct(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+    )
+    nested = F.struct(s.alias("inner_s"), F.col("n_regionkey").alias("rk"))
+    return n.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        (s.getField("key") * 2).alias("s_key2"),
+        F.to_json(s).alias("s_json"),
+        nested.getField("inner_s").getField("name").alias("nested_name"),
+        F.to_json(nested).alias("nested_json"),
+    )

@@ -546,14 +546,17 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.input_file_name().alias("f"))
         .agg(F.countDistinct("f").cast("int").alias("n_files_small"))
     )
-    back = spark.read.parquet(compacted)
-    n_comp = back.select(F.input_file_name().alias("f")).agg(
-        F.countDistinct("f").cast("int").alias("n_files_compacted")
+    # row count and file count of the compacted layout in ONE scan
+    back_stats = (
+        spark.read.parquet(compacted)
+        .select(F.input_file_name().alias("f"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("f").cast("int").alias("n_files_compacted"),
+        )
     )
-    return (
-        back.agg(F.count("*").alias("n_rows"))
-        .crossJoin(F.broadcast(n_small))
-        .crossJoin(F.broadcast(n_comp))
+    return back_stats.crossJoin(F.broadcast(n_small)).select(
+        "n_rows", "n_files_small", "n_files_compacted"
     )
 
 
