@@ -64,6 +64,7 @@ _VERIFY_PRIORITY = [
     "q_text_scrub_pii",
     "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
     "q_agg_mode_median", "q_embed_quantize", "q_composite_q3", "q_fn_struct",
+    "q_udtf_lateral", "q_sink_sorted",
     # -- green in round 2 (cheap scans/projections/joins first) --
     "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
     "q_sink_partitioned", "q_project_rename_cast",

@@ -730,3 +730,61 @@ def q_scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id long, lang string, n_chars long").json(
         _JSONL_CACHE[sf_dir]
     )
+
+
+@query(
+    "q_sink_sorted",
+    oracle="""
+    SELECT 4 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_overlapping_files
+    FROM events
+    """,
+)
+def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sorted data layout (the poor man's Z-order): events
+    repartitioned by user_id RANGE, sorted within partitions by (user_id,
+    ts), written as parquet. Each output file then holds a disjoint user_id
+    range — min/max file statistics let any engine skip files at scan time
+    (parquet row-group stats + Spark's file pruning), which at 100 TB is
+    the difference between reading 4 files and reading 4,000.
+
+    The query proves the clustering property engine-side: per-file min/max
+    ranges are collected via input_file_name() and checked for overlap with
+    a lag window (a range layout has ZERO overlapping files; an unsorted
+    write almost surely has all files overlapping)."""
+    import os as _os
+
+    from pyspark.sql.window import Window as _W
+
+    out = _os.path.join(run_tmp("sorted_sink"), "clustered")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    (
+        ev.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    stats = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    w = _W.partitionBy().orderBy("lo", "f")
+    flagged = stats.withColumn(
+        "overlaps_prev",
+        (F.col("lo") <= F.lag("hi").over(w)).cast("int"),
+    )
+    return flagged.agg(
+        F.countDistinct("f").cast("int").alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.coalesce(F.sum("overlaps_prev"), F.lit(0))
+        .cast("long")
+        .alias("n_overlapping_files"),
+    )

@@ -221,3 +221,45 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round("price_z_raw", 4).alias("price_z"),
     )
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS idx,
+           string_split(text, ' ')[i + 1] AS piece,
+           CAST(length(string_split(text, ' ')[i + 1]) AS INT) AS piece_len
+    FROM documents, generate_series(0, 2) t(i)
+    WHERE len(string_split(text, ' ')) > i
+    """,
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 ``@udtf`` class API) applied laterally:
+    one document row in, up to three (idx, piece, piece_len) rows out —
+    the table-function counterpart of q_udtf_explode's built-in-explode
+    formulation, for row-expanding logic that genuinely needs Python.
+
+    Scale posture: a UDTF runs per-partition in a Python worker with Arrow
+    transfer, composes with LATERAL like any relation, and never touches
+    the driver; the expansion factor (≤3 here) bounds output amplification.
+    The same join would be codegen'd via posexplode — the UDTF is the
+    escape hatch for when it cannot be."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, piece string, piece_len int")
+    class HeadWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")[:3]):
+                yield (i, w, len(w))
+
+    spark.udtf.register("jpc_head_words", HeadWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "jpc_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.piece, t.piece_len
+        FROM jpc_udtf_docs d, LATERAL jpc_head_words(d.text) t
+        """
+    )
