@@ -46,10 +46,20 @@ _VERIFY_PRIORITY = [
     "q_sample_split", "q_sample_stratified", "q_corpus_shard",
     # -- never driver-checked (relational extensions) --
     "q_sink_compacted", "q_merge_upsert", "q_scan_orc", "q_scan_text",
-    # -- never driver-checked (B9 streaming; slower, so after the cheap ones) --
+    # -- never driver-checked (round-3 session-3 additions; all cheap) --
+    "q_sql_cte", "q_sql_subquery_scalar", "q_sql_exists", "q_sql_view",
+    "q_win_distribution", "q_scd2_history", "q_fn_bitwise", "q_fn_url",
+    "q_text_decontaminate", "q_corpus_mix",
+    # -- never driver-checked (round-3 additions, non-streaming) --
+    "q_unpivot", "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
+    "q_agg_hll_union", "q_dedup_cluster", "q_text_scrub_pii",
+    "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
+    "q_agg_mode_median", "q_embed_quantize", "q_composite_q3", "q_fn_struct",
+    "q_udtf_lateral", "q_sink_sorted",
+    # -- never driver-checked (B9 streaming; slower, oracled ones first) --
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup", "q_stream_convert", "q_stream_watermark",
-    "q_stream_stateful",
+    "q_stream_dedup", "q_stream_enrich", "q_stream_join",
+    "q_stream_stateful", "q_stream_convert", "q_stream_watermark",
     # -- green in round 1 only; edited or never re-checked since --
     "q_sort_multi",  # rewritten after its only driver check
     "q_filter_simple", "q_filter_compound", "q_filter_null_semantics",
@@ -58,13 +68,6 @@ _VERIFY_PRIORITY = [
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_win_rank", "q_win_analytic", "q_win_frame_rows", "q_win_frame_range",
     "q_win_topk_per_group",
-    # -- new in round 3 (never checked yet) --
-    "q_unpivot", "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
-    "q_agg_hll_union", "q_stream_enrich", "q_dedup_cluster", "q_stream_join",
-    "q_text_scrub_pii",
-    "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
-    "q_agg_mode_median", "q_embed_quantize", "q_composite_q3", "q_fn_struct",
-    "q_udtf_lateral", "q_sink_sorted",
     # -- green in round 2 (cheap scans/projections/joins first) --
     "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
     "q_sink_partitioned", "q_project_rename_cast",

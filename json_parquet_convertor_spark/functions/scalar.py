@@ -319,3 +319,83 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.getField("inner_s").getField("name").alias("nested_name"),
         F.to_json(nested).alias("nested_json"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+           CAST(SUM(CASE WHEN (user_id & 1) = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_odd,
+           CAST(SUM(CASE WHEN (event_id & 255) < 16 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_byte,
+           CAST(MAX(user_id << 2) AS BIGINT) AS max_shl
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: the bit_and/bit_or/bit_xor aggregates plus scalar
+    &, << masks — the toolkit behind bitmap indexes, permission masks and
+    hash-bucket math. All pure JVM codegen expressions; shifts on BIGINT
+    never overflow here (user_id << 2 stays far below 2^62) so the plan is
+    ANSI-safe. One shuffle on the 5-value group key, fully map-side
+    combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("band"),
+        F.bit_or("user_id").cast("bigint").alias("bor"),
+        F.bit_xor("event_id").cast("bigint").alias("bxor"),
+        F.sum(
+            F.when(F.expr("(user_id & 1) = 1"), 1).otherwise(0)
+        ).cast("bigint").alias("n_odd"),
+        F.sum(
+            F.when(F.expr("(event_id & 255) < 16"), 1).otherwise(0)
+        ).cast("bigint").alias("n_low_byte"),
+        F.max(F.expr("user_id << 2")).cast("bigint").alias("max_shl"),
+    )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'v=2&lang=' || lang AS query_string,
+           lang AS q_lang,
+           'https' AS protocol
+    FROM documents
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url HOST/PATH/QUERY plus per-parameter extraction
+    — the crawl-pipeline primitive for domain-level dedup, robots filtering
+    and per-site quality weighting. URLs are constructed deterministically
+    from the documents table, then round-tripped through Spark's parse_url;
+    the oracle states the expected components directly, so any parse drift
+    is a hard mismatch. parse_url is JVM-side (no Python in the path); at
+    100 TB the host column feeds a groupBy for per-domain stats with an
+    ordinary map-side-combined aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?v=2&lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # Knuth multiplicative mix — same constant as sampling.py so shard
 # assignment is consistent across the whole pipeline.
@@ -288,4 +288,114 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(q, lambda c: c.cast("string")), ","
         ).alias("q_csv"),
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, md5(g) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> array_to_string(
+                           string_split(text, ' ')[i:i+4], ' '))) AS g
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    5-token n-gram with the held-out benchmark set (here: doc_id % 97 = 0,
+    standing in for an eval suite) — the overlap filter every serious
+    pretraining corpus runs before training so eval numbers stay honest.
+
+    Scale design: the benchmark side is SMALL by construction (an eval
+    suite is thousands of docs, the corpus is billions), so its distinct
+    gram hashes broadcast and the contamination check is a map-side
+    broadcast semi-join against the training gram stream — no shuffle of
+    the corpus at all. Grams are md5-hashed (32-byte keys, identical hex in
+    both engines) so the join never moves raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+            F.element_at(words, i + 4),
+        )
+    )
+    grams = (
+        spread(docs)
+        .filter(F.size(words) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), F.size(words) - 4), gram)
+                )
+            ).alias("h"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    SELECT source,
+           CAST(20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75 AS INT)
+               AS rate_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 100
+                              < 20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 100
+                              < 20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source gets its own deterministic
+    sampling rate (20-94%, derived from the source id — in production this
+    is the data-mixture table: upweight books, downweight raw crawl), and
+    rows are kept by the same pure doc_id hash used for splits/shards, so
+    the mix is reproducible run-to-run and engine-to-engine and composes
+    with q_sample_split without correlation (different modulus).
+
+    Scale design: rate lookup and keep-decision are pure row-local
+    projections — zero shuffle before the per-source summary aggregate; at
+    100 TB this IS the sampling pass that writes the training mix, and it
+    streams at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(20)
+        + (F.substring("source", 4, 10).cast("int") * 13) % 75
+    ).cast("int")
+    keep = F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(100)) < rate
+    return docs.groupBy("source").agg(
+        F.first(rate).alias("rate_pct"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
     )

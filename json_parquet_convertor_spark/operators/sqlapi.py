@@ -1,0 +1,164 @@
+"""SQL-string API surface (B12 extension, round 3).
+
+The reference exposes its converter only programmatically
+(``cmd/convertor/main.go:20-72`` wires the pipeline in Go); a Spark user
+gets the same logical plans through ``spark.sql`` too. This module proves
+the SQL surface is first-class: each query here registers the fixture
+tables as temp views and submits ONE dialect-shared ANSI SQL string that
+is byte-identical to its DuckDB oracle — same text, two engines, same
+result. That is the strongest parity statement the oracle harness can
+make: there is no "translation" step left to get wrong.
+
+Scale posture: ``spark.sql`` compiles to exactly the same Catalyst plans
+as the DataFrame API (CTEs inline or reuse via ReusedExchange, correlated
+EXISTS becomes a left-semi hash join, scalar subqueries become broadcast
+single-row joins), so everything the DataFrame queries prove about
+pushdown and shuffle shape holds verbatim here.
+
+Cross-engine float discipline (registry.py doctrine): money math runs in
+DECIMAL(18,4) end-to-end and is cast to DOUBLE only in the final
+projection; ratio columns divide two identically-derived doubles, which
+is bit-deterministic in IEEE 754 given the same operand order — which the
+shared SQL text guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as session temp views named exactly like the
+    driver's pre-registered DuckDB views, so one SQL text runs on both."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# Reused-CTE revenue share: seg_stats is consumed twice (per-segment rows
+# AND the grand total). Spark plans the reuse as one aggregation feeding a
+# broadcast single-row join — no second scan of orders.
+_SQL_CTE = """
+WITH cust_orders AS (
+    SELECT c.c_mktsegment, o.o_totalprice
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+),
+seg_stats AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue_dec
+    FROM cust_orders
+    GROUP BY c_mktsegment
+)
+SELECT s.c_mktsegment,
+       s.n_orders,
+       CAST(s.revenue_dec AS DOUBLE) AS revenue,
+       CAST(s.revenue_dec AS DOUBLE) * 100.0 / CAST(t.total_dec AS DOUBLE)
+           AS revenue_pct
+FROM seg_stats s
+CROSS JOIN (SELECT SUM(revenue_dec) AS total_dec FROM seg_stats) t
+"""
+
+
+@query("q_sql_cte", oracle=_SQL_CTE)
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE revenue-share query submitted as a raw SQL string — the
+    oracle is the SAME string. The second CTE is referenced twice; the
+    grand total joins back as a 1-row broadcast, so the whole query costs
+    one join + one aggregation regardless of scale."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_CTE)
+
+
+# Above-average filter via two scalar subqueries. The usual AVG() form is
+# a float trap (sum order changes the last ulp); rearranging the
+# inequality to price * COUNT(*) > SUM(price) keeps every operand exact
+# DECIMAL/BIGINT, so the boundary rows are engine-independent.
+_SQL_SCALAR = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM orders)
+      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_subquery_scalar", oracle=_SQL_SCALAR)
+def q_sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries in WHERE ("orders above the average price"),
+    shared SQL text with the oracle. Spark plans each scalar subquery as a
+    broadcast of one row — the orders scan runs once per subquery but both
+    are tiny aggregates; at 100 TB you'd still take this plan, because the
+    alternative (a window over the whole table) shuffles everything.
+
+    The avg comparison is rearranged to exact integer/decimal math (see
+    module comment) so no float threshold can flip a boundary row."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_SCALAR)
+
+
+# Correlated EXISTS / NOT EXISTS — Spark decorrelates these into
+# left-semi and left-anti hash joins on o_custkey.
+_SQL_EXISTS = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 200000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q_sql_exists", oracle=_SQL_EXISTS)
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS over the same child table, shared
+    SQL text with the oracle. Catalyst decorrelates both predicates into a
+    left-semi and a left-anti join on the correlation key — the plan a
+    hand-written DataFrame version (q_join_semi/q_join_anti) would build,
+    derived automatically from the declarative form."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_EXISTS)
+
+
+_SQL_VIEW_BODY = """
+SELECT l_orderkey,
+       l_returnflag,
+       CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1.0 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+           AS net_dec
+FROM lineitem
+WHERE l_quantity < 30.0
+"""
+
+_SQL_VIEW_SELECT = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(net_dec) AS DOUBLE) AS net_revenue
+FROM lineitem_net
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q_sql_view",
+    oracle=f"WITH lineitem_net AS ({_SQL_VIEW_BODY}) {_SQL_VIEW_SELECT}",
+)
+def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-view DDL surface: CREATE OR REPLACE TEMPORARY VIEW over a
+    derived lineitem projection, then an aggregate over the view. Views
+    are pure catalog objects — Catalyst inlines the definition, so the
+    filter (l_quantity < 30) still reaches the parquet scan as a pushed
+    filter exactly as if written inline; the oracle expresses the same
+    two-layer query as a CTE."""
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW lineitem_net AS {_SQL_VIEW_BODY}")
+    return spark.sql(_SQL_VIEW_SELECT)

@@ -180,3 +180,99 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment — the quantile-bucketing pass a feature pipeline
+    runs to bin a numeric column. The ORDER BY carries c_custkey as a
+    tiebreaker so tile boundaries are total-ordered and deterministic
+    across engines; both ratio functions divide two small exact integers,
+    which is bit-identical IEEE math in both engines. One shuffle on the
+    partition key, sort within — same cost shape as any rank window."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_epoch,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_epoch, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts_epoch AS valid_from,
+           LEAD(ts_epoch) OVER (
+               PARTITION BY user_id ORDER BY ts_epoch, event_id
+           ) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_epoch, event_id
+           ) AS BIGINT) AS version
+    FROM changes
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's event
+    stream into versioned state rows (value, valid_from, valid_to, version)
+    where a new version opens only when event_type actually changes; the
+    current version has valid_to NULL. This is the standard
+    change-data-capture → dimension-history materialization.
+
+    Two window passes over the SAME (user_id, order) partitioning: Catalyst
+    plans one Exchange + one sort and reuses them for the lag, the lead and
+    the row_number — so the whole history build costs a single shuffle of
+    the event log, which is the floor for this computation at any scale.
+    Timestamps are emitted as epoch-second BIGINTs (driver canonicalizer
+    cannot hash naive-vs-tz timestamps consistently across engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("ts"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_order))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts_epoch", "event_id")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_epoch").alias("valid_from"),
+        F.lead("ts_epoch").over(w_ver).alias("valid_to"),
+        F.row_number().over(w_ver).cast("bigint").alias("version"),
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         pipeline,
         relational,
         sampling,
+        sqlapi,
         udfs,
         windows,
     )

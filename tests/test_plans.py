@@ -121,3 +121,42 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
         if "Exchange" in l and "Reused" not in l
     )
     assert n_exchanges == 1, plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The eval-suite gram set must broadcast: the 100 TB corpus is never
+    shuffled for the contamination check."""
+    plan = _plan(spark, sf_dir, "q_text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """All three windows (lag, lead, row_number) share the user_id
+    partitioning — the history build must cost exactly one shuffle of the
+    event log."""
+    plan = _plan(spark, sf_dir, "q_scd2_history")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_sql_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """Catalyst must turn the correlated EXISTS / NOT EXISTS into real
+    semi/anti joins, not a per-row subquery."""
+    plan = _plan(spark, sf_dir, "q_sql_exists")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_sql_view_filter_still_pushed(spark, sf_dir):
+    """The temp view is a catalog object only: its l_quantity filter must
+    be inlined and pushed to the parquet scan."""
+    plan = _plan(spark, sf_dir, "q_sql_view")
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan, plan
+
+
+def test_corpus_mix_no_pre_aggregation_shuffle(spark, sf_dir):
+    """Keep-decision is row-local: the only exchange allowed is the final
+    per-source aggregate's."""
+    plan = _plan(spark, sf_dir, "q_corpus_mix")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
