@@ -57,8 +57,8 @@ _VERIFY_PRIORITY = [
     "q_agg_mode_median", "q_embed_quantize", "q_composite_q3", "q_fn_struct",
     "q_udtf_lateral", "q_sink_sorted",
     # -- never driver-checked (B9 streaming; slower, oracled ones first) --
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup", "q_stream_enrich", "q_stream_join",
+    "q_stream_foreachbatch", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_dedup", "q_stream_enrich", "q_stream_join",
     "q_stream_stateful", "q_stream_convert", "q_stream_watermark",
     # -- green in round 1 only; edited or never re-checked since --
     "q_sort_multi",  # rewritten after its only driver check

@@ -512,3 +512,72 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "q_stream_foreachbatch",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the escape hatch that applies arbitrary BATCH
+    logic to every micro-batch — the pattern behind streaming upserts into
+    engines without a native streaming sink (JDBC, key-value stores,
+    non-transactional object layouts).
+
+    Exactly-once here comes from idempotence, not transactions: each batch
+    writes its partial per-user aggregate to ``out/batch_id=N`` with
+    overwrite, so a replayed batch (restart after crash, before the
+    checkpoint commit) rewrites the SAME bytes instead of appending dupes
+    (asserted by the restart test in tests/test_streaming.py). The final
+    read-back re-aggregates the partials — sum-of-sums in exact DECIMAL, so
+    the result equals the one-shot batch aggregate the oracle runs.
+
+    Scale posture: the streaming query itself is STATELESS (aggregation
+    happens inside foreachBatch on each bounded batch), so there is no
+    state store at all — per-batch cost is a plain hash aggregate, and
+    unbounded key cardinality cannot accumulate in memory across batches;
+    the partial-sums directory plays the role of the external store."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = _replay_source(spark, sf_dir, "fbatch", lambda: ev)
+
+    base = os.path.join(run_tmp("stream_fbatch"), uuid.uuid4().hex[:8])
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("value_dec"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(_fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+    )

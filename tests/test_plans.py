@@ -102,6 +102,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_sim_ann_ivf",
             "q_sink_compacted",  # crossJoins of 1-row aggregate frames
             "q_agg_freq_items",  # 1-row total-count broadcast onto tf table
+            "q_sql_cte",  # grand-total CTE reuse = 1-row IdentityBroadcast
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

@@ -237,3 +237,70 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r["event_id"] for r in spark.table(sink).collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_foreachbatch_partials_are_idempotent_on_replay(spark, tmp_path):
+    """q_stream_foreachbatch's exactly-once claim rests on overwrite-by-
+    batchId idempotence: a batch replayed after a crash-before-commit must
+    rewrite its partials, not append duplicates; a checkpointed restart
+    must process nothing; new source files add exactly their rows."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_src(ids, fname):
+        spark.createDataFrame(
+            [(i, float(i)) for i in ids], "user_id bigint, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # parquet file names are uuid'd; fname is just for readability
+
+    def _fb(batch_df, batch_id):
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("value_dec"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={batch_id}")
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("user_id bigint, value double")
+            .parquet(src)
+            .writeStream.foreachBatch(_fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(F.sum("n_events").alias("n"))
+            .collect()
+        }
+
+    write_src([1, 1, 2], "a")
+    first = run_once()
+    assert first == {1: 2, 2: 1}
+
+    # crash-replay analogue: re-run the foreachBatch body for batch 0 with
+    # the same input — overwrite semantics must leave the totals unchanged
+    _fb(spark.read.parquet(src), 0)
+    assert {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+        .collect()
+    } == first
+
+    # checkpointed restart with unchanged source: processes nothing
+    assert run_once() == first
+
+    # genuinely new data: exactly its rows are added
+    write_src([2, 3], "b")
+    assert run_once() == {1: 2, 2: 2, 3: 1}
