@@ -432,3 +432,71 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return per_group.unionByName(overall)
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INT)
+                   AS bucket,
+               o_totalprice
+        FROM orders
+    ),
+    h AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(bucket * 30000 AS BIGINT) AS lo,
+           n_orders,
+           sum_price,
+           CAST(SUM(n_orders) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_orders
+    FROM h
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram + cumulative counts — the data-profiling
+    aggregate behind QA dashboards and skew diagnosis (how is value mass
+    distributed; where does the p99 bucket sit). 20 equal bins over
+    [0, 600k) with a clamped top bin; bucketing is a pure row-local
+    floor-divide, so the plan is one map-side-combined hash aggregate over
+    AT MOST 20 groups regardless of input size.
+
+    The cumulative column is a window over the 20-row aggregate RESULT
+    (single tiny partition — fine precisely because the histogram is
+    fixed-size), never over the input.
+
+    Scale: this is the textbook scale-free aggregate — partial aggregation
+    reduces every partition to ≤ 20 rows before the exchange, so 100 TB
+    shuffles ~20 rows × partitions; the money sum runs on the exact
+    decimal path (exact.py) so the engines agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.least(F.floor(F.col("o_totalprice") / F.lit(30000.0)), F.lit(19))
+        .cast("int")
+        .alias("bucket")
+    )
+    h = orders.groupBy(bucket).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.select(
+        "bucket",
+        (F.col("bucket").cast("bigint") * 30000).alias("lo"),
+        "n_orders",
+        "sum_price",
+        F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
+    )

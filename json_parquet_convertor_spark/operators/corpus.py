@@ -399,3 +399,132 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# chunk geometry: 128-token windows advancing 96 tokens (32-token overlap)
+_CHUNK, _STRIDE = 128, 96
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, words, n,
+               unnest(generate_series(0, n - 1, {_STRIDE})) AS start
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, n - start) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(words[start + 1:start + {_CHUNK}], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    between cleaning and tokenization: every doc becomes overlapping
+    128-token chunks on a 96-token stride (32 tokens of overlap so no
+    boundary sentence is ever seen only torn in half).
+
+    The whole op is one generate-and-slice projection: ``sequence`` makes
+    the start offsets, ``posexplode`` fans them out, ``slice`` +
+    ``array_join`` materialize each chunk, md5 signs it (hex-identical in
+    DuckDB, and keeps the compare payload fixed-width instead of shipping
+    whole chunk texts).
+
+    Scale: zero shuffle and row-local — chunking streams at scan speed and
+    output size is input size × ~4/3 (the overlap), so the 100 TB plan is
+    scan → explode → write with no exchange anywhere. Fan-out is bounded
+    per row (≤ n/96 + 1 chunks), so no task ever ballooons."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    d = docs.select("doc_id", words.alias("words"), F.size(words).alias("n"))
+    s = d.select(
+        "doc_id",
+        "words",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice("words", F.col("start") + 1, _CHUNK), " ")
+        ).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS tfn FROM tok GROUP BY token),
+    tot AS (SELECT SUM(tfn) AS totn FROM tf),
+    lp AS (
+        SELECT token,
+               CAST(round(ln(CAST(tfn AS DOUBLE) / CAST(totn AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM tf CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.lp) AS DOUBLE) / COUNT(*) AS avg_lp
+    FROM tok t JOIN lp l ON t.token = l.token
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: fit a corpus-level unigram LM (one
+    aggregation), then score every document by its mean token log-prob —
+    the classic cheap perplexity proxy used to rank crawl text before the
+    expensive model-based quality filters.
+
+    Cross-engine float discipline: per-token log-probs are rounded to 6 dp
+    and cast to DECIMAL(18,6) BEFORE the per-doc sum, so the summation is
+    exact and order-independent (registry.py doctrine — a raw double sum
+    would drift in the last ulps between engines); avg_lp is then one
+    IEEE-exact division, bit-identical with no final rounding needed.
+
+    Scale: the LM table is vocab-sized (millions of rows at 100 TB, a few
+    hundred MB) — broadcast to the scorers, so the corpus shuffles ZERO
+    bytes: one shared-nothing pass builds tf partials, one map-side
+    broadcast join scores. In production the lp table persists as a stage
+    table; here both passes run in one plan and Spark reuses the exploded
+    token scan via the shuffle files of the tf aggregation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("token").agg(F.count("*").alias("tfn"))
+    tot = tf.agg(F.sum("tfn").alias("totn"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log(F.col("tfn").cast("double") / F.col("totn").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count("*")).alias("avg_lp"),
+        )
+    )

@@ -106,3 +106,56 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, lang, n_chars,
+               pow((CAST((doc_id * {_MIX}) % 1000003 AS DOUBLE) + 1.0)
+                       / 1000004.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+    FROM k
+    ORDER BY es_key DESC, doc_id
+    LIMIT 25
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    one-pass trick: give every row the key u^(1/w) (u uniform in (0,1),
+    w = its weight — here n_chars, i.e. long documents are proportionally
+    more likely to be drawn) and keep the global top-k keys. This is THE
+    distributed weighted-reservoir formulation: no sequential reservoir,
+    no rejection loop, provably the weighted-without-replacement
+    distribution.
+
+    u comes from the repo's deterministic integer mix (never rand(): the
+    sample must be reproducible run-to-run and engine-to-engine), mapped
+    into (0,1) with a prime modulus so no doc lands exactly on 0 or 1.
+
+    Scale: the key is a row-local projection and top-k compiles to
+    TakeOrderedAndProject — per-partition k-heaps then a k-sized merge at
+    the driver-side of the exchange, so 100 TB shuffles k rows per
+    partition, not the table. Selected ids only are emitted (the float key
+    stays internal, so the compare surface is integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1000004.0)
+    es_key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(25)
+        .drop("es_key")
+    )
