@@ -911,3 +911,74 @@ def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_phones"),
     )
+
+
+@query(
+    "q_knn_graph",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id % 25 = 0),
+    pairs AS (
+        SELECT p.p_id, e.vec_id AS neighbor_id,
+               round(list_inner_product(e.v, p.pv)
+                     / (sqrt(list_inner_product(e.v, e.v))
+                        * sqrt(list_inner_product(p.pv, p.pv))), 4) AS cos_sim
+        FROM e CROSS JOIN p
+        WHERE e.vec_id <> p.p_id
+    ),
+    r AS (
+        SELECT p_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY p_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS INT) AS rnk
+        FROM pairs
+    )
+    SELECT p_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph build (k=5, cosine) for a probe subset —
+    the precursor to embedding-space clustering, label propagation, and
+    near-dup mining: every probe gets its 5 closest corpus vectors as
+    graph edges.
+
+    Shape: the probe set broadcasts (bounded, table/25), the corpus scans
+    ONCE; per-probe top-k runs as a row_number window partitioned by
+    probe, ordered by the 4-dp-rounded cosine with an id tiebreak so rank
+    boundaries are engine-independent. Dot/norm math is higher-order
+    array functions — JVM-side, inside codegen.
+
+    Scale: broadcast-probe brute force is exactly right while probes are
+    bounded (cost = scan × |probes|, embarrassingly parallel, no shuffle
+    of the corpus — only the k·|probes| candidate rows move). For
+    all-pairs kNN at 100 TB the candidate generator swaps to the LSH
+    bucket joins (q_sim_pairs_lsh / q_dedup_embed); this operator is the
+    exact refinement those pipelines share."""
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("p_id"), F.col("v").alias("pv")
+    )
+    cos = _dot("v", "pv") / (
+        F.sqrt(_dot("v", "v")) * F.sqrt(_dot("pv", "pv"))
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return pairs.select(
+        "*", F.row_number().over(w).cast("int").alias("rnk")
+    ).filter(F.col("rnk") <= 5)

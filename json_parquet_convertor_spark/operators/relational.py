@@ -788,3 +788,43 @@ def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_overlapping_files"),
     )
+
+
+@query(
+    "q_scan_binary",
+    oracle="""
+    SELECT 'blob_' || i || '.bin' AS fname,
+           CAST(107 + 17 * i AS BIGINT) AS flen,
+           md5('blob-' || i || ':' || repeat('x', 100 + 17 * i))
+               AS content_md5
+    FROM generate_series(0, 7) t(i)
+    """,
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest via Spark's `binaryFile` source — the
+    front door for multimodal corpora (images/audio/PDFs land as one
+    (path, length, content) row per file, feeding the mapInPandas decode
+    operators downstream, q_multimodal_decode).
+
+    Eight deterministic ASCII blobs are staged once per run; the oracle
+    reconstructs name/length/md5 arithmetically (same bytes → same md5 hex
+    in both engines).
+
+    Scale: binaryFile lists files in parallel and assigns WHOLE files to
+    tasks (no splitting — a file must fit a task, which is the right
+    contract for opaque media); pair it with the compaction op for the
+    many-small-files crawl case. The md5 runs JVM-side on the binary
+    column, no Python in the path."""
+    src = run_tmp("binary_src")
+    if not os.path.isdir(src):
+        os.makedirs(src, exist_ok=True)
+        for i in range(8):
+            payload = f"blob-{i}:" + "x" * (100 + 17 * i)
+            with open(os.path.join(src, f"blob_{i}.bin"), "wb") as fh:
+                fh.write(payload.encode("ascii"))
+    files = spark.read.format("binaryFile").load(src)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("flen"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -162,3 +162,36 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem")
     spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW lineitem_net AS {_SQL_VIEW_BODY}")
     return spark.sql(_SQL_VIEW_SELECT)
+
+
+# NOT IN with a nullable outer key — ANSI three-valued logic: a NULL key
+# can never satisfy NOT IN against a non-empty set (NULL <> x is NULL, so
+# the conjunction is NULL, so the row is filtered). Both engines must drop
+# the 122 negative-balance customers via the NULL path, not the match path.
+_SQL_NOT_IN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END) NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+@query("q_sql_not_in", oracle=_SQL_NOT_IN)
+def q_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery with a NULLABLE outer key — the classic
+    three-valued-logic trap (a NULL key row silently disappears), pinned
+    here so both engines agree on the ANSI semantics, byte-identical SQL
+    on both sides.
+
+    Plan: Spark's `optimizeNullAwareAntiJoin` compiles single-key NOT IN
+    to a broadcast hash anti join with `isNullAwareAntiJoin=true` — a hash
+    lookup plus the one extra "does the build side contain NULL" probe —
+    instead of the quadratic BroadcastNestedLoopJoin that general NOT IN
+    conditions force.
+
+    Scale: the subquery (high-value customer keys) is the small side and
+    broadcasts; the customer scan streams map-side with no shuffle. If the
+    build side outgrew broadcast, the rewrite is the documented fallback:
+    pre-aggregate it, add an `ANY(key IS NULL)` flag, and left-join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_NOT_IN)

@@ -104,6 +104,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_agg_freq_items",  # 1-row total-count broadcast onto tf table
             "q_sql_cte",  # grand-total CTE reuse = 1-row IdentityBroadcast
             "q_text_lm_score",  # 1-row corpus-total broadcast onto tf table
+            "q_knn_graph",  # bounded probe-set broadcast (LSH is scale path)
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
