@@ -399,3 +399,53 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 7 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS DOUBLE)
+                     / CAST(o_custkey % 7 AS DOUBLE) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderpriority END AS BIGINT) AS parsed_key,
+           CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                ELSE 9223372036854775807 END AS overflow_add,
+           string_split(o_orderpriority, '-')[1] AS prio_head,
+           string_split(o_orderpriority, '-')[5] AS prio_missing
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` family — the error-handling posture that keeps a
+    100 TB job alive under Spark 4's default ANSI mode, where a single bad
+    row (divide-by-zero, overflow, malformed cast, out-of-range index)
+    otherwise kills the stage: `try_divide`, `try_cast`, `try_add`,
+    `try_element_at` all return NULL instead of raising, turning data
+    errors into filterable rows.
+
+    The oracle states the NULL-on-error semantics explicitly (CASE twins
+    for the arithmetic traps, DuckDB TRY_CAST / native out-of-bounds NULL
+    for the rest), so both engines pin identical outcomes on every
+    poisoned row. All expressions are row-local codegen — no perf cost for
+    the safety."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    mixed = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    prio = F.split("o_orderpriority", "-")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide("o_orderkey", F.col("o_custkey") % 7).alias("safe_div"),
+        mixed.try_cast("bigint").alias("parsed_key"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("o_orderkey") % 2
+        ).alias("overflow_add"),
+        F.try_element_at(prio, F.lit(1)).alias("prio_head"),
+        F.try_element_at(prio, F.lit(5)).alias("prio_missing"),
+    )

@@ -982,3 +982,124 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "*", F.row_number().over(w).cast("int").alias("rnk")
     ).filter(F.col("rnk") <= 5)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL CTE layers (DuckDB's
+    recursive CTEs allow only one reference to the working table, which the
+    contribute-then-left-join step needs twice — unrolling sidesteps it)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT nd.v,
+               CAST(round(0.15 / nn.n
+                          + 0.85 * COALESCE(CAST(c.csum AS DOUBLE), 0.0), 10)
+                    AS DECIMAL(20,10)) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.tgt AS v,
+                   SUM(CAST(round(CAST(p.r AS DOUBLE) / d.deg, 12)
+                            AS DECIMAL(22,12))) AS csum
+            FROM r{k - 1} p
+            JOIN edges e ON e.src = p.v
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.tgt
+        ) c ON c.v = nd.v
+    )""")
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS v FROM documents),
+    edges AS (
+        SELECT src, tgt FROM (
+            SELECT doc_id AS src,
+                   (doc_id * 3 + 1) % (SELECT n FROM nn) AS tgt
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 11 + 5) % (SELECT n FROM nn)
+            FROM documents
+        ) WHERE src <> tgt
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+        SELECT nd.v, CAST(round(1.0 / nn.n, 10) AS DECIMAL(20,10)) AS r
+        FROM nodes nd CROSS JOIN nn
+    ),{",".join(steps)}
+    SELECT v, CAST(r AS DOUBLE) AS rank FROM r{iters}
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over a deterministic
+    synthetic link graph (each doc links to 3 mixed targets) — the
+    canonical ITERATIVE operator family (influence scoring, link-spam
+    detection, label propagation all share this join-aggregate-iterate
+    loop), which the reference engine cannot express at all.
+
+    Cross-engine exactness for an iterative float algorithm: ranks are
+    quantized to DECIMAL(20,10) after every round and per-edge
+    contributions to DECIMAL(22,12) BEFORE the per-target sum, so every
+    summation is exact/order-independent and the double ops between
+    quantizations are single IEEE-exact steps — 5 rounds of drift-free
+    agreement with the oracle's unrolled-CTE twin.
+
+    Scale: each round is one equi-join (ranks ⋈ edges on src — at 100 TB
+    both sides pre-partitioned by src, so the join is co-located after
+    round 1) plus one groupBy(tgt) shuffle; localCheckpoint truncates the
+    lineage so the plan stays round-sized instead of growing 5 joins deep.
+    The driver-side loop moves NO data — only the 5-round control flow."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("v")
+    )
+    n = docs.count()
+    base, damp = 0.15 / n, 0.85
+
+    edges = (
+        docs.select(
+            F.col("v").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("v") * 3 + 1) % n,
+                    (F.col("v") * 7 + 2) % n,
+                    (F.col("v") * 11 + 5) % n,
+                )
+            ).alias("tgt"),
+        )
+        .filter(F.col("src") != F.col("tgt"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    ranks = docs.select(
+        "v", F.round(F.lit(1.0 / n), 10).cast("decimal(20,10)").alias("r")
+    ).localCheckpoint()
+    for _ in range(5):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.v
+        ).select(
+            "tgt",
+            F.round(F.col("r").cast("double") / F.col("deg"), 12)
+            .cast("decimal(22,12)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("tgt").agg(F.sum("c").alias("csum"))
+        ranks = (
+            docs.join(sums, docs.v == sums.tgt, "left")
+            .select(
+                "v",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damp)
+                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0)),
+                    10,
+                )
+                .cast("decimal(20,10)")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("v", F.col("r").cast("double").alias("rank"))

@@ -276,3 +276,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_epoch").over(w_ver).alias("valid_to"),
         F.row_number().over(w_ver).cast("bigint").alias("version"),
     )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch,
+               value
+        FROM events
+    )
+    SELECT event_id, user_id, ts_epoch,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window: for every event, its user's trailing
+    one-hour activity (count + exact value sum) — the per-entity rolling
+    feature that powers rate limiting, velocity features, and anomaly
+    scores, computed WITHOUT a self-join.
+
+    Time frames are expressed as a numeric RANGE over epoch seconds
+    (portable across engines and immune to interval-literal dialect
+    differences); peers at the same second are frame-equal in both
+    engines by RANGE semantics, so the result is deterministic without a
+    row tiebreak. The value sum runs on the exact decimal path.
+
+    Scale: one shuffle on user_id, then each partition is a single
+    ordered sweep with a sliding frame — O(n) per user via the running
+    two-pointer frame, no event ever compared against more than its own
+    hour. Contrast with the range self-join formulation (q_join_range),
+    which at 100 TB multiplies before it filters."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
