@@ -449,3 +449,36 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(prio, F.lit(1)).alias("prio_head"),
         F.try_element_at(prio, F.lit(5)).alias("prio_missing"),
     )
+
+
+@query(
+    "q_fn_encode",
+    oracle="""
+    SELECT n_name,
+           base64(encode(n_name)) AS b64,
+           upper(hex(encode(n_name))) AS hex_upper,
+           sha256(n_name) AS sha_256,
+           octet_length(encode(n_name)) = length(n_name) AS ascii_only
+    FROM nation
+    """,
+)
+def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding family — base64, hex, SHA-256 — the content-
+    addressing toolkit for corpus payloads (stable object keys, cache
+    keys, integrity digests). All JVM-side codegen expressions over the
+    UTF-8 bytes; DuckDB twins go through `encode()` (varchar→blob) so both
+    engines digest identical bytes. hex is upper()'d on both sides because
+    the engines disagree on hex-digit case; sha256/base64 agree natively.
+
+    Scale: row-local projections, no shuffle; sha2 is the same primitive
+    q_dedup_exact keys its 32-byte shuffle on."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.upper(F.hex("n_name")).alias("hex_upper"),
+        F.sha2("n_name", 256).alias("sha_256"),
+        (
+            F.length(F.col("n_name").cast("binary")) == F.length("n_name")
+        ).alias("ascii_only"),
+    )

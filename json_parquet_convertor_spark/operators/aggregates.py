@@ -500,3 +500,91 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_price",
         F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
     )
+
+
+# columns profiled by q_profile_stats: (name, is_numeric)
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, num in _PROFILE_COLS:
+        if num:
+            mins = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            strs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            strs = f"MIN({c})", f"MAX({c})"
+        parts.append(f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mins[0]} AS min_num, {mins[1]} AS max_num,
+           {strs[0]} AS min_str, {strs[1]} AS max_str
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q_profile_stats", oracle=_profile_oracle())
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-shape column profiling: per-column row/null/distinct
+    counts and typed min/max for five orders columns, computed in ONE scan
+    — the stats pass behind CBO statistics, data-quality dashboards, and
+    schema-drift alarms.
+
+    All measures land in a single wide aggregate (Catalyst plans the
+    multiple COUNT(DISTINCT)s as one Expand — input read once, expanded
+    ×|columns|, never rescanned); the 1-row result then unpivots into the
+    long per-column layout via an explode of structs, which costs nothing.
+    Typed min/max columns (num vs str) sidestep cross-engine double→string
+    formatting.
+
+    Scale: exact NDV via Expand is the oracle-able choice here; at 100 TB
+    swap COUNT(DISTINCT) for approx_count_distinct and the same plan drops
+    the Expand for a single pass of HLL partials (q_agg_approx_distinct /
+    q_agg_hll_union are that path)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+        if num:
+            aggs += [
+                F.min(c).cast("double").alias(f"min_{c}"),
+                F.max(c).cast("double").alias(f"max_{c}"),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = o.agg(*aggs)
+
+    def row(c: str, num: bool):
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"min_{c}") if num else null_d).alias("min_num"),
+            (F.col(f"max_{c}") if num else null_d).alias("max_num"),
+            (null_s if num else F.col(f"min_{c}")).alias("min_str"),
+            (null_s if num else F.col(f"max_{c}")).alias("max_str"),
+        )
+
+    return stats.select(
+        F.explode(
+            F.array(*[row(c, num) for c, num in _PROFILE_COLS])
+        ).alias("s")
+    ).select("s.*")

@@ -564,3 +564,73 @@ def q_composite_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS iv_id,
+               TIMESTAMP '2024-01-01' + (o_orderkey % 23) * INTERVAL 1 DAY
+                   AS s
+        FROM orders WHERE o_orderkey % 300 = 0
+    )
+    SELECT iv_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM iv JOIN events e
+      ON e.ts >= iv.s AND e.ts < iv.s + 3 * INTERVAL 1 DAY
+    GROUP BY iv_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key at all) made scale-safe by binning:
+    intervals explode into the day bins they cover, events derive their
+    one day bin, and the engines meet on a bin EQUI-join with the exact
+    range check as a post-filter. The oracle states the naive range
+    predicate directly.
+
+    Without the bins Spark can only plan a BroadcastNestedLoopJoin —
+    O(events × intervals) compares. Binned, the cost is
+    O(events + intervals × days_covered) and the join is an ordinary
+    shuffled equi-join: partitionable, AQE-skew-splittable, broadcastable
+    when the interval side is small. Each (event, interval) pair meets
+    exactly once because an event has ONE bin and a half-open interval
+    covers each of its bins once — no post-dedup needed.
+
+    Scale: bin width tunes the tradeoff (width ≈ median interval length
+    minimizes replication); the interval side here replicates ×3 per row
+    while the 100 TB fact side is never replicated, only hashed on its
+    bin."""
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 300 == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_id"),
+            F.expr(
+                "TIMESTAMP '2024-01-01'"
+                " + make_interval(0,0,0, CAST(o_orderkey % 23 AS INT))"
+            ).alias("s"),
+        )
+        .withColumn("e", F.expr("s + INTERVAL 3 DAY"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("s") / 86400),
+                    F.floor((F.unix_timestamp("e") - 1) / 86400),
+                )
+            ),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bin", F.floor(F.unix_timestamp("ts") / 86400)
+    )
+    return (
+        ev.join(iv, "bin")
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .groupBy("iv_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
