@@ -333,3 +333,147 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@query(
+    "q_win_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END
+                   AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_s,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_s) AS session_start,
+           MAX(ts_s) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session break is a
+    ≥30-minute silence, session ids are the running count of breaks
+    (lag-compare then cumulative sum over the SAME (user, time) ordering,
+    so both windows share one shuffle + one sort), and the final rollup
+    groups by (user, session).
+
+    This is the batch twin of q_stream_session: identical session
+    semantics (half-open gap, >= breaks), but expressed with ordinary
+    window functions over history instead of session_window state — the
+    pattern for backfills and reprocessing, where the "stream" is already
+    complete and a state store would be pure overhead.
+
+    Scale: ONE hash exchange on user_id covers the lag window, the cumsum
+    window, and the rollup (same partitioning all the way down — Catalyst
+    inserts no second Exchange); per-user data is a single ordered sweep.
+    Ties (same user, same second) order by event_id so the cumsum is
+    engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) >= 1800, 1
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+    )
+
+
+@query(
+    "q_win_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_buy
+    """,
+)
+def q_win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each step
+    strictly AFTER the previous step's first occurrence) — the product-
+    analytics staple that naive per-type counts get wrong because they
+    ignore event ORDER.
+
+    Each stage is a per-user MIN-timestamp aggregate joined to the next
+    stage's candidate events; all three joins key on user_id, so after the
+    first hash exchange every stage is co-partitioned (no re-shuffle —
+    same-key joins reuse the partitioning). The result is the 3-level
+    funnel count row.
+
+    Scale: per-stage state is one row per surviving user (monotonically
+    shrinking); nothing ever materializes per-event beyond the filtered
+    scan. A k-step funnel is k chained same-key join+aggs — linear, never
+    quadratic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_buy")))
+    )

@@ -105,6 +105,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_sql_cte",  # grand-total CTE reuse = 1-row IdentityBroadcast
             "q_text_lm_score",  # 1-row corpus-total broadcast onto tf table
             "q_knn_graph",  # bounded probe-set broadcast (LSH is scale path)
+            "q_win_funnel",  # crossJoins of three 1-row funnel-count aggs
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
@@ -163,3 +164,24 @@ def test_corpus_mix_no_pre_aggregation_shuffle(spark, sf_dir):
     per-source aggregate's."""
     plan = _plan(spark, sf_dir, "q_corpus_mix")
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Lag window, cumsum window, AND the (user, session) rollup all ride
+    the user_id hash partitioning (HashPartitioning(user_id) satisfies the
+    rollup's ClusteredDistribution since user_id is a grouping key) — the
+    whole sessionization must cost exactly one shuffle of the event log."""
+    plan = _plan(spark, sf_dir, "q_win_sessionize")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n{plan}"
+
+
+def test_range_binned_join_is_equi_join(spark, sf_dir):
+    """The pure range join must meet on the day-bin EQUI join (hash or
+    sort-merge), never a nested-loop — that is the whole point of the
+    binning."""
+    plan = _plan(spark, sf_dir, "q_join_range_binned")
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
