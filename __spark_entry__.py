@@ -60,7 +60,7 @@ _VERIFY_PRIORITY = [
     "q_agg_histogram", "q_sql_not_in", "q_scan_binary", "q_knn_graph",
     "q_fn_try", "q_win_time_range", "q_graph_pagerank",
     "q_join_range_binned", "q_profile_stats", "q_fn_encode",
-    "q_win_sessionize", "q_win_funnel",
+    "q_win_sessionize", "q_win_funnel", "q_json_normalize", "q_rank_bm25",
     # -- never driver-checked (B9 streaming; slower, oracled ones first) --
     "q_stream_foreachbatch", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_dedup", "q_stream_enrich", "q_stream_join",

@@ -435,3 +435,115 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(_dot("e", "e")), 4).alias("norm"),
         F.round(F.element_at("e", 1), 4).alias("first_dim"),
     )
+
+
+@query(
+    "q_rank_bm25",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qt AS (
+        SELECT token FROM (
+            SELECT token, SUM(tf) AS tot FROM tf GROUP BY 1
+        ) ORDER BY tot DESC, token LIMIT 3
+    ),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                             + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (1.0 - 0.75
+                                  + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                            / nn.avgdl)))), 8)
+                   AS DECIMAL(18,8)) AS s
+        FROM tf
+        JOIN qt ON qt.token = tf.token
+        JOIN df ON df.token = tf.token
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN nn
+    )
+    SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) of the corpus against a deterministic
+    3-term query (the corpus' own top-3 tokens) — the IR scoring operator
+    a retrieval/decontamination stack needs beyond raw tf-idf: term
+    saturation (k1) and length normalization (b) are what make it a real
+    ranking function.
+
+    Cross-engine float discipline: every factor is derived from integer
+    corpus statistics cast to double in the SAME expression order on both
+    sides; the per-(doc, term) score quantizes to DECIMAL(18,8) before the
+    per-doc sum, so accumulation is exact and the top-20 boundary is
+    engine-independent (ties break on doc_id).
+
+    Scale: corpus stats (df, avgdl, N) and the query-term list are tiny —
+    all broadcast; tf is the only table-sized relation and it shuffles
+    once (the groupBy), after which scoring is a map-side broadcast join
+    per term. Top-20 compiles to TakeOrderedAndProject. A thousand-query
+    batch would broadcast a (query_id, term) table instead — same plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    nn = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qt = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("tot"))
+        .orderBy(F.col("tot").desc(), "token")
+        .limit(3)
+        .select("token")
+    )
+    n_d = F.col("n").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (n_d - df_d + 0.5) / (df_d + 0.5))
+    score = idf * (
+        (tf_d * 2.2)
+        / (tf_d + 1.2 * (1.0 - 0.75 + 0.75 * (dl_d / F.col("avgdl"))))
+    )
+    sc = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.round(score, 8).cast("decimal(18,8)").alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

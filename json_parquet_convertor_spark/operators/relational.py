@@ -828,3 +828,63 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("flen"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "q_json_normalize",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def q_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON round trip: denormalize orders into one JSON document
+    per customer (struct + sorted array-of-structs → `to_json`), then
+    normalize back (`from_json` with explicit schema → `explode` →
+    flatten) — both directions of the semi-structured workflow the
+    reference only does one level of (convertor/convertor.go:129-153 maps
+    a flat 4-field object; nested arrays are exactly what its row-struct
+    approach cannot express).
+
+    The oracle is the round-trip IDENTITY: the flattened output must equal
+    the original relational projection — which also pins that doubles
+    survive to_json/from_json bit-exactly (Jackson prints shortest-round-
+    trip decimals).
+
+    Scale: nest = one groupBy shuffle of the (filtered, pruned) orders;
+    un-nest = row-local parse+explode. Schema-explicit from_json means no
+    inference scan, and the JSON stage is a real string column — the same
+    path an API export/import would take."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    nested = orders.groupBy("o_custkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("o_custkey").alias("cust"),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderkey").alias("k"),
+                            F.col("o_totalprice").alias("p"),
+                        )
+                    )
+                ).alias("orders"),
+            )
+        ).alias("doc")
+    )
+    schema = (
+        "STRUCT<cust: BIGINT, orders: ARRAY<STRUCT<k: BIGINT, p: DOUBLE>>>"
+    )
+    parsed = nested.select(
+        F.from_json("doc", schema).alias("d")
+    ).select(
+        F.col("d.cust").alias("o_custkey"),
+        F.explode("d.orders").alias("o"),
+    )
+    return parsed.select(
+        "o_custkey",
+        F.col("o.k").alias("o_orderkey"),
+        F.col("o.p").alias("o_totalprice"),
+    )

@@ -106,6 +106,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_text_lm_score",  # 1-row corpus-total broadcast onto tf table
             "q_knn_graph",  # bounded probe-set broadcast (LSH is scale path)
             "q_win_funnel",  # crossJoins of three 1-row funnel-count aggs
+            "q_rank_bm25",  # 1-row (N, avgdl) corpus-stats broadcast
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
