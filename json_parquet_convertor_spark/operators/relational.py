@@ -888,3 +888,143 @@ def q_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.k").alias("o_orderkey"),
         F.col("o.p").alias("o_totalprice"),
     )
+
+
+@query(
+    "q_scan_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING at the scan: orders are laid out hive-partitioned
+    by o_orderstatus (written once per run), and the status filter then
+    never touches non-matching partitions — it resolves against the file
+    LISTING, zero data I/O for pruned branches (plan-asserted: the filter
+    appears under PartitionFilters, not as a data filter).
+
+    This is the top storage-layout lever at 100 TB: partition by the
+    always-filtered low-cardinality column (date, source, status) and
+    every query carrying that predicate skips whole directory trees.
+    Contrast q_sink_sorted (range-clustering WITHIN files for file-skipping
+    via min/max stats) — real layouts compose both."""
+    from json_parquet_convertor_spark.exact import dsum
+
+    part_dir = run_tmp("orders_by_status")
+    if not os.path.isdir(part_dir):
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.partitionBy("o_orderstatus")
+            .mode("overwrite")
+            .parquet(part_dir)
+        )
+    pruned = spark.read.parquet(part_dir).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "q_setop_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
+    b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+    i AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+    x AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+    SELECT 'intersect_all' AS op, l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM i GROUP BY l_suppkey
+    UNION ALL
+    SELECT 'except_all' AS op, l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM x GROUP BY l_suppkey
+    """,
+)
+def q_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    MULTIPLICITY (min(m_a, m_b) and m_a − m_b respectively), which the
+    DISTINCT variants (q_intersect / q_except) destroy; bag semantics are
+    what dedup accounting and replication reconciliation actually need
+    ("how many copies remain on each side"), summarized here as per-key
+    multiplicities.
+
+    Scale: Spark plans both as a single hash aggregation computing the two
+    sides' counts per key then expanding min/difference copies — one
+    shuffle on the value, no join; same shape as the exact-dedup count
+    pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    i = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "l_suppkey", "multiplicity")
+    )
+    x = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "l_suppkey", "multiplicity")
+    )
+    return i.unionByName(x)
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with DIFFERENT
+    schemas (v1 lacks o_orderstatus; v2 carries it) land in one dataset,
+    and `mergeSchema=true` reconciles them — v1 rows surface the new
+    column as NULL instead of failing the scan. This is the append-only
+    data-lake reality: producers add columns mid-stream and readers must
+    take the union schema.
+
+    The oracle reconstructs the same view relationally (status visible
+    only for the v2 half). Scale note: mergeSchema's footer-sampling scan
+    is driver-side cost at listing time, not per-row — fine at 100 TB as
+    long as the file count stays compacted (q_sink_compacted); steady
+    state pins the merged schema explicitly instead of re-inferring."""
+    from json_parquet_convertor_spark.exact import dsum
+
+    base = run_tmp("merge_schema")
+    if not os.path.isdir(base):
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "v1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "v2"))
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return merged.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )

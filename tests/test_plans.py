@@ -186,3 +186,12 @@ def test_range_binned_join_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_pruned_scan_uses_partition_filters(spark, sf_dir):
+    """The status predicate must resolve against the hive partition
+    listing (PartitionFilters), not run as a per-row data filter."""
+    plan = _plan(spark, sf_dir, "q_scan_pruned")
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any("o_orderstatus" in l for l in pf_lines), pf_lines
