@@ -588,3 +588,106 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[row(c, num) for c, num in _PROFILE_COLS])
         ).alias("s")
     ).select("s.*")
+
+
+@query(
+    "q_agg_modern",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_huge,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           min_by(o_orderpriority, o_orderkey) AS first_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate family: count_if, bool_and/bool_or, and
+    max_by/min_by (argmax/argmin — "the value of column A on the row where
+    B is extreme", the lookup that otherwise costs a window + filter or a
+    self-join). The by-column is the UNIQUE o_orderkey, so argmax is
+    well-defined and engine-deterministic (max_by on tied keys is
+    anyone's guess — never hash-compare that).
+
+    All of these fold into ordinary partial/final hash aggregation —
+    map-side combine keeps the exchange at ≤ groups × partitions rows, so
+    the family is as scale-free as plain COUNT/SUM."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_huge"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS xq,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(xq * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group — built NOT with the engines'
+    `corr()` (whose streaming covariance updates accumulate in
+    engine-specific order, so the last ulps never match cross-engine) but
+    from five EXACT co-moments: inputs become integers (quantity is
+    integral; price in cents — Pearson is scale-invariant, so the ×100
+    cancels), per-row products stay within int64, and the sums run in
+    DECIMAL(38,0) — exact and order-independent — before ONE fixed IEEE
+    op sequence combines them. Same single-pass, mergeable-partials shape
+    as a distributed corr(), with the partials made exact.
+
+    Scale: one map-side-combined aggregation; the co-moment trick
+    generalizes to covariance matrices (k² exact sums in one pass) for
+    feature screening over training corpora."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = b.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("xq"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("yc"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("xq") * F.col("xq"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("yc") * F.col("yc"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("xq") * F.col("yc"))).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    corr = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
