@@ -159,3 +159,100 @@ def test_freq_items_threshold_is_exact(spark, sf_dir):
     for r in rows:
         assert r["freq"] >= total * 0.005
     assert sum(r["freq"] for r in rows) <= total
+
+
+def test_pagerank_mass_conserved_and_bounded(spark, sf_dir):
+    """PageRank algebra: every node keeps out-degree >= 2 (no dangling
+    mass), so total rank stays ~1 after any number of rounds, and every
+    rank is at least the teleport floor (1-d)/n."""
+    ranks = registry.QUERIES["q_graph_pagerank"](spark, sf_dir)
+    rows = ranks.collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    floor = 0.15 / n
+    assert all(r["rank"] >= floor - 1e-12 for r in rows)
+
+
+def test_chunking_covers_every_token_exactly_by_formula(spark, sf_dir):
+    """Chunk geometry: per doc, #chunks = floor((n-1)/96)+1, every chunk
+    except possibly the last has exactly 128 tokens or runs to the doc
+    end, and the last chunk ends exactly at token n."""
+    chunks = registry.QUERIES["q_text_chunk"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("n_chunk_tokens").alias("min_len"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert got
+    for r in got:
+        expect = (r["n"] - 1) // 96 + 1
+        assert r["n_chunks"] == expect, r
+        assert r["max_idx"] == expect - 1, r
+        # smallest chunk is the tail: n - 96*(chunks-1) tokens (<= 128)
+        tail = r["n"] - 96 * (expect - 1)
+        assert r["min_len"] == min(tail, 128), r
+
+
+def test_sessionize_gaps_split_and_cohere(spark, sf_dir):
+    """Gaps-and-islands algebra: consecutive sessions of one user are
+    separated by >= 1800 s (end of k to start of k+1), and every session's
+    span is bounded by its event count (no negative durations)."""
+    s = registry.QUERIES["q_win_sessionize"](spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_id")
+    g = s.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.lag("session_end").over(w).alias("prev_end"),
+    ).collect()
+    assert g
+    for r in g:
+        assert r["session_end"] >= r["session_start"], r
+        if r["prev_end"] is not None:
+            assert r["session_start"] - r["prev_end"] >= 1800, r
+
+
+def test_bm25_matches_numpy_reference(spark, sf_dir):
+    """Recompute BM25 for the winning docs in pure Python from raw token
+    counts — the Spark pipeline must agree to 6 dp (catches any silent
+    drift in the staged statistics joins)."""
+    import math
+    from collections import Counter
+
+    top = registry.QUERIES["q_rank_bm25"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    tf_tot = Counter()
+    df = Counter()
+    for toks in docs.values():
+        c = Counter(toks)
+        tf_tot.update(c)
+        df.update(c.keys())
+    qterms = sorted(tf_tot, key=lambda t: (-tf_tot[t], t))[:3]
+    n = len(docs)
+    avgdl = float(sum(len(t) for t in docs.values())) / n
+    for row in top:
+        toks = docs[row["doc_id"]]
+        c, dl = Counter(toks), float(len(toks))
+        score = 0.0
+        for t in qterms:
+            if c[t] == 0:
+                continue
+            idf = math.log(1.0 + (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5))
+            s = idf * ((c[t] * 2.2) / (c[t] + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+            score += round(s, 8)
+        assert abs(score - row["bm25"]) < 1e-6, (row, score)
