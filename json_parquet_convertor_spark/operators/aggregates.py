@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.exact import davg, dsum
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 
 @query(

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from json_parquet_convertor_spark.exact import dsum
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 
 @query(
@@ -622,7 +622,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = spread(load_table(spark, sf_dir, "events")).withColumn(
         "bin", F.floor(F.unix_timestamp("ts") / 86400)
     )
     return (
