@@ -691,3 +691,83 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(round(value * 10000, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(vc * vc AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        FROM b GROUP BY user_id
+    ),
+    z AS (
+        SELECT b.user_id, b.vc, s.n, s.sx,
+               (CAST(s.n AS DOUBLE) * s.sxx - s.sx * s.sx)
+                   / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0))
+                   AS var
+        FROM b JOIN s USING (user_id)
+        WHERE s.n >= 2
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN var > 0
+                         AND abs((CAST(vc AS DOUBLE)
+                                  - sx / CAST(n AS DOUBLE)) / sqrt(var))
+                             > 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM z GROUP BY user_id
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score anomaly counts — the monitoring/data-QA pass
+    that flags events more than 3 sample standard deviations from their
+    user's own mean. Built on EXACT integer co-moments (values scaled to
+    1e-4 ticks, per-row squares in int64, sums in DECIMAL(38,0) — the
+    q_agg_corr recipe), so mean/variance/threshold boundaries are
+    bit-identical cross-engine where stddev_samp() never is; z-scores are
+    scale-invariant so the tick scaling cancels.
+
+    Scale: one groupBy(user) for the moments, one same-key join back (
+    co-partitioned — no second table shuffle), one rollup. State per user
+    is three numbers, so the two-pass shape also ports directly to the
+    streaming stateful operator (q_stream_stateful holds exactly this
+    kind of running profile)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("vc"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("vc") * F.col("vc"))).cast("double").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (n_d * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        n_d * (n_d - 1.0)
+    )
+    z = (
+        ev.join(s, "user_id")
+        .filter(F.col("n") >= 2)
+        .withColumn("var", var)
+    )
+    is_anom = (F.col("var") > 0) & (
+        F.abs(
+            (F.col("vc").cast("double") - F.col("sx") / n_d)
+            / F.sqrt(F.col("var"))
+        )
+        > 3.0
+    )
+    return z.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.sum(F.when(is_anom, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )

@@ -1103,3 +1103,99 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("v", F.col("r").cast("double").alias("rank"))
+
+
+_DUCK_CONTAINMENT = f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    rare AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= 100
+    ),
+    pruned AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM pruned a JOIN pruned b
+          ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(c / sa.n, 4) AS containment
+    FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE c / sa.n >= 0.5
+"""
+
+
+@query("q_text_containment", oracle=_DUCK_CONTAINMENT)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle containment C(A→B) = |A∩B| / |A| — the asymmetric
+    companion to Jaccard that catches subset duplication (a doc wholly
+    quoted inside a larger one, boilerplate wrappers around identical
+    bodies): Jaccard divides by the union, so a small doc inside a big one
+    scores low even at 100% overlap, while containment hits 1.0 exactly
+    where dedup policy needs to act (keep the superset, drop the subset).
+
+    Same inverted shingle index and stop-shingle pruning (df ≤ 100) as
+    q_dedup_ngram_jaccard — candidates only ever meet on the shingle
+    equi-join, intersection counts on pruned shingles, denominators on the
+    full sets, identically on both sides. Directed pairs simply keep both
+    join orientations instead of the a < b half.
+
+    Scale: identical posture to the Jaccard pass (bounded bucket
+    occupancy, hash-keyed index); in production both measures come off
+    the SAME cached pair-count table in one pass."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i),
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+    )
+    sh = (
+        spread(docs)
+        .filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.xxhash64(tri(i)),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    shw = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).cache()
+    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.col("c") / F.col("n")
+    return (
+        pairs.join(sizes, pairs.doc_a == sizes.doc_id)
+        .filter(ratio >= 0.5)
+        .select("doc_a", "doc_b", F.round(ratio, 4).alias("containment"))
+    )
