@@ -634,3 +634,50 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+    WITH n AS (SELECT n_name FROM nation)
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS edit_dist
+    FROM n a JOIN n b
+      ON substr(a.n_name, 1, 1) = substr(b.n_name, 1, 1)
+     AND a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 5
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (approximate-string) join with BLOCKING: candidate pairs form
+    only inside first-letter blocks (an equi-join), then Levenshtein
+    distance <= 5 filters inside the block — entity-resolution's standard
+    two-phase shape (block cheaply, compare expensively) expressed as an
+    ordinary shuffled equi-join.
+
+    Without the block key this is an all-pairs O(N²) comparison; with it,
+    cost is Σ block² — and the block key is swappable (soundex, first
+    token, length bucket, LSH of q-grams) without touching the join
+    shape. Levenshtein runs JVM-side in both engines with identical
+    dynamic-programming semantics, so the integer distances hash-match.
+
+    Scale: same posture as every dedup operator here — candidates only
+    ever meet inside equi-join buckets; skewed blocks (everyone named
+    'J...') are exactly the salting / AQE-skew-split case q_join_salted
+    demonstrates."""
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (
+                F.substring("name_a", 1, 1)
+                == F.substring("name_b", 1, 1)
+            )
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(dist <= 5)
+        .select("name_a", "name_b", dist.cast("int").alias("edit_dist"))
+    )

@@ -477,3 +477,76 @@ def q_win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_view_click_buy")))
     )
+
+
+@query(
+    "q_time_spine",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               value
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e
+    ),
+    spine AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM e) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+        ) gs
+    ),
+    daily AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM e GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN daily d
+      ON d.event_type = s.event_type AND d.day = s.day
+    """,
+)
+def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling over a generated date SPINE: the complete
+    (event_type × day) grid materializes from a `sequence` between the
+    observed bounds, then the daily aggregates left-join onto it and
+    missing days fill with zeros — the step every dashboard, forecast
+    input, and SLA report needs, because "no row" and "zero activity" are
+    different facts only the spine makes explicit.
+
+    Scale: the spine is |types| × |days| — metadata-sized however big the
+    fact table is — so it broadcasts; the fact table contributes one
+    ordinary aggregation. Nothing re-scans: bounds come from the daily
+    aggregate itself. Days are epoch-day BIGINTs (cross-engine timestamp
+    discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    ).cache()
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )

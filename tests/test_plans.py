@@ -107,6 +107,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_knn_graph",  # bounded probe-set broadcast (LSH is scale path)
             "q_win_funnel",  # crossJoins of three 1-row funnel-count aggs
             "q_rank_bm25",  # 1-row (N, avgdl) corpus-stats broadcast
+            "q_time_spine",  # 1-row day-bounds broadcast onto the type list
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
