@@ -195,3 +195,40 @@ def q_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate it, add an `ANY(key IS NULL)` flag, and left-join."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SQL_NOT_IN)
+
+
+# Recursive hierarchy walk over a binary tree embedded in the order keys
+# (node k's children are 2k and 2k+1, bounded to 2..127): 127 nodes,
+# depth <= 6, root-to-node paths materialized as strings.
+_SQL_RECURSIVE = """
+WITH RECURSIVE tree AS (
+    SELECT CAST(1 AS BIGINT) AS node, 0 AS depth, CAST('1' AS STRING) AS path
+    UNION ALL
+    SELECT o.o_orderkey, t.depth + 1,
+           t.path || '/' || CAST(o.o_orderkey AS STRING)
+    FROM orders o JOIN tree t
+      ON CAST(floor(o.o_orderkey / 2.0) AS BIGINT) = t.node
+    WHERE o.o_orderkey BETWEEN 2 AND 127
+)
+SELECT node, CAST(depth AS INT) AS depth, path FROM tree
+"""
+
+
+@query("q_sql_recursive", oracle=_SQL_RECURSIVE)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (new in Spark 4): a hierarchy walk materializing
+    root-to-node paths over a binary tree embedded in the order keys —
+    the org-chart / BOM / folder-tree query class that previously needed
+    the driver-side iteration loops (q_dedup_cluster, q_graph_pagerank
+    hand-roll exactly this shape). Byte-identical SQL text runs on both
+    engines (`STRING` aliases VARCHAR in DuckDB; the parent key divides
+    via floor(x / 2.0) because bare `/` is float division in one dialect
+    and integer in the other).
+
+    Scale: each recursion level is one equi-join of the frontier against
+    the child relation — the frontier is the only state that grows, and
+    Spark executes levels as ordinary batch joins (breadth-first), so the
+    100 TB posture matches the manual loop: co-partition on the join key,
+    depth bounded by the hierarchy, never by table size."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_RECURSIVE)
