@@ -64,6 +64,7 @@ _VERIFY_PRIORITY = [
     "q_scan_pruned", "q_setop_all", "q_scan_merge_schema",
     "q_agg_modern", "q_agg_corr", "q_text_containment", "q_anomaly_zscore",
     "q_join_fuzzy", "q_time_spine", "q_sql_recursive",
+    "q_join_spatial_grid", "q_gen_range", "q_agg_weighted",
     # -- never driver-checked (B9 streaming; slower, oracled ones first) --
     "q_stream_foreachbatch", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_dedup", "q_stream_enrich", "q_stream_join",

@@ -771,3 +771,51 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CAST(q AS DECIMAL(38,0))) AS BIGINT) AS total_qty,
+           (CAST(SUM(CAST(pc * q AS DECIMAL(38,0))) AS DOUBLE)
+            / CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE)) / 100.0
+               AS wavg_price
+    FROM b GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per group — the weighted mean that
+    plain AVG silently gets wrong (a 1-unit line and a 50-unit line are
+    not equal evidence). Exact integer co-moment recipe again: price in
+    cents × quantity stays in int64 per row, sums run in DECIMAL(38,0),
+    and the single division + rescale is one fixed IEEE sequence — so the
+    engines agree bit-for-bit with no rounding step at all.
+
+    Scale: one map-side-combined aggregation, same cost envelope as an
+    unweighted AVG."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return b.groupBy("l_returnflag").agg(
+        F.sum(dec(F.col("q"))).cast("bigint").alias("total_qty"),
+        (
+            (
+                F.sum(dec(F.col("pc") * F.col("q"))).cast("double")
+                / F.sum(dec(F.col("q"))).cast("double")
+            )
+            / 100.0
+        ).alias("wavg_price"),
+    )

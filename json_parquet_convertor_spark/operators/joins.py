@@ -681,3 +681,82 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 5)
         .select("name_a", "name_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH p AS (
+        SELECT c_custkey,
+               ((c_custkey * 53) % 1000) / 10.0 AS x,
+               ((c_custkey * 97) % 1000) / 10.0 AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT n_nationkey,
+               ((n_nationkey * 41) % 1000) / 10.0 AS sx,
+               ((n_nationkey * 67) % 1000) / 10.0 AS sy
+        FROM nation
+    )
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_within,
+           round(MIN((x - sx) * (x - sx) + (y - sy) * (y - sy)), 4)
+               AS min_d2
+    FROM p JOIN s
+      ON (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 225.0
+    GROUP BY c_custkey
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID bucketing: points (customers) and
+    stations get deterministic planar coordinates, each station replicates
+    into its 3×3 neighborhood of 15-unit grid cells, and candidates meet
+    on a cell EQUI-join before the exact distance filter — the standard
+    scale-out shape for "find everything within radius r" when no spatial
+    index exists. Cell size = radius guarantees correctness (anything
+    within r of a point lies in the 3×3 block of its cell), and each
+    qualifying pair meets exactly once (a point has ONE cell; replicas
+    are distinct cells).
+
+    The oracle states the naive radius predicate; Spark's plan is the
+    gridded equi-join — same rows, O(points + 9·stations) candidates
+    instead of O(points × stations).
+
+    Scale: only the small station side replicates (×9); the big point
+    side is hashed once on its cell. Skewed cells (urban cores) are the
+    q_join_salted case. Swap the arithmetic cells for geohash/S2/H3
+    prefixes and the join shape is unchanged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 53) % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 97) % 1000) / 10.0).alias("y"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (((F.col("n_nationkey") * 41) % 1000) / 10.0).alias("sx"),
+        (((F.col("n_nationkey") * 67) % 1000) / 10.0).alias("sy"),
+    )
+    p = cust.withColumn("cx", F.floor(F.col("x") / 15)).withColumn(
+        "cy", F.floor(F.col("y") / 15)
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    s = (
+        nat.select("*", offsets.alias("o"))
+        .withColumn("cx", F.floor(F.col("sx") / 15) + F.col("o.dx"))
+        .withColumn("cy", F.floor(F.col("sy") / 15) + F.col("o.dy"))
+        .drop("o")
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        p.join(F.broadcast(s), ["cx", "cy"])
+        .filter(d2 <= 225.0)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_within"),
+            F.round(F.min(d2), 4).alias("min_d2"),
+        )
+    )

@@ -1028,3 +1028,49 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "q_gen_range",
+    oracle="""
+    WITH g AS (
+        SELECT i AS id,
+               CAST(i % 97 AS BIGINT) AS bucket,
+               CAST((i * 2654435761) % 1000003 AS BIGINT) AS val
+        FROM generate_series(0, 99999) t(i)
+    )
+    SELECT CAST(bucket % 10 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM g GROUP BY 1
+    """,
+)
+def q_gen_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-data generation from the `range` source — the dbgen
+    replacement: `spark.range(N)` materializes ids with NO input I/O,
+    split evenly across the cluster's parallelism, and deterministic
+    hash-mixed columns turn the ids into reproducible test/benchmark data
+    (this is how you generate 100 TB of fixtures IN the cluster rather
+    than uploading them).
+
+    The checksum-style aggregate (count/sum/min/max per bucket) pins that
+    both engines derive identical data from the same arithmetic — the
+    property that makes generated fixtures usable for differential
+    testing at all.
+
+    Scale: range is an O(0)-storage source with perfect partitioning (each
+    task gets a contiguous id slice); generation cost is pure codegen
+    arithmetic, so throughput is CPU-bound and linear in cores."""
+    g = spark.range(0, 100000).select(
+        "id",
+        (F.col("id") % 97).alias("bucket"),
+        ((F.col("id") * 2654435761) % 1000003).alias("val"),
+    )
+    return g.groupBy((F.col("bucket") % 10).alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
