@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed after their last driver check, then the rest
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
+    # -- never driver-checked (round-3 session-4 additions) --
+    "q_cohort_retention", "q_cdc_diff", "q_agg_incremental", "q_stats_ttest",
+    "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",
     # -- never driver-checked (B8 scalar functions) --
     "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
     "q_fn_json", "q_fn_conditional",

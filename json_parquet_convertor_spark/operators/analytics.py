@@ -1,0 +1,548 @@
+"""Warehouse-analytics and data-maintenance operators (B12, round 3).
+
+Third tier of the extended inventory: the recurring analytics shapes a
+production warehouse built on the converted parquet runs daily (cohort
+retention, CDC snapshot diffs, incremental rollup maintenance, two-sample
+significance tests, corpus-diversity metrics) plus the multi-dimensional
+Z-order clustering layout primitive and the Gopher-style repetition filter
+an LLM corpus pipeline applies before training. The reference stops at the
+single-row JSON→Parquet conversion (convertor/convertor.go:59-184); these
+are what the resulting lake needs next.
+
+Determinism ground rules (same as operators/corpus.py): every float that
+reaches the driver's value hash is either derived from exact integer/decimal
+arithmetic or computed operation-for-operation identically on both engines,
+then rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_parquet_convertor_spark.registry import query
+from json_parquet_convertor_spark.sources.io import load_table, spread
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH w AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        FROM events
+    ), c AS (
+        SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1
+    )
+    SELECT CAST(floor(epoch(CAST(c.cohort AS TIMESTAMP))) AS BIGINT)
+               AS cohort_week,
+           CAST(floor((epoch(CAST(w.wk AS TIMESTAMP))
+                       - epoch(CAST(c.cohort AS TIMESTAMP))) / 604800)
+                AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in every later week they return — the standard product-analytics
+    triangle.
+
+    Scale design: events collapse to DISTINCT (user, week) FIRST, so every
+    later stage works on user-weeks (bounded by users × weeks), not raw
+    events — at 100 TB that's the difference between shuffling the fact
+    table twice and shuffling a fraction of it once. Both the cohort
+    aggregation and the join back shuffle on user_id, so AQE reuses one
+    exchange layout; the final (cohort, offset) aggregate is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                         * CAST(0.9 AS DECIMAL(2,1))
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DECIMAL(15,3)) END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3))
+                   AS price
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(old.price AS DOUBLE) AS old_price,
+           CAST(new.price AS DOUBLE) AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.price <> new.price
+    """,
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full outer join on
+    the business key, rows classified insert / delete / update (value
+    drift), unchanged rows dropped. The two snapshots are carved
+    deterministically from orders (old misses key%7 rows and has key%3
+    prices rescaled; new misses key%5 rows), so every change class is
+    populated and the oracle reproduces them exactly.
+
+    Price comparison runs in DECIMAL (0.9 rescale included) — exact in both
+    engines; doubles appear only in the output projection.
+
+    Scale design: one equi-join shuffle on the key — the canonical merge
+    pattern. At 100 TB both snapshots are bucketed on the key so the diff
+    is a zero-shuffle sort-merge (q_join_bucketed shows that layout); the
+    WHERE drops the unchanged majority before anything downstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            p * F.lit("0.9").cast("decimal(2,1)"),
+        )
+        .otherwise(p.cast("decimal(15,3)"))
+        .alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", p.cast("decimal(15,3)").alias("price")
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.price").cast("double").alias("old_price"),
+        F.col("n.price").cast("double").alias("new_price"),
+    ).filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (partial-aggregate merge)
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "1996-01-01"
+
+
+@query(
+    "q_agg_incremental",
+    oracle=f"""
+    SELECT CAST(floor(epoch(CAST(date_trunc('month', o_orderdate)
+                                 AS TIMESTAMP))) AS BIGINT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the monthly revenue rollup is NOT
+    recomputed from scratch — a pre-aggregated "yesterday" state (orders
+    before {_CUTOFF}) is merged with the partial aggregate of the new slice
+    by summing the mergeable state (count, decimal sum); avg derives at
+    the end. The oracle aggregates the whole table directly, so a hash
+    match PROVES merge(partial_old, partial_new) == full recompute — the
+    algebraic property every incremental view / streaming rollup rests on.
+
+    Scale design: this is map-side combine made explicit. At 100 TB the
+    old state is a few thousand rollup rows read back from the rollup
+    table, the new slice is one day's partition (partition-pruned scan),
+    and the merge shuffles only rollup-key cardinality — not the fact
+    table. Decimal sums make the merge order-insensitive to the last bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+        "month"
+    )
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").alias("n"), dec_sum.alias("s")
+        )
+
+    old_state = partial(orders.filter(F.col("o_orderdate") < _CUTOFF))
+    new_state = partial(orders.filter(F.col("o_orderdate") >= _CUTOFF))
+    merged = (
+        old_state.unionByName(new_state)
+        .groupBy("month")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("s").cast("double").alias("total_price"),
+        (F.col("s").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Welch t-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), w AS (
+        SELECT
+            MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+            MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+            MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sx2,
+            MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+            MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx2
+        FROM s
+    )
+    SELECT n1, n2,
+           ROUND(sx1 / n1 - sx2 / n2, 4) AS mean_diff,
+           ROUND((sx1 / n1 - sx2 / n2)
+                 / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                        + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
+                 4) AS t_stat
+    FROM w
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (click vs purchase event values) computed
+    from mergeable sufficient statistics: per-group (n, Σx, Σx²) in ONE
+    scan, then the t statistic from the closed form. Both engines
+    accumulate Σx and Σx² in DECIMAL (exact, order-insensitive) and only
+    then enter double arithmetic in an identical operation order, so the
+    rounded statistic is bit-identical — the same trick as exact.py.
+
+    Scale design: sufficient statistics ARE the scalable form of every
+    moment-based test — a single map-side-combining aggregate per group,
+    no second pass for the means, merge-able across partitions/days. The
+    pivot to one row handles group-count rows, not data."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v = F.col("value").cast("decimal(18,4)")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    pick = lambda c, t: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = s.agg(
+        pick("n", "click").alias("n1"),
+        pick("n", "purchase").alias("n2"),
+        pick("sx", "click").alias("sx1"),
+        pick("sx", "purchase").alias("sx2"),
+        pick("sxx", "click").alias("sxx1"),
+        pick("sxx", "purchase").alias("sxx2"),
+    )
+    m1, m2 = F.col("sx1") / F.col("n1"), F.col("sx2") / F.col("n2")
+    var1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round(
+            (m1 - m2)
+            / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2")),
+            4,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus diversity (Simpson / Gini, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                       / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)), 4)
+               AS gini_impurity,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)
+                 / CAST(SUM(cnt * cnt) AS DOUBLE), 4) AS inv_simpson
+    FROM c GROUP BY 1
+    """,
+)
+def q_agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity metrics per language: source count, Gini impurity
+    (1 − Σp²) and inverse Simpson index (effective number of sources,
+    1/Σp²) of the source distribution — the balance check run before
+    corpus mixing (q_corpus_mix decides the weights; this measures the
+    outcome). Deliberately Simpson-based, not Shannon: Σcᵢ² is EXACT
+    integer arithmetic, so both engines agree to the bit, whereas ln()
+    ulp differences between libm implementations could flip a rounding.
+
+    Scale design: two cascaded aggregations, both map-side combining;
+    the first shuffles (lang, source) cardinality, the second lang
+    cardinality — metadata-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    n_docs = F.sum("cnt")
+    sum_sq = F.sum(F.col("cnt") * F.col("cnt"))
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n_sources"),
+        n_docs.alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - sum_sq.cast("double") / (n_docs.cast("double") * n_docs),
+            4,
+        ).alias("gini_impurity"),
+        F.round(
+            n_docs.cast("double") * n_docs / sum_sq.cast("double"), 4
+        ).alias("inv_simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout
+# ---------------------------------------------------------------------------
+
+
+def _morton_expr(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave expression text, valid in BOTH Spark SQL and DuckDB
+    (only >>, &, <<, | on BIGINT literals/columns — parenthesized so the
+    two parsers' precedence tables can't disagree). One engine-shared
+    string keeps the query and its oracle definitionally identical."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_Z_EXPR = _morton_expr("l_partkey", "l_suppkey")
+
+
+@query(
+    "q_sort_zorder",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ({_Z_EXPR}) AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_max,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_min,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the bits of two dimension
+    keys into one sort key, bucket by its prefix, and report each bucket's
+    per-dimension min/max envelope. Buckets = files after an OPTIMIZE
+    ZORDER-style rewrite; the narrow envelopes are exactly what makes
+    parquet min/max stats prune 2-D predicates on BOTH columns — a plain
+    sort on (partkey, suppkey) prunes only the leading one. The interleave
+    expression is generated once and shared verbatim with the oracle, and
+    it's pure integer bit math — JVM codegen on one side, exact match on
+    the other. tests/test_analytics.py asserts the locality property
+    (mean bucket envelope ≪ global range on both dimensions).
+
+    Scale design: computing zval is a stateless per-row projection (no
+    shuffle); the real layout job then range-partitions by zval —
+    repartitionByRange(zval) + sortWithinPartitions — which at 100 TB is
+    one shuffle that buys every later 2-D-filtered scan its pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey", "l_suppkey", F.expr(_Z_EXPR).alias("zval")
+    )
+    return z.groupBy(
+        F.shiftright("zval", 12).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.min("l_suppkey").alias("supp_min"),
+        F.max("l_suppkey").alias("supp_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ), c AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_n,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_frac,
+           ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 4) AS dup_frac,
+           CAST(CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.2 AS INT) AS repetitive
+    FROM c GROUP BY 1
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring (Rae et al. 2021's repetition
+    filters, word-bigram form): per document, the fraction of bigram
+    occurrences taken by the single most frequent bigram (top_frac) and
+    the fraction that are repeats of an earlier occurrence (dup_frac);
+    docs with top_frac > 0.2 are flagged. Boilerplate and looping
+    generations score high and get culled before training. All ratios are
+    integer/integer — bit-identical across engines.
+
+    Scale design: explode → two cascaded combining aggregates, all keyed
+    by doc_id (the second groups the first's output, so it reuses the
+    same hash partitioning — one shuffle of the gram stream, one of
+    per-doc gram counts). Nothing is ever per-corpus: state is bounded
+    per document, so the job scales linearly with corpus size. The HOF
+    alternative (count duplicates inside the array per row) is O(len²)
+    per doc in interpreted expression land — explode keeps it linear and
+    in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = spread(docs).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    tot, dist, top = F.sum("n"), F.count("*"), F.max("n")
+    return c.groupBy("doc_id").agg(
+        tot.alias("n_bigrams"),
+        dist.alias("n_distinct"),
+        top.alias("top_n"),
+        F.round(top.cast("double") / tot, 4).alias("top_frac"),
+        F.round((tot - dist).cast("double") / tot, 4).alias("dup_frac"),
+        (top.cast("double") / tot > 0.2).cast("int").alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding mean-pooling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_pool",
+    oracle="""
+    WITH e AS (
+        SELECT label, i AS pos, embedding[i] AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS mean_val
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding (class centroids — the build step
+    for q_sim_ann_ivf-style coarse quantizers and for prototype/nearest-
+    centroid classifiers), emitted in exploded (label, pos, mean) form so
+    the oracle needs no array reassembly. Sums run in DECIMAL(20,9) —
+    float32 inputs widen exactly, the sum is order-insensitive, and both
+    engines divide the identical exact sum by the count.
+
+    Scale design: posexplode is a stateless row-expander (no shuffle);
+    the single aggregation shuffles (label, pos) — labels × dim keys,
+    each a scalar accumulator, perfectly balanced however skewed the
+    vectors' label distribution is. Pooling a billion 1k-dim vectors is
+    one combining agg over 1e12 scalar updates, all map-side-reduced.
+    The array form, when needed, is one tiny array_agg over the pooled
+    result, never over the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return e.groupBy(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(20,9)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("mean_val"),
+    )

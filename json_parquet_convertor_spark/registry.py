@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from json_parquet_convertor_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         corpus,
         joins,
         llm,
