@@ -39,6 +39,8 @@ _VERIFY_PRIORITY = [
     # -- never driver-checked (round-3 session-4 additions) --
     "q_cohort_retention", "q_cdc_diff", "q_agg_incremental", "q_stats_ttest",
     "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",
+    "q_sample_temperature", "q_skew_diagnose", "q_pairs_copurchase",
+    "q_join_prune_dynamic",
     # -- never driver-checked (B8 scalar functions) --
     "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
     "q_fn_json", "q_fn_conditional",

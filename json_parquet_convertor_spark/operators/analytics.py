@@ -546,3 +546,119 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skew_diagnose",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        GROUP BY 1
+    ), s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS k
+        FROM c
+    ), t AS (
+        SELECT o_custkey, n FROM c ORDER BY n DESC, o_custkey LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS INT)
+               AS rank,
+           o_custkey,
+           n AS n_orders,
+           ROUND(n * 100.0 / r, 4) AS share_pct,
+           ROUND(CAST(n * k AS DOUBLE) / r, 4) AS x_mean
+    FROM t, s
+    """,
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-10 heaviest o_custkey values with
+    their share of the table and their multiple of the mean key load —
+    the diagnostic run BEFORE a big join to decide between plain shuffle,
+    AQE skew split, and manual salting (q_join_salted). A key at 100×
+    mean is a straggler task; at 10 000× it's an OOM.
+
+    All ratios derive from exact integer counts, so both engines agree
+    to the bit.
+
+    Scale design: the per-key count table is orders-of-magnitude smaller
+    than the fact table and combines map-side; the top-10 is
+    TakeOrderedAndProject (no global sort materialization), and the
+    global (rows, keys) pair is a single-row broadcast. Cost is one
+    combining aggregate — cheap enough to run as a pre-flight check on
+    every scheduled big join."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    s = c.agg(F.sum("n").alias("r"), F.count("*").alias("k"))
+    top = c.orderBy(F.desc("n"), "o_custkey").limit(10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "o_custkey")
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "o_custkey",
+            F.col("n").alias("n_orders"),
+            F.round(F.col("n") * 100.0 / F.col("r"), 4).alias("share_pct"),
+            F.round(
+                (F.col("n") * F.col("k")).cast("double") / F.col("r"), 4
+            ).alias("x_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-purchase pair mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pairs_copurchase",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_pairs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence mining (market-basket / co-citation shape):
+    parts ordered together in ≥2 orders, via a within-basket self-join.
+    The a.part < b.part predicate keeps each unordered pair once.
+
+    Scale design: the self-join is an equi-join on the basket key, so
+    pairs are only ever generated WITHIN one basket's partition — cost is
+    Σ k²/2 over basket sizes, not |table|². TPC-H baskets are ≤ 7 lines;
+    a real pipeline guards unbounded baskets by capping k (sample or
+    truncate per basket) before the pair explosion — same hot-key guard
+    as q_dedup_ngram_jaccard's stop-shingle df cap. The pair-count
+    aggregate combines map-side, and the HAVING floor prunes the long
+    tail before anything downstream consumes it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -760,3 +760,61 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(d2), 4).alias("min_d2"),
         )
     )
+
+
+@query(
+    "q_join_prune_dynamic",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') = '1997'
+    GROUP BY 1
+    """,
+)
+def q_join_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by month (the 100 TB date-partitioned-lake layout), the dim side
+    selects months through a derived attribute (year), and Spark injects
+    the dim's runtime join-key values as a partition filter into the fact
+    scan — only the 12 matching month directories are read, without the
+    query ever naming them statically. tests/test_plans.py asserts the
+    `dynamicpruning` subquery is present in the fact scan's partition
+    filters.
+
+    At 100 TB this is THE mechanism that turns "join fact to a filtered
+    dim" into "read 1% of the fact table": static pruning can't see
+    through the join, and without DPP the scan reads every partition.
+    The partitioned copy is written once per process (not per call) —
+    layout jobs are amortized across every query that reads them."""
+    import os
+
+    from json_parquet_convertor_spark.operators.relational import run_tmp
+
+    dest = run_tmp(f"dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.partitionBy("o_month")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+    fact = spark.read.parquet(dest)
+    dim = (
+        fact.select("o_month")
+        .distinct()
+        .withColumn("o_year", F.substring("o_month", 1, 4))
+        .filter(F.col("o_year") == "1997")
+        .select("o_month")
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

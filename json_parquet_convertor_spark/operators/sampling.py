@@ -159,3 +159,81 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("es_key")
     )
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(18,9))) AS DOUBLE)
+                   AS sum_w
+        FROM c
+    ), d AS (
+        SELECT lang, n_docs,
+               least(1.0, sqrt(n_docs) / sum_w * (n_total / 2.0) / n_docs)
+                   AS frac
+        FROM c, t
+    )
+    SELECT d.lang,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 1000003
+                              < CAST(frac * 1000003 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(frac), 4) AS keep_frac
+    FROM documents JOIN d USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) corpus resampling — the multilingual
+    rebalancing rule from XLM-R / mT5: language ℓ is sampled with
+    probability ∝ n_ℓ^α, boosting low-resource languages relative to their
+    natural share while the total draw is held at half the corpus. The
+    per-language keep fraction follows from the α-scaled distribution;
+    membership is the same deterministic id-hash as q_sample_split, so the
+    realized sample is reproducible row-for-row across engines and runs.
+
+    Determinism: sqrt is correctly rounded in both engines; the cross-
+    language Σ√n runs in DECIMAL (order-insensitive); the remaining double
+    arithmetic is written operation-for-operation identically.
+
+    Scale design: the language histogram and keep-fraction table are
+    metadata-sized, broadcast to the corpus scan; the sample itself is a
+    stateless per-row hash test — zero shuffle beyond the final per-lang
+    count, which combines map-side. Changing α or the target size touches
+    only the broadcast table, never the corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt("n_docs").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sum_w"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.sqrt("n_docs")
+            / F.col("sum_w")
+            * (F.col("n_total") / F.lit(2.0))
+            / F.col("n_docs"),
+        ).alias("frac"),
+    )
+    kept = (
+        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003))
+        < (F.col("frac") * 1000003).cast("bigint")
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(d), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.sum(kept).alias("n_kept"),
+            F.round(F.min("frac"), 4).alias("keep_frac"),
+        )
+    )

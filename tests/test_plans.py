@@ -196,3 +196,18 @@ def test_pruned_scan_uses_partition_filters(spark, sf_dir):
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines, plan
     assert any("o_orderstatus" in l for l in pf_lines), pf_lines
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """The fact scan's PartitionFilters must contain the runtime
+    dynamicpruning subquery — proof the month list flows from the dim
+    join into the partition listing instead of a full scan."""
+    plan = _plan(spark, sf_dir, "q_join_prune_dynamic")
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_skew_diagnose_topk_no_global_sort(spark, sf_dir):
+    """Top-10 heaviest keys must be TakeOrderedAndProject over the key
+    counts, not a full Sort of the count table."""
+    plan = _plan(spark, sf_dir, "q_skew_diagnose")
+    assert "TakeOrderedAndProject" in plan, plan
