@@ -41,6 +41,8 @@ _VERIFY_PRIORITY = [
     "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",
     "q_sample_temperature", "q_skew_diagnose", "q_pairs_copurchase",
     "q_join_prune_dynamic",
+    "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
+    "q_scan_csv_corrupt",
     # -- never driver-checked (B8 scalar functions) --
     "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
     "q_fn_json", "q_fn_conditional",

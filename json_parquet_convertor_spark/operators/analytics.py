@@ -662,3 +662,180 @@ def q_pairs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT v) FROM (
+               SELECT pa AS v FROM e UNION ALL SELECT pb FROM e
+           )) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1
+                 JOIN e e2 ON e2.pa = e1.pb
+                 JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts bought together
+    in ≥2 orders): the clustering-coefficient numerator used for community
+    detection and link-spam scoring. Edges are canonically oriented
+    (pa < pb), so each triangle a<b<c is found exactly once by joining
+    wedge (a,b)+(b,c) against closing edge (a,c) — no /6 correction, no
+    double counting.
+
+    Scale design: this is the standard two-equi-join triangle algorithm —
+    both joins shuffle on vertex keys, never enumerate non-edges, and the
+    canonical orientation bounds each wedge list by the out-degree of its
+    lowest-id vertex (at web scale you'd additionally orient by degree —
+    same plan, different comparator). The co-purchase edge builder
+    already caps basket blow-up via q_pairs_copurchase's reasoning, and
+    the ≥2-support filter prunes the edge set before any join."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    verts = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
+        .agg(F.countDistinct("v").alias("n_vertices"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return verts.crossJoin(edges).crossJoin(tris)
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (sweep line)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + greatest(1, CAST(floor(value) AS BIGINT)) AS e
+        FROM events
+    ), pts AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM iv
+    ), run AS (
+        SELECT event_type,
+               SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY 1
+    """,
+)
+def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the sweep line: every interval
+    [start, start+duration) contributes +1/−1 points, a running sum over
+    the time-ordered points is the number of live intervals, and its max
+    is the answer (capacity planning / peak-sessions analytics). Ends
+    sort before starts at the same instant (ORDER BY t, delta), which
+    encodes the half-open interval convention.
+
+    Scale design: the naive form is one running sum per event_type —
+    five partitions, five tasks, however big the data. This
+    implementation is the scale-safe two-phase split: points carry a day
+    bucket, the running sum is computed WITHIN (type, day) partitions,
+    and each day adds the carry-in offset of all prior days (a tiny
+    per-day aggregate cumulated over day-count rows). The big window
+    state is then bounded by a day's points, the shuffle key is
+    (type, day), and the global max is exact because a running sum
+    telescopes: in-day prefix + prior-days total."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.lit(1), F.floor("value").cast("bigint"))
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    day = F.floor(F.col("t") / 86400).alias("day")
+    pts = pts.select("event_type", "t", "delta", day)
+
+    from pyspark.sql import Window
+
+    in_day = Window.partitionBy("event_type", "day").orderBy(
+        "t", "delta"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day_tot = (
+        pts.groupBy("event_type", "day").agg(F.sum("delta").alias("d_sum"))
+    )
+    carry_w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("d_sum").over(carry_w), F.lit(0)).alias("carry"),
+    )
+    run = (
+        pts.withColumn("in_day", F.sum("delta").over(in_day))
+        .join(carry, ["event_type", "day"])
+        .select("event_type", (F.col("in_day") + F.col("carry")).alias("live"))
+    )
+    return run.groupBy("event_type").agg(
+        F.max("live").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )

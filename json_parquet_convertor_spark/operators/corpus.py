@@ -528,3 +528,64 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lp").cast("double") / F.count("*")).alias("avg_lp"),
         )
     )
+
+
+@query(
+    "q_bpe_merge",
+    oracle="""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY 1
+    ), pairs AS (
+        SELECT substring(w, i, 2) AS pair, freq
+        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ), agg AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY 1
+    )
+    SELECT pair, n
+    FROM agg
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection step (Sennrich et al. 2016): count adjacent
+    character pairs across the corpus vocabulary weighted by word
+    frequency, and rank the top-20 merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training, run here exactly as a
+    distributed engine should run it.
+
+    Scale design: the pair counts come from the VOCABULARY (distinct
+    words × their frequency), not the raw token stream — the corpus
+    collapses to its vocab in one combining aggregate first, so the
+    character-pair explosion touches each distinct word once no matter
+    how often it occurs. Both aggregations combine map-side; the top-20
+    is TakeOrderedAndProject. Real BPE training iterates this step with
+    a re-segmented vocab — each iteration is this same job over a
+    vocab-sized (not corpus-sized) input."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )

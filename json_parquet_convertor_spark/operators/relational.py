@@ -1074,3 +1074,69 @@ def q_gen_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@query(
+    "q_scan_csv_corrupt",
+    # the valid rows ARE nation; the 3 malformed lines are appended by the
+    # query itself, so their count is a known constant
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM nation
+    """,
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on a CSV source: the file contains valid
+    rows plus lines whose types don't parse; PERMISSIVE mode (the scale
+    default — a 100 TB ingest must not die on row 3 billion) nulls the
+    bad fields and captures the raw line in _corrupt_record for a
+    quarantine sink, and the query reports good/corrupt counts plus an
+    aggregate over the clean rows. The alternative modes are one option
+    away: DROPMALFORMED (silently skip) and FAILFAST (abort — the
+    reference's Go converter reacts to a bad payload by skipping the
+    message, convertor/convertor.go:118-124, i.e. DROPMALFORMED
+    semantics; PERMISSIVE+quarantine is strictly more auditable).
+
+    Scale note: corrupt capture costs one extra string column on bad
+    rows only; the count/aggregate pipeline stays fully vectorized (the
+    tiny cache() is the documented requirement for reading the corrupt
+    column in the same query that references parsed columns)."""
+    import os
+
+    dst = run_tmp("scan_csv_corrupt")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_csv(nation, dst)
+    # append one extra part file holding only malformed lines
+    bad = os.path.join(dst, "part-bad.csv")
+    if not os.path.exists(bad):
+        with open(bad, "w") as f:
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            f.write("not_an_int,BADLAND,0\n")
+            f.write("99,NOWHERE,not_an_int\n")
+            f.write("x,y,z\n")
+    back = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT,"
+            " _corrupt_record STRING"
+        )
+        .csv(dst)
+    )
+    back = back.cache()  # PERMISSIVE corrupt-capture needs the raw row
+    return back.agg(
+        F.sum(
+            F.col("_corrupt_record").isNull().cast("bigint")
+        ).alias("n_good"),
+        F.sum(
+            F.col("_corrupt_record").isNotNull().cast("bigint")
+        ).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).alias("sum_region"),
+    )
