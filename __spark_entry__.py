@@ -43,6 +43,8 @@ _VERIFY_PRIORITY = [
     "q_join_prune_dynamic",
     "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
     "q_scan_csv_corrupt",
+    "q_join_null_safe", "q_join_asof_tolerance", "q_union_evolution",
+    "q_agg_bitmap_distinct",
     # -- never driver-checked (B8 scalar functions) --
     "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
     "q_fn_json", "q_fn_conditional",

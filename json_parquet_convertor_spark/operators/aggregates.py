@@ -819,3 +819,53 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("wavg_price"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               user_id // 32 AS word_idx,
+               bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS word
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e2
+                 WHERE e2.event_type = b.event_type) AS BIGINT)
+               AS n_users_exact
+    FROM b GROUP BY 1
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via bitmap aggregation: dense integer ids are
+    packed 32-per-word (word = OR of 1<<bit; 32 not 64 keeps the shift clear of int64 sign-bit overflow checks), and the distinct count is
+    Σ popcount(word) — the roaring-bitmap technique relational engines
+    use to make COUNT(DISTINCT) mergeable. The result is returned NEXT
+    TO the engine's native COUNT(DISTINCT) so the driver hash-check
+    itself proves bitmap == exact on both engines.
+
+    Scale design: this is the merge-friendly exact distinct — per-word
+    partial bitmaps OR together associatively (map-side combine works,
+    unlike raw COUNT(DISTINCT) which must shuffle ids), the shuffle
+    carries one BIGINT per 32 ids, and cross-day rollups OR the stored
+    words instead of rescanning ids. COUNT(DISTINCT) in the same query
+    exists purely as the self-check."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        (F.col("user_id") / 32).cast("bigint").alias("word_idx"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("word")
+    )
+    bitmap = b.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type")

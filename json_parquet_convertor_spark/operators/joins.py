@@ -818,3 +818,145 @@ def q_join_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_custkey % 50 END AS k
+        FROM orders
+    ), c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_custkey % 50 END AS k
+        FROM customer
+    )
+    SELECT o.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY 1
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    EACH OTHER instead of vanishing — the semantics dimension-key joins
+    need when "unknown" is itself a bucket (unattributed traffic, missing
+    region). A plain `=` join silently drops every NULL-keyed row on both
+    sides; flagging that difference is why this is its own operator.
+
+    Scale design: Spark plans `<=>` as an ordinary hash join — NULL
+    hashes like any value, so the join stays a shuffled equi-join (NO
+    fallback to nested-loop, asserted in tests/test_plans.py). Caveat at
+    100 TB: the NULL bucket is a single key and can be the biggest skew
+    hot spot in the table — exactly what q_skew_diagnose surfaces and
+    q_join_salted fixes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+    )
+    c = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, None)
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("k"),
+    )
+    return (
+        o.alias("o")
+        .join(c.alias("c"), F.col("o.k").eqNullSafe(F.col("c.k")))
+        .groupBy(F.col("o.k").alias("k"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c.c_custkey").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey AS u,
+               TIMESTAMP '2024-01-01'
+                   + to_seconds(CAST(o_orderkey % 2678400 AS BIGINT)) AS ts
+        FROM orders
+    ), m AS (
+        SELECT o.o_orderkey,
+               MAX(e.ts) AS ev_ts
+        FROM o JOIN events e
+          ON e.user_id = o.u
+         AND CAST(e.ts AS TIMESTAMP) <= o.ts
+         AND CAST(e.ts AS TIMESTAMP) >= o.ts - INTERVAL 6 HOUR
+        GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           CAST(floor(epoch(m.ev_ts)) AS BIGINT) AS ev_epoch,
+           CAST(m.ev_ts IS NOT NULL AS INT) AS matched
+    FROM o LEFT JOIN m USING (o_orderkey)
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof
+    `tolerance=`): each order matches the latest same-user event at or
+    before its timestamp, but only if that event is ≤ 6 hours old —
+    stale features are worse than no features in an online-training
+    pipeline, so the feature-store read API makes the bound explicit.
+
+    Same union-merge engine as q_join_asof (one linear shuffle on the
+    user key, O(1) state per row, no quadratic pair blow-up): carry the
+    last event time forward per user, then APPLY THE TOLERANCE as a
+    post-filter that nulls out matches older than the bound. The oracle
+    uses the naive bounded join+MAX formulation — quadratic per user,
+    fine at test scale, and exactly what the union-merge must reproduce.
+
+    Order timestamps spread over the whole event month (seconds
+    granularity) so tolerance hits and misses both occur."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("u"),
+        F.expr(
+            "TIMESTAMP '2024-01-01'"
+            " + make_interval(0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2678400 AS INT))"
+        ).alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("timestamp").alias("ev_ts_in"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("user_id").alias("u"),
+        "ts",
+        F.lit(0).alias("is_order"),
+        F.col("ts").alias("ev_ts_in"),
+    )
+    from pyspark.sql import Window
+
+    merged = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ts", "is_order")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_ev", F.last("ev_ts_in", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_order") == 1)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("last_ev")
+                >= F.col("ts") - F.expr("INTERVAL 6 HOUR"),
+                F.unix_timestamp("last_ev"),
+            ).alias("ev_epoch"),
+        )
+        .withColumn(
+            "matched", F.col("ev_epoch").isNotNull().cast("int")
+        )
+    )

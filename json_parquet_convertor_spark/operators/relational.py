@@ -1140,3 +1140,39 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
         ).alias("sum_region"),
     )
+
+
+@query(
+    "q_union_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_clerk, 'v1' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           'clerk#' || CAST(o_custkey % 100 AS VARCHAR) AS o_clerk, 'v2' AS src
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: batch v1 predates the o_clerk column, batch
+    v2 carries it; `unionByName(allowMissingColumns=True)` aligns by NAME
+    and null-fills the gap — the append pattern every long-lived dataset
+    hits when producers add fields. Positional unionAll would silently
+    misalign or reject; q_scan_merge_schema covers the same evolution at
+    the parquet-reader level, this covers it at the plan level.
+
+    Scale: union is a zero-shuffle plan concatenation — partitions of
+    both children pass through untouched; the null-fill is a constant
+    projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("clerk#"), (F.col("o_custkey") % 100).cast("string"))
+        .alias("o_clerk"),
+        F.lit("v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
