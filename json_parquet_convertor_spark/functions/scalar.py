@@ -482,3 +482,85 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.col("n_name").cast("binary")) == F.length("n_name")
         ).alias("ascii_only"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10.0
+               AS k_scaled,
+           CAST(json_extract_string(props, '$.absent') AS INTEGER) AS k_absent
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (new in Spark 4): `parse_json` once
+    into the binary variant encoding, then typed `variant_get` path
+    extraction — the schema-on-read answer to q_fn_json's string
+    re-parsing (each json_extract re-tokenizes the string; variant_get
+    navigates a parsed binary). Missing paths yield NULL, matching the
+    oracle's json_extract on an absent key.
+
+    At 100 TB the difference is real: a props column read k times as
+    strings costs k parses per row; stored as VARIANT (or parsed once per
+    row as here) it costs one parse + k binary lookups, all JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        (
+            F.try_variant_get(v, "$.k", "double") / F.lit(10.0)
+        ).alias("k_scaled"),
+        F.try_variant_get(v, "$.absent", "int").alias("k_absent"),
+    )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                      ELSE lower(p_brand) END AS p_brand, p_type
+          FROM part)
+    GROUP BY 1
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (new in Spark 4): the brand key arrives
+    with inconsistent casing (mixed producers — the classic dirty-dim
+    problem) and is grouped under the UTF8_LCASE collation, so 'BRAND#12'
+    and 'brand#12' are THE SAME group without materializing a lower()'d
+    copy of the column. The output key is lowercased for the oracle,
+    which models the same semantics the portable way.
+
+    At scale collation beats normalize-and-store when the original
+    casing must survive for display: the comparator changes, the bytes
+    don't — no second column, no rewrite of 100 TB of strings."""
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_brand")
+        )
+        .otherwise(F.lower("p_brand"))
+        .alias("p_brand"),
+        "p_type",
+    )
+    return (
+        dirty.groupBy(
+            F.expr("collate(p_brand, 'UTF8_LCASE')").alias("b_ci")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .select(
+            F.lower(F.col("b_ci").cast("string")).alias("brand_ci"),
+            "n_parts",
+            "n_types",
+        )
+    )

@@ -1176,3 +1176,39 @@ def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v2").alias("src"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@query(
+    "q_scan_xml",
+    # the XML round-trip is lossless on nation, so the source table IS the
+    # expected output (same convention as q_scan_csv)
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (built-in `xml` format, new in Spark 4): write
+    nation as row-tagged XML, read it back with an EXPLICIT schema — the
+    B2B/legacy-feed front door (the same ingest posture as q_scan_csv:
+    never inferSchema, that's a second full pass at scale).
+
+    Scale: the StAX row reader splits on rowTag boundaries, so XML files
+    parallelize per-file (not per-block) — at 100 TB you keep XML inputs
+    many-small-files or convert once to parquet (this repo's whole
+    reason to exist) rather than scanning XML twice."""
+    dst = run_tmp("scan_xml")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(dst)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(dst)
+    )
+    return back.orderBy("n_nationkey")

@@ -550,3 +550,56 @@ def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "q_win_pattern",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               LAG(value) OVER w AS prev_v,
+               LEAD(value) OVER w AS next_v
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_v > value AND value < next_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dips,
+           CAST(SUM(CASE WHEN prev_v < value AND value > next_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+    FROM s GROUP BY 1
+    """,
+)
+def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): count strict
+    local minima ("dips" — drop then recovery) and maxima ("peaks") in
+    each user's value series — the down-up / up-down shapes behind
+    bounce detection, double-bottom alerts, and sensor-glitch filters,
+    expressed with lag/lead instead of a CEP engine.
+
+    Scale design: one shuffle on user_id; lag/lead and the dip/peak
+    conditionals all evaluate inside the SAME window partitioning (no
+    second exchange, no self-join against offset copies — the naive
+    t-1/t/t+1 self-join would shuffle the table three times). Per-user
+    sequence state is two rows, whatever the history length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    dip = (F.col("prev_v") > F.col("value")) & (
+        F.col("value") < F.col("next_v")
+    )
+    peak = (F.col("prev_v") < F.col("value")) & (
+        F.col("value") > F.col("next_v")
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(dip, 1).otherwise(0)).alias("n_dips"),
+        F.sum(F.when(peak, 1).otherwise(0)).alias("n_peaks"),
+    )
