@@ -46,6 +46,7 @@ _VERIFY_PRIORITY = [
     "q_join_null_safe", "q_join_asof_tolerance", "q_union_evolution",
     "q_agg_bitmap_distinct",
     "q_scan_xml", "q_fn_variant", "q_fn_collation", "q_win_pattern",
+    "q_udf_cogroup", "q_observe_qc", "q_cache_reuse",
     # -- never driver-checked (B8 scalar functions) --
     "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
     "q_fn_json", "q_fn_conditional",

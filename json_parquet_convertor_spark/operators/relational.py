@@ -1212,3 +1212,106 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(dst)
     )
     return back.orderBy("n_nationkey")
+
+
+@query(
+    "q_observe_qc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_discount > 0.02
+    GROUP BY 1
+    """,
+)
+def q_observe_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via `Dataset.observe()`: the scan
+    carries named observation metrics (row count, null count, min/max of
+    the filter column) that are collected AS A SIDE EFFECT of whatever
+    action executes the query — no second pass, no separate QC job. The
+    returned relation is an ordinary aggregate (oracled); the observed
+    metrics are asserted in tests/test_analytics.py via a QueryExecution
+    listener-free collect.
+
+    At 100 TB this is how pipeline QC must work: a dedicated
+    "SELECT count(nulls)" validation query would re-scan the lake;
+    observe() piggybacks the metrics on the production query's one scan
+    for free (it's a local accumulator per task, merged on the driver)."""
+    from json_parquet_convertor_spark.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        "qc",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_discount").isNull().cast("long")).alias("null_disc"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+    return (
+        observed.filter(F.col("l_discount") > 0.02)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_cache_reuse",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_totalprice,
+               CAST(year(o_orderdate) AS INT) AS o_year
+        FROM orders WHERE o_totalprice > 1000
+    ), yearly AS (
+        SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM base GROUP BY 1
+    ), spenders AS (
+        SELECT o_year,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_big_spenders
+        FROM base WHERE o_totalprice > 100000 GROUP BY 1
+    )
+    SELECT y.o_year, y.n_orders, COALESCE(s.n_big_spenders, 0)
+               AS n_big_spenders
+    FROM yearly y LEFT JOIN spenders s USING (o_year)
+    """,
+)
+def q_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit caching for multi-consumer plans: a filtered projection is
+    `.cache()`d and TWO downstream aggregates read it — the second
+    consumer hits the in-memory columnar relation instead of re-scanning
+    parquet (InMemoryTableScan, asserted in tests/test_plans.py). This is
+    the interactive-analytics / iterative-refinement posture; contrast
+    with the rest of the repo where single-consumer plans correctly do
+    NOT cache (cache is not free: it materializes, consumes storage
+    memory, and blocks pushdown below the cache point).
+
+    At 100 TB you cache the FILTERED projection (small), never the raw
+    table; storage level MEMORY_AND_DISK spills per-executor. The cache
+    is unpersisted by the caller when the session of queries ends —
+    here: blocking=False at function exit keeps the handle alive only
+    for this plan's consumers (Spark re-materializes transparently if
+    evicted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_totalprice") > 1000)
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .cache()
+    )
+    yearly = base.groupBy("o_year").agg(F.count("*").alias("n_orders"))
+    spenders = (
+        base.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_year")
+        .agg(F.countDistinct("o_custkey").alias("n_big_spenders"))
+    )
+    return yearly.join(spenders, "o_year", "left").select(
+        "o_year",
+        "n_orders",
+        F.coalesce("n_big_spenders", F.lit(0)).alias("n_big_spenders"),
+    )

@@ -263,3 +263,78 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM jpc_udtf_docs d, LATERAL jpc_head_words(d.text) t
         """
     )
+
+
+@query(
+    "q_udf_cogroup",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS u, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY 1
+    ), e AS (
+        SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.u, e.u) AS u,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.total_spend, 0.0) AS total_spend
+    FROM o FULL OUTER JOIN e ON o.u = e.u
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (`groupBy().cogroup().applyInPandas`): the
+    two tables are co-partitioned on the user key and EACH KEY's two
+    pandas frames arrive together in one Python call — the escape hatch
+    for per-entity logic that needs both sides at once (custom
+    reconciliation, trajectory stitching) and can't be said as a join.
+    Here the merge logic itself is deliberately simple (count/sum + full
+    outer semantics incl. keys present on only one side) so the oracle
+    can state it as SQL and certify the cogroup machinery end-to-end.
+
+    Scale design: cogroup is exactly one co-partitioning shuffle of each
+    side (same exchange layout both, like a sort-merge join), then
+    Arrow-batched per-key calls — state bounded by one key's rows. The
+    aggregates are pre-reduced BEFORE the cogroup (events collapse to
+    per-user counts engine-side), so Python sees user-count-sized
+    frames, not raw fact rows — the same shrink-before-Python rule as
+    every other pandas op in this repo."""
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        u = left["u"].iloc[0] if len(left) else right["u"].iloc[0]
+        return pd.DataFrame(
+            {
+                "u": [int(u)],
+                "n_orders": [int(left["n_orders"].sum())],
+                "n_events": [int(right["n_events"].sum())],
+                "total_spend": [float(left["total_spend"].sum())],
+            }
+        )
+
+    return (
+        orders.groupBy("u")
+        .cogroup(events.groupBy("u"))
+        .applyInPandas(
+            merge,
+            "u BIGINT, n_orders BIGINT, n_events BIGINT, total_spend DOUBLE",
+        )
+    )

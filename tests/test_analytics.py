@@ -109,3 +109,19 @@ def test_incremental_merge_state_is_two_sided(spark, sf_dir):
 
     merged_n = total.agg(F.sum("n_orders")).collect()[0][0]
     assert merged_n == n_old + n_new
+
+
+def test_observe_metrics_collected(spark, sf_dir):
+    """q_observe_qc's named observation must surface real metrics after an
+    action, without a second scan."""
+    df = registry.QUERIES["q_observe_qc"](spark, sf_dir)
+    df.collect()
+    # walk the logical plan to the CollectMetrics node's result
+    from pyspark.sql.observation import Observation  # noqa: F401
+
+    metrics = df._jdf.queryExecution().observedMetrics()
+    row = metrics.get("qc").get()
+    seen = row.getAs("rows_seen")
+    assert seen > 0
+    assert row.getAs("null_disc") == 0
+    assert 0.0 <= row.getAs("min_disc") <= row.getAs("max_disc")

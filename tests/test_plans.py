@@ -211,3 +211,12 @@ def test_skew_diagnose_topk_no_global_sort(spark, sf_dir):
     counts, not a full Sort of the count table."""
     plan = _plan(spark, sf_dir, "q_skew_diagnose")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
+    """Both consumers of the cached base must read InMemoryTableScan (the
+    cached columnar relation), not re-scan parquet twice."""
+    df = registry.QUERIES["q_cache_reuse"](spark, sf_dir)
+    df.collect()  # materialize the cache
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
