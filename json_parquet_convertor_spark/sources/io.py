@@ -33,10 +33,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects (Spark timestamps are micros). We read nanos as long via the
-    legacy conf and truncate to micros — the same truncation DuckDB applies
-    on ``CAST(ts AS TIMESTAMP)``, so oracles stay comparable.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader only accepts
+    as a long via the legacy conf — we truncate to micros, the same
+    truncation DuckDB applies on ``CAST(ts AS TIMESTAMP)``) and plain
+    TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    TIMESTAMP_NTZ). Both normalize to a session-local TIMESTAMP here so
+    every query sees one stable type; with the session pinned to UTC the
+    NTZ→LTZ cast is wall-clock-identity and matches the tz-naive DuckDB
+    oracle exactly.
 
     The session timezone is pinned to UTC here (runtime conf) because the
     caller may hand us a default-configured session: timestamp literals in
@@ -49,7 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        if ts_type != "timestamp":  # timestamp_ntz → session-UTC timestamp
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
