@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed after their last driver check, then the rest
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
+    # -- never driver-checked (round-3 session-5 additions) --
+    "q_join_bloom_prefilter", "q_anomaly_mad", "q_stats_linreg",
+    "q_fn_regex", "q_embed_pca",
     # -- never driver-checked (round-3 session-4 additions) --
     "q_cohort_retention", "q_cdc_diff", "q_agg_incremental", "q_stats_ttest",
     "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",

@@ -564,3 +564,49 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types",
         )
     )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]*ow[a-z]*') AS first_ow_word,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INT)
+               AS n_a_words,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+           CAST(len(regexp_extract_all(text, '[^ ]+')) AS INT) AS n_tokens_re,
+           regexp_matches(text, 'spark.*window|window.*spark') AS has_both
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function family — extract / extract_all /
+    count / replace / rlike, the pattern toolkit behind PII scrubbing
+    (q_text_scrub_pii), tokenization (q_text_tokens) and log parsing.
+    Patterns stay in the character-class + alternation subset that Java's
+    regex (Spark) and RE2 (DuckDB) interpret identically — no backrefs,
+    no lookaround, no \\d-style classes whose Unicode breadth differs.
+    regexp_replace needs DuckDB's 'g' flag to match Spark's
+    replace-all default; both engines return '' for a no-match extract.
+
+    Scale: all five are row-local codegen'd JVM expressions — no
+    shuffle, no Python; the regexes compile once per task, not per
+    row."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]*ow[a-z]*", 0).alias("first_ow_word"),
+        F.regexp_count("text", F.lit("[a-z]+a[a-z]*")).cast("int").alias(
+            "n_a_words"
+        ),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias(
+            "len_no_vowels"
+        ),
+        F.regexp_count("text", F.lit("[^ ]+")).cast("int").alias(
+            "n_tokens_re"
+        ),
+        F.col("text").rlike("spark.*window|window.*spark").alias("has_both"),
+    )

@@ -869,3 +869,151 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users_exact")
     )
     return bitmap.join(exact, "event_type")
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(round(value * 10000, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, median(vc) AS med FROM b GROUP BY 1
+    ),
+    d AS (
+        SELECT b.event_type, b.vc, m.med,
+               abs(CAST(b.vc AS DOUBLE) - m.med) AS dev
+        FROM b JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(MAX(d.med) / 10000, 4) AS median_value,
+           round(MAX(s.mad) / 10000, 4) AS mad_value,
+           CAST(SUM(CASE WHEN s.mad > 0
+                         AND d.dev > 3.0 * 1.4826 * s.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    monitoring rule that survives the outliers it is hunting (a single
+    10^6× spike drags a z-score mean far enough to mask every other
+    anomaly; it moves a median by one rank). An event is an outlier when
+    its absolute deviation from the group median exceeds 3 scaled MADs
+    (1.4826 ≈ consistency constant vs a normal σ).
+
+    Determinism: medians interpolate the two middle values at even
+    counts, so they are computed over 1e-4-tick INTEGER values (the
+    q_anomaly_zscore recipe) — interpolated halves are exact doubles and
+    both engines agree bit-for-bit, where median over raw doubles is
+    summation-order-safe but tie-interpolation-fragile.
+
+    Scale design: exact median needs the group's values together — one
+    shuffle per median pass (Spark's sort-based percentile), one
+    co-partitioned join back for the deviations. At 100 TB swap both
+    medians for approx_percentile (t-digest, map-side combinable,
+    zero extra shuffle) and keep the identical downstream rule; the
+    two-pass shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(F.median("vc").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("vc").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("mad") > 0) & (
+        F.col("dev") > 3.0 * 1.4826 * F.col("mad")
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("med") / 10000, 4).alias("median_value"),
+        F.round(F.max("mad") / 10000, 4).alias("mad_value"),
+        F.sum(is_out.cast("bigint")).alias("n_outliers"),
+    )
+
+
+@query(
+    "q_stats_linreg",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS xq,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(xq * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM b GROUP BY 1
+    )
+    SELECT l_returnflag AS flag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) / 100.0, 4) AS slope,
+           round((sy - sx * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n AS DOUBLE) * sxx - sx * sx)))
+                 / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (slope / intercept / R²) of extended
+    price on quantity — the regr_slope / regr_intercept / regr_r2
+    aggregate family, computed from closed-form co-moments. The built-in
+    regr_* aggregates stream doubles in partition order, so their last
+    ulp is nondeterministic across engines AND across runs; here the
+    five co-moment sums run over integer ticks in DECIMAL(38,0) (the
+    q_agg_corr recipe) and every engine derives the identical doubles
+    from identical exact sums. The 1e-2 price tick scale divides back
+    out of slope/intercept; R² is scale-free.
+
+    Scale design: a single map-side-combining aggregate — per-group
+    state is six numbers regardless of row count, the same
+    merge-anywhere co-moment shape sketches use; nothing about the plan
+    changes from sf0.001 to 100 TB but the partition count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("yc"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("xq"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("yc"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("xq") * F.col("xq"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("yc") * F.col("yc"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("xq") * F.col("yc"))).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    cov_n = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return s.select(
+        F.col("l_returnflag").alias("flag"),
+        "n",
+        F.round(slope / 100.0, 4).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("sx") * slope) / n_d / 100.0, 4
+        ).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 4).alias("r2"),
+    )

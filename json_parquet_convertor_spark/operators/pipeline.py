@@ -1199,3 +1199,84 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ratio >= 0.5)
         .select("doc_a", "doc_b", F.round(ratio, 4).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+
+@query("q_embed_pca")  # rows-only: eigensolver output is not SQL-expressible
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal components of the embedding column — the
+    dimensionality / variance-structure probe run before choosing an ANN
+    index (q_sim_ann_ivf), a quantizer (q_embed_quantize), or a
+    whitening transform. Returns the top-8 eigenvalues of the covariance
+    matrix with per-component and cumulative explained-variance shares.
+
+    Scale design: the classic tall-skinny two-step. Pass 1 is
+    embarrassingly parallel — each Arrow batch reduces to
+    (n, Σx, ΣxxT) in one numpy matmul, so a billion 64-d rows become
+    ~#tasks partial rows of ~33 KB; NO raw vector ever shuffles. Pass 2
+    merges the partials and runs numpy `eigh` on the 64×64 covariance —
+    a single tiny task (the d×d solve is O(d³) ≪ one batch's matmul).
+    At extreme task counts insert one intermediate groupBy(task_id %
+    1024) merge level (tree-reduce) — the partial format is
+    merge-anywhere, nothing else changes. Eigenvalues are
+    summation-order-sensitive in the last ulp, hence rows-only for the
+    driver; tests re-verify against a full-data numpy PCA to 1e-6."""
+    d = 64
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = spread(emb).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    )
+
+    def eig_top(it):
+        import numpy as np
+        import pandas as pd
+
+        n_tot, s_tot, g_tot = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                n_tot += int(row["n"])
+                s_tot += np.asarray(row["s"])
+                g_tot += np.asarray(row["g"]).reshape(d, d)
+        if n_tot == 0:
+            return
+        mean = s_tot / n_tot
+        cov = g_tot / n_tot - np.outer(mean, mean)
+        evals = np.linalg.eigh(cov)[0][::-1]  # descending
+        total = float(evals.sum())
+        top = evals[:8]
+        cum = np.cumsum(top) / total
+        yield pd.DataFrame(
+            {
+                "component": np.arange(1, len(top) + 1, dtype="int32"),
+                "eigenvalue": np.round(top, 6),
+                "explained_pct": np.round(100.0 * top / total, 4),
+                "cum_pct": np.round(100.0 * cum, 4),
+            }
+        )
+
+    return parts.repartition(1).mapInPandas(
+        eig_top,
+        "component int, eigenvalue double, explained_pct double, "
+        "cum_pct double",
+    )

@@ -120,3 +120,38 @@ def test_dedup_cluster_labels_are_consistent(spark, sf_dir):
         registry.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b"
     ):
         assert labels[a] == labels[b], (a, b)
+
+
+def test_embed_pca_matches_numpy(spark, sf_dir):
+    """The distributed (n, Σx, ΣxxT) reduction must produce the same top
+    eigenvalues / explained shares as a full-data numpy PCA — verifies the
+    partial-merge algebra and the covariance assembly, not the eigensolver."""
+    import numpy as np
+
+    out = registry.QUERIES["q_embed_pca"](spark, sf_dir).collect()
+    rows = sorted(out, key=lambda r: r["component"])
+    assert [r["component"] for r in rows] == list(range(1, 9))
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    m = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype="float64")
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals = np.linalg.eigh(cov)[0][::-1]
+    total = evals.sum()
+    got = np.array([r["eigenvalue"] for r in rows])
+    np.testing.assert_allclose(got, evals[:8], rtol=1e-5, atol=1e-6)
+    got_cum = np.array([r["cum_pct"] for r in rows])
+    want_cum = 100.0 * np.cumsum(evals[:8]) / total
+    np.testing.assert_allclose(got_cum, want_cum, rtol=1e-4, atol=1e-3)
+
+    # explained shares are positive and descending
+    expl = [r["explained_pct"] for r in rows]
+    assert all(a >= b for a, b in zip(expl, expl[1:]))
+    assert expl[-1] > 0
