@@ -610,3 +610,44 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike("spark.*window|window.*spark").alias("has_both"),
     )
+
+
+@query(
+    "q_fn_timezone",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 330 MINUTE AS ts_ist,
+           ts AS ts_roundtrip,
+           ts + INTERVAL 2 HOUR AS ts_plus2,
+           date_trunc('quarter', ts) AS quarter_start,
+           date_trunc('week', ts) AS week_start
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone / calendar function family: from_utc_timestamp /
+    to_utc_timestamp shifts and coarse date_trunc grains — the display-
+    and bucketing layer every multi-region pipeline needs. Zones are
+    restricted to DST-free ones (Asia/Kolkata is a constant +05:30;
+    GMT+02 is a fixed offset) so the oracle can state the shift as plain
+    interval arithmetic — a DST zone would make the twin depend on both
+    engines' tzdb revisions, which is exactly the nondeterminism a
+    verified pipeline avoids. The roundtrip column proves
+    to_utc_timestamp inverts from_utc_timestamp.
+
+    Scale: row-local codegen expressions; date_trunc stays a
+    pushdown-friendly monotone function of ts (range filters on the
+    truncated value still prune)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    )
+    ist = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    return ev.select(
+        "event_id",
+        ist.alias("ts_ist"),
+        F.to_utc_timestamp(ist, "Asia/Kolkata").alias("ts_roundtrip"),
+        F.from_utc_timestamp("ts", "GMT+02:00").alias("ts_plus2"),
+        F.date_trunc("quarter", "ts").alias("quarter_start"),
+        F.date_trunc("week", "ts").alias("week_start"),
+    )

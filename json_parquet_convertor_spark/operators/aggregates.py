@@ -1017,3 +1017,78 @@ def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(cov_n * cov_n / (varx_n * vary_n), 4).alias("r2"),
     )
+
+
+@query("q_agg_sketch_cms")  # rows-only: xxhash64 positions are Spark-side
+def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from pure DataFrame ops: d=4 hash rows ×
+    w=1024 counters, the mergeable frequency sketch for heavy-hitter
+    queries over unbounded key domains (the frequency-domain sibling of
+    the HLL cardinality sketch in q_agg_hll_union). Each input row
+    increments one counter per hash row; a key's estimate is the MIN of
+    its d counters — never under the true count, over by at most
+    εN (ε≈2/w) with probability 1−(1/2)^d; both bounds are asserted
+    against exact counts in tests.
+
+    Scale design: the sketch build is one groupBy over (row, pos) —
+    4·w = 4 096 cells regardless of input size or key cardinality,
+    map-side combining, and two sketches merge by cell-wise addition
+    (streaming/window rollups get the same property q_agg_incremental
+    exploits). Probing broadcasts the 10-key probe set's positions onto
+    the 4 096-row sketch — no second scan of the fact table. Driver
+    check is rows-only because DuckDB cannot replicate xxhash64
+    positions, but the output is fully deterministic (exact integer
+    counters + fixed seeds)."""
+    d_rows, width = 4, 1024
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64("l_partkey", F.lit(i)), F.lit(width)
+                        ).alias("pos"),
+                    )
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = (
+        cells.select("c.r", "c.pos")
+        .groupBy("r", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.range(1, 11).select(F.col("id").alias("probe_key"))
+    probe_pos = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64("probe_key", F.lit(i)), F.lit(width)
+                        ).alias("pos"),
+                    )
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("c"),
+    ).select("probe_key", "c.r", "c.pos")
+    est = (
+        probe_pos.join(sketch, ["r", "pos"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("probe_key")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = li.filter(F.col("l_partkey") <= 10).groupBy(
+        F.col("l_partkey").alias("probe_key")
+    ).agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(exact, "probe_key", "left")
+        .fillna(0, subset=["exact_cnt"])
+        .orderBy("probe_key")
+    )

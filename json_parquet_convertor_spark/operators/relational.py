@@ -1315,3 +1315,51 @@ def q_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.coalesce("n_big_spenders", F.lit(0)).alias("n_big_spenders"),
     )
+
+
+@query(
+    "q_scan_metadata",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` /
+    `file_size`, Spark 3.4+): per-file lineage surfaced inside an
+    ordinary scan — the primitive behind corrupt-file triage, per-file
+    freshness audits, and incremental-load bookkeeping (which physical
+    file did this row come from?), with zero extra I/O since the values
+    come from the scan's own file listing.
+
+    The query writes events partitioned by event_type (repartitioned on
+    the partition key first, so each partition value lands in exactly
+    one task → exactly one file), reads it back selecting `_metadata`,
+    and proves the file↔partition mapping: rows counted per FILE equal
+    rows counted per event_type, and each partition holds one file.
+
+    Scale: `_metadata` is populated from the driver's file index —
+    constant-width columns, no shuffle, no extra read. The
+    repartition-by-partition-key write is itself the small-files cure
+    (q_sink_compacted's point) applied at write time."""
+    dst = run_tmp("scan_metadata")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(dst)
+    back = spark.read.parquet(dst).select(
+        "event_type",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    return (
+        back.filter(F.col("fsize") > 0)  # metadata sanity folded in
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("fname").alias("n_files"),
+        )
+    )

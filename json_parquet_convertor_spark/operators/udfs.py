@@ -348,3 +348,49 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u BIGINT, n_orders BIGINT, n_events BIGINT, total_spend DOUBLE",
         )
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT c_custkey,
+           upper(array_to_string(
+               list_transform(string_split(c_name, ' '), w -> w[1]), ''
+           )) AS initials,
+           CAST(length(replace(c_name, ' ', '')) AS INT) AS n_letters
+    FROM customer
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (`@udf(..., useArrow=True)`,
+    Spark 3.5): the third point on the Python-UDF spectrum this repo
+    demonstrates — q_udf_python (row-at-a-time pickle), this (row-level
+    Python logic but Arrow-batch transfer, ~2-5× less serialization
+    overhead), q_udf_pandas (vectorized pandas semantics). Arrow UDFs
+    keep per-row Python functions viable when the logic genuinely
+    resists vectorization; when it doesn't, the pandas form wins.
+
+    The function is string-only (initials + letter count) — no float
+    rounding, so Python and SQL agree exactly.
+
+    Scale: still Python-bound per row; the win over pickle UDFs is
+    transfer, not compute. Same placement rule as every UDF here:
+    project only needed columns into it, keep filters JVM-side."""
+    from pyspark.sql.functions import udf
+
+    @udf("initials string, n_letters int", useArrow=True)
+    def name_features(name: str):
+        parts = [p for p in (name or "").split(" ") if p]
+        return (
+            "".join(p[0] for p in parts).upper(),
+            sum(len(p) for p in parts),
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", name_features("c_name").alias("nf")
+    ).select(
+        "c_custkey",
+        F.col("nf.initials").alias("initials"),
+        F.col("nf.n_letters").alias("n_letters"),
+    )

@@ -603,3 +603,51 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dip, 1).otherwise(0)).alias("n_dips"),
         F.sum(F.when(peak, 1).otherwise(0)).alias("n_peaks"),
     )
+
+
+@query(
+    "q_win_moving_distinct",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS n_types_10
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY 1, 2
+    """,
+)
+def q_win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving distinct count — how many distinct event types appeared in
+    each user's trailing 10 events — the behavioral-diversity signal
+    session-quality and bot-detection features are built from. SQL
+    engines reject COUNT(DISTINCT) OVER; Spark expresses it as
+    size(collect_set()) over a rows frame, keeping the whole computation
+    in one window pass. Ordering carries an event_id tiebreak so equal
+    timestamps cannot reorder across engines.
+
+    Scale design: one shuffle on user_id, then a sorted streaming frame
+    per partition; per-row state is the ≤10-element trailing set, NOT
+    the user's history. The oracle's self-join formulation (each row
+    joined to its 10 predecessors) is the shape you'd get without the
+    window operator — 10× the rows moved; the plan difference IS the
+    operator's value. For wide frames swap collect_set for an
+    approx-distinct sketch column; the window shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("n_types_10"),
+    )

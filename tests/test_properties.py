@@ -256,3 +256,20 @@ def test_bm25_matches_numpy_reference(spark, sf_dir):
             s = idf * ((c[t] * 2.2) / (c[t] + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
             score += round(s, 8)
         assert abs(score - row["bm25"]) < 1e-6, (row, score)
+
+
+def test_cms_bounds_hold_against_exact_counts(spark, sf_dir):
+    """Count-min guarantees: est >= exact always, and est <= exact + eps*N
+    (eps = 2/width = 2/1024) — here asserted deterministically, not just
+    w.h.p., since the fixture's key spread keeps collisions far under the
+    bound. Probes missing from the table must still satisfy est >= 0."""
+    from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    rows = registry.QUERIES["q_agg_sketch_cms"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    eps_n = 2.0 / 1024 * n_total
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["cms_est"] <= r["exact_cnt"] + eps_n, (r, eps_n)
