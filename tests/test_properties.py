@@ -273,3 +273,87 @@ def test_cms_bounds_hold_against_exact_counts(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"], r
         assert r["cms_est"] <= r["exact_cnt"] + eps_n, (r, eps_n)
+
+
+def test_linreg_r2_equals_corr_squared(spark, sf_dir):
+    """Cross-operator invariant: q_stats_linreg's R² must equal
+    q_agg_corr's correlation squared on the same (quantity, price-ticks)
+    pairs — two independently-written co-moment pipelines agreeing on a
+    derived identity."""
+    from json_parquet_convertor_spark import registry
+
+    r2 = {
+        r["flag"]: r["r2"]
+        for r in registry.QUERIES["q_stats_linreg"](spark, sf_dir).collect()
+    }
+    corr = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in registry.QUERIES["q_agg_corr"](spark, sf_dir).collect()
+    }
+    assert set(r2) == set(corr)
+    for flag in r2:
+        assert abs(r2[flag] - corr[flag] ** 2) < 5e-4, (
+            flag,
+            r2[flag],
+            corr[flag] ** 2,
+        )
+
+
+def test_bloom_prefilter_candidates_superset_and_bounded(spark, sf_dir):
+    """The Bloom stage must pass EVERY true match (no false negatives —
+    the correctness half of a Bloom filter's contract) and its false-
+    positive volume must stay under ~3x the classic (1-e^{-kn/m})^k bound
+    for k=2 hashes. Rebuilds the candidate stage without the exact refine
+    to measure it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    m_bits = 1 << 16
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    n_keys = dim.count()
+    fact = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    true_matches = fact.join(
+        dim, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).count()
+
+    pos = dim.select(
+        F.explode(
+            F.array(
+                F.pmod(F.xxhash64("s_suppkey", F.lit(1)), F.lit(m_bits)),
+                F.pmod(F.xxhash64("s_suppkey", F.lit(2)), F.lit(m_bits)),
+            )
+        ).alias("pos")
+    )
+    bloom_set = {r["pos"] for r in pos.distinct().collect()}
+    probed = fact.withColumns(
+        {
+            "p1": F.pmod(F.xxhash64("l_suppkey", F.lit(1)), F.lit(m_bits)),
+            "p2": F.pmod(F.xxhash64("l_suppkey", F.lit(2)), F.lit(m_bits)),
+        }
+    ).collect()
+    candidates = sum(
+        1 for r in probed if r["p1"] in bloom_set and r["p2"] in bloom_set
+    )
+    assert candidates >= true_matches  # no false negatives
+    fp_rate = (1 - math.exp(-2.0 * n_keys / m_bits)) ** 2
+    n_fact = len(probed)
+    assert candidates - true_matches <= max(50, 3 * fp_rate * n_fact), (
+        candidates,
+        true_matches,
+        fp_rate,
+    )
