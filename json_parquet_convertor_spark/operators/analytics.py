@@ -726,6 +726,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
+        # the edge set feeds FOUR consumers (vertex count, edge count,
+        # e1/e2/e3 of the triangle join); without a cache each consumer
+        # re-runs the distinct + basket self-join — ~4x the query's cost
+        # (at cluster scale this is a stage table)
+        .cache()
     )
     verts = (
         e.select(F.col("pa").alias("v"))

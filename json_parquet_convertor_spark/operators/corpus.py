@@ -589,3 +589,154 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(text) AS h
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE n_tokens >= 20
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY h ORDER BY doc_id
+            ) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT k.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN k.n_tokens
+                    ELSE 0 END) AS BIGINT) AS total_tokens
+    FROM kept k
+    LEFT JOIN deduped d ON k.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation pipeline in ONE declarative plan —
+    quality gate → exact dedup (keep lowest doc_id per content hash) →
+    per-language corpus accounting. This is the composition story: each
+    stage is an operator this repo ships separately (q_text_quality,
+    q_dedup_exact, q_text_tokens); stating them as one DataFrame lets
+    Catalyst fuse the quality filter into the scan, reuse one shuffle on
+    the content hash for the dedup window, and keep the language rollup
+    map-side — three pipeline stages, ONE pass over the text, no
+    intermediate materialization.
+
+    Scale design: the only wide operations are the hash-partitioned
+    dedup window (32-hex-char key — same shape as q_dedup_exact's
+    groupBy) and the tiny per-language aggregate. At 100 TB you would
+    materialize the deduped stage as the corpus snapshot table and run
+    accounting downstream; the plan here is exactly that DAG minus the
+    sink. md5 (not sha2) so the oracle twin hashes identical hex."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    kept = docs.filter(F.col("n_tokens") >= 20)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = kept.withColumn(
+        "is_canonical", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum("is_canonical").cast("bigint").alias("n_kept"),
+        F.sum(F.col("n_tokens") * F.col("is_canonical"))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+
+
+@query(
+    "q_text_dedup_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://Crawl-' || upper(source) || '.Example.COM/' || lang
+                   || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+                   || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                   || '#sec' AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 1))
+                   || '://'
+                   || lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 2))
+                   || regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+                   AS canon_url
+        FROM u
+    )
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM canon
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the FIRST dedup pass of any web
+    corpus (cheaper than any content hash: most crawl duplicates are the
+    same page re-fetched under tracking params / case-varied hosts /
+    fragments). Canonical form: scheme and host lowercased, path kept
+    verbatim, query string and fragment stripped; duplicate groups keep
+    the lowest doc_id as canonical. The raw URL is synthesized
+    deterministically from fixture columns (the documents table carries
+    no URL), with exactly the noise canonicalization must remove.
+
+    Implementation: parse_url(HOST/PATH) handles the structured parts
+    JVM-side; scheme comes from one anchored regexp (parse_url exposes
+    no scheme part). All row-local codegen until the single groupBy on
+    the canonical URL — the same 1-shuffle shape as q_dedup_exact, and
+    at 100 TB the groupBy key is ~60 B instead of a content hash over
+    the full text.
+
+    DuckDB has no parse_url, so the oracle states the same
+    canonicalization as three anchored regexps — engine-independent
+    semantics, twin-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Crawl-"),
+            F.upper("source"),
+            F.lit(".Example.COM/"),
+            F.col("lang"),
+            F.lit("/page-"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?utm_source=feed&ref="),
+            F.col("doc_id").cast("string"),
+            F.lit("#sec"),
+        ).alias("raw_url"),
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.regexp_extract("raw_url", r"^([A-Za-z]+)://", 1)),
+            F.lit("://"),
+            F.lower(F.parse_url("raw_url", F.lit("HOST"))),
+            F.parse_url("raw_url", F.lit("PATH")),
+        ).alias("canon_url"),
+    )
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
