@@ -1092,3 +1092,69 @@ def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["exact_cnt"])
         .orderBy("probe_key")
     )
+
+
+@query(
+    "q_stats_chi2",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, user_id % 5 AS ub,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY 1),
+    ct AS (SELECT ub, SUM(obs) AS c FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS n FROM o)
+    SELECT o.event_type,
+           CAST(SUM(o.obs) AS BIGINT) AS n_events,
+           round(SUM(
+               (CAST(o.obs AS DOUBLE)
+                - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+               * (CAST(o.obs AS DOUBLE)
+                  - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                    / CAST(n.n AS DOUBLE))
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+           ), 4) AS chi2_contrib
+    FROM o JOIN rt USING (event_type) JOIN ct USING (ub) CROSS JOIN n
+    GROUP BY o.event_type
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence contributions: is event-type mix
+    independent of the user cohort (user_id mod 5)? The categorical
+    drift / A-B sanity test a feature pipeline runs before trusting a
+    segmentation. Per event type, Σ (O−E)²/E over its 5 cohort cells,
+    where E = row_total × col_total / N — all from EXACT integer counts,
+    so both engines derive identical doubles (the 5-term per-group sum
+    is rounded at 4 dp, orders of magnitude above double noise).
+
+    Scale design: one groupBy builds the contingency table — everything
+    downstream (row totals, column totals, N, the statistic) operates on
+    the ~|types|×|cohorts| cell table, not the fact table; cells
+    broadcast onto the margins. The full-table pass is a single
+    map-side-combining count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("ub")
+    )
+    o = ev.groupBy("event_type", "ub").agg(F.count("*").alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("ub").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - e
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "ub")
+        .crossJoin(F.broadcast(n))
+        .groupBy("event_type")
+        .agg(
+            F.sum("obs").alias("n_events"),
+            F.round(F.sum(dev * dev / e), 4).alias("chi2_contrib"),
+        )
+    )

@@ -1069,3 +1069,43 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_join_hinted",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint: SHUFFLE_HASH forces a shuffled hash join
+    where Catalyst's default for two big sides is sort-merge. SHJ skips
+    BOTH sort passes — the win whenever the build side's per-partition
+    slice fits in memory (hash build is O(n), sort is O(n log n), and
+    SMJ sorts the probe side too). The flip side at 100 TB: a skewed or
+    underpartitioned build side OOMs where SMJ would have spilled
+    gracefully — which is why this is a per-query HINT, not a config
+    default, and why q_skew_diagnose runs first. Plan shape (ShuffledHashJoin,
+    no Sort under the join) is asserted in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return (
+        li.join(
+            o.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -1206,6 +1206,33 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _embed_moment_partials(emb: DataFrame, d: int) -> DataFrame:
+    """Per-Arrow-batch (n, Σx, ΣxxT) moment partials over an embedding
+    column — the shared fit stage of q_embed_pca and q_embed_whiten.
+    Embarrassingly parallel: one numpy matmul per batch, ~(8 + 8d + 8d²)
+    bytes out per batch, no raw vector ever shuffles."""
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    return spread(emb).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    )
+
+
 @query("q_embed_pca")  # rows-only: eigensolver output is not SQL-expressible
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Principal components of the embedding column — the
@@ -1227,26 +1254,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; tests re-verify against a full-data numpy PCA to 1e-6."""
     d = 64
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-
-    def partials(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            if not len(pdf):
-                continue
-            m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
-            yield pd.DataFrame(
-                {
-                    "n": [m.shape[0]],
-                    "s": [m.sum(axis=0).tolist()],
-                    "g": [(m.T @ m).ravel().tolist()],
-                }
-            )
-
-    parts = spread(emb).mapInPandas(
-        partials, "n long, s array<double>, g array<double>"
-    )
+    parts = _embed_moment_partials(emb, d)
 
     def eig_top(it):
         import numpy as np
@@ -1279,4 +1287,77 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         eig_top,
         "component int, eigenvalue double, explained_pct double, "
         "cum_pct double",
+    )
+
+
+@query("q_embed_whiten")  # rows-only: eigensolver-derived transform
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening as a distributed FIT → APPLY pipeline: fit the
+    d×d whitening transform W = Λ^{-1/2}Uᵀ from the same one-pass moment
+    partials as q_embed_pca, then apply it to every vector — the
+    preprocessing step before cosine-LSH or k-means when feature scales
+    are wildly uneven (whitened data has identity covariance, asserted
+    in tests). Returns per-label counts and the mean squared whitened
+    norm, which must concentrate near d for Gaussian-ish data.
+
+    Scale design: the fit stage reduces to one 33 KB matrix row; APPLY
+    broadcasts that single-row frame onto the embedding scan (a 1-row
+    crossJoin — no driver collect, no closure capture, so the same plan
+    re-fits correctly when the data changes) and transforms each Arrow
+    batch with one numpy matmul. This fit-broadcast-apply shape is the
+    general pattern for any learned preprocessing (scalers, projection
+    matrices, codebooks) — model state flows through the plan, never
+    through the driver."""
+    d = 64
+    df = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    parts = _embed_moment_partials(df.select("embedding"), d)
+
+    def fit(it):
+        import numpy as np
+        import pandas as pd
+
+        n_tot, s_tot, g_tot = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                n_tot += int(row["n"])
+                s_tot += np.asarray(row["s"])
+                g_tot += np.asarray(row["g"]).reshape(d, d)
+        if n_tot == 0:
+            return
+        mu = s_tot / n_tot
+        cov = g_tot / n_tot - np.outer(mu, mu)
+        evals, evecs = np.linalg.eigh(cov)
+        w = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^{-1/2} Uᵀ
+        yield pd.DataFrame({"mu": [mu.tolist()], "w": [w.ravel().tolist()]})
+
+    wrow = parts.repartition(1).mapInPandas(
+        fit, "mu array<double>, w array<double>"
+    )
+
+    def apply_w(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mu = np.asarray(pdf["mu"].iloc[0])
+            w = np.asarray(pdf["w"].iloc[0]).reshape(d, d)
+            m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            z = (m - mu) @ w.T
+            sq = (z * z).sum(axis=1)
+            out = pd.DataFrame(
+                {"label": pdf["label"].astype("int32"), "sq": sq}
+            )
+            g = out.groupby("label", as_index=False).agg(
+                n=("sq", "size"), sum_sq=("sq", "sum")
+            )
+            yield g
+
+    partial = df.crossJoin(F.broadcast(wrow)).mapInPandas(
+        apply_w, "label int, n long, sum_sq double"
+    )
+    return partial.groupBy("label").agg(
+        F.sum("n").alias("n_vectors"),
+        F.round(F.sum("sum_sq") / F.sum("n"), 2).alias("mean_sq_norm"),
     )

@@ -155,3 +155,41 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
     expl = [r["explained_pct"] for r in rows]
     assert all(a >= b for a, b in zip(expl, expl[1:]))
     assert expl[-1] > 0
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """q_embed_whiten's fit stage must produce a transform under which the
+    data's covariance is the identity — verified by applying the same
+    fit math locally and checking Cov(z) ≈ I, plus the query's own
+    mean-squared-norm ≈ d invariant."""
+    import numpy as np
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    out = {
+        r["label"]: r["mean_sq_norm"]
+        for r in registry.QUERIES["q_embed_whiten"](spark, sf_dir).collect()
+    }
+    m = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype="float64")
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    d = m.shape[1]
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    w = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T
+    z = (m - mu) @ w.T
+    np.testing.assert_allclose(
+        np.cov(z, rowvar=False, bias=True), np.eye(d), atol=1e-8
+    )
+    # global mean squared norm = trace of whitened covariance = d exactly;
+    # per-label means scatter around d
+    global_msn = float((z * z).sum(axis=1).mean())
+    assert abs(global_msn - d) < 1e-6
+    for label, msn in out.items():
+        assert 0.5 * d < msn < 2.0 * d, (label, msn)

@@ -223,3 +223,18 @@ def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
     df.collect()  # materialize the cache
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_hinted_join_is_shuffled_hash_without_sort(spark, sf_dir):
+    """q_join_hinted's SHUFFLE_HASH hint must materialize as a
+    ShuffledHashJoin with no Sort feeding it — skipping both sort passes
+    is the entire point of the hint over the sort-merge default."""
+    plan = _plan(spark, sf_dir, "q_join_hinted")
+    assert "ShuffledHashJoin" in plan, plan
+    join_seen = False
+    for line in plan.splitlines():
+        if "ShuffledHashJoin" in line:
+            join_seen = True
+        if join_seen and "SortMergeJoin" in line:
+            raise AssertionError(f"unexpected SMJ alongside hint:\n{plan}")
+    assert join_seen
