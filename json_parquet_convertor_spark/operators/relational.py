@@ -1363,3 +1363,52 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fname").alias("n_files"),
         )
     )
+
+
+@query(
+    "q_source_custom",
+    oracle="""
+    SELECT s AS sensor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(s * 100003 + t * 17) AS BIGINT) AS sum_reading,
+           CAST(MAX(s * 100003 + t * 17) AS BIGINT) AS max_reading
+    FROM generate_series(0, 7) g(s), generate_series(0, 249) h(t)
+    GROUP BY 1
+    """,
+)
+def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 `pyspark.sql.datasource`): a
+    user-defined source registered by name and read like any built-in
+    format — the extension point for feeds Spark has no connector for
+    (internal APIs, queues, bespoke file formats). The source declares
+    its schema and one InputPartition per sensor, so the ENGINE owns
+    scheduling, retries, and parallelism — no driver-side polling loop
+    like the reference's SQS poller (convertor/convertor.go:44-57).
+
+    Scale: reader tasks run Arrow-batched in Python workers; parallelism
+    = len(partitions()). The aggregate on top behaves like any scan →
+    partial-agg plan; Catalyst sees a normal relation. Column pruning
+    can be implemented per-source (not needed for 3 columns).
+
+    The feed is deterministic (reading = id·100003 + tick·17), so the
+    oracle restates the generator over generate_series — certifying the
+    full read path hash-exactly."""
+    from json_parquet_convertor_spark.sources.pysource import (
+        SensorDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SensorDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    feed = (
+        spark.read.format("jpc_sensors")
+        .option("sensors", "8")
+        .option("ticks", "250")
+        .load()
+    )
+    return feed.groupBy("sensor_id").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("reading").alias("sum_reading"),
+        F.max("reading").alias("max_reading"),
+    )
