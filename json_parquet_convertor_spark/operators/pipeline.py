@@ -1361,3 +1361,126 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_vectors"),
         F.round(F.sum("sum_sq") / F.sum("n"), 2).alias("mean_sq_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    rare AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= 100
+    ),
+    pruned AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM pruned b JOIN pruned c ON b.sh = c.sh
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT new_doc, corpus_doc,
+               i / (sb.n + sc.n - i) AS jac
+        FROM pairs
+        JOIN sizes sb ON new_doc = sb.doc_id
+        JOIN sizes sc ON corpus_doc = sc.doc_id
+        WHERE i / (sb.n + sc.n - i) >= 0.3
+    )
+    SELECT new_doc, corpus_doc, round(jac, 4) AS jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY new_doc ORDER BY jac DESC, corpus_doc
+        ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — screen an incoming BATCH against the existing
+    CORPUS (docs are split by id here; in production the corpus side is
+    yesterday's snapshot table). This is the join direction a running
+    pipeline actually executes daily: candidates form only across the
+    batch→corpus boundary, so cost is |batch|-proportional — the corpus
+    is never self-joined again, which is the entire economics of
+    incremental ingestion at 100 TB (re-running q_dedup_ngram_jaccard on
+    corpus+batch would redo the full quadratic-ish work every day).
+
+    Same inverted index + stop-shingle prune as the full pass; each new
+    doc reports its best corpus match (highest exact Jaccard ≥ 0.3,
+    lowest doc_id tie-break) — the keep/drop/canonical decision input.
+
+    At scale the corpus side's (doc, shingle-hash) index is a persisted
+    stage table partitioned by hash — the batch probes it like a fact
+    probing a dimension; only new docs' shingles shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i),
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+    )
+    sh = (
+        spread(docs)
+        .filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.xxhash64(tri(i)),
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    shw = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).cache()
+    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
+    batch = pruned.filter(F.col("doc_id") % 5 == 0).alias("b")
+    corpus = pruned.filter(F.col("doc_id") % 5 != 0).alias("c")
+    pairs = (
+        batch.join(corpus, F.col("b.sh") == F.col("c.sh"))
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sb = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("nb"))
+    sc = sizes.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("n").alias("nc")
+    )
+    jac = F.col("i") / (F.col("nb") + F.col("nc") - F.col("i"))
+    scored = (
+        pairs.join(sb, "new_doc")
+        .join(sc, "corpus_doc")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.3)
+    )
+    w = Window.partitionBy("new_doc").orderBy(
+        F.desc("jac"), "corpus_doc"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", "corpus_doc", F.round("jac", 4).alias("jaccard"))
+    )

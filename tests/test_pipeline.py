@@ -193,3 +193,28 @@ def test_whitened_covariance_is_identity(spark, sf_dir):
     assert abs(global_msn - d) < 1e-6
     for label, msn in out.items():
         assert 0.5 * d < msn < 2.0 * d, (label, msn)
+
+
+def test_incremental_dedup_agrees_with_full_pass(spark, sf_dir):
+    """Every best-match the incremental screen reports must appear in the
+    full-corpus exact-Jaccard pass with the identical score (the
+    incremental pass is a restriction of the full pass to cross-boundary
+    pairs, not a different estimator)."""
+    full = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r[
+            "jaccard"
+        ]
+        for r in registry.QUERIES["q_dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    inc = registry.QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    assert inc, "no incremental matches at this scale factor"
+    for r in inc:
+        key = (
+            min(r["new_doc"], r["corpus_doc"]),
+            max(r["new_doc"], r["corpus_doc"]),
+        )
+        assert key in full, key
+        assert abs(full[key] - r["jaccard"]) < 1e-9, (key, r)
+        assert r["new_doc"] % 5 == 0 and r["corpus_doc"] % 5 != 0
