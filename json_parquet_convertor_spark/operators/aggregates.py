@@ -1158,3 +1158,58 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dev * dev / e), 4).alias("chi2_contrib"),
         )
     )
+
+
+@query(
+    "q_agg_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bar_start,
+               value,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000000
+                   + event_id AS okey
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           round(arg_min(value, okey), 4) AS open,
+           round(MAX(value), 4) AS high,
+           round(MIN(value), 4) AS low,
+           round(arg_max(value, okey), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — 15-minute open/high/low/close/volume bars
+    per event type, the time-series rollup every metrics/market pipeline
+    runs (the "hypertable continuous aggregate" shape). open/close are
+    argmin/argmax over a strictly-unique order key (epoch-seconds ⊕
+    event_id), so ties on the timestamp cannot make first/last
+    nondeterministic — min_by/max_by on a non-unique key is
+    engine-lottery, the same trap q_agg_modern documents.
+
+    Scale design: a single map-side-combining hash aggregate on
+    (type, bar) — per-bar state is five numbers; bars are mergeable, so
+    the same aggregate rolls 15-min bars into hourly/daily ones without
+    touching raw events again (q_agg_incremental's pattern), and the
+    streaming twin is just this groupBy under a window()."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 900) * 900)
+        .cast("bigint")
+        .alias("bar_start"),
+        "value",
+        (
+            F.unix_timestamp("ts").cast("bigint") * F.lit(1000000000)
+            + F.col("event_id")
+        ).alias("okey"),
+    )
+    return ev.groupBy("event_type", "bar_start").agg(
+        F.round(F.min_by("value", "okey"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", "okey"), 4).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )

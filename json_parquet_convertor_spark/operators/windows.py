@@ -651,3 +651,57 @@ def q_win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_types_10"),
     )
+
+
+@query(
+    "q_win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INT) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks
+    GROUP BY 1
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the retention
+    / habit metric, and the date-grain instance of gaps-and-islands
+    (q_win_sessionize is the same trick at timestamp grain): subtracting
+    the per-user day rank from each active date collapses every
+    consecutive run onto one constant 'island' value, turning streak
+    detection into a plain groupBy. Entirely integer-date arithmetic —
+    hash-exact across engines.
+
+    Scale design: the distinct (user, day) projection shrinks the event
+    log to ≤ users×days rows before anything wide happens; then ONE
+    shuffle on user_id serves the rank window, the island groupBy, and
+    the final per-user rollup (co-partitioned throughout — same
+    single-exchange shape test_plans pins for sessionize)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island",
+        F.date_sub(F.col("d"), F.row_number().over(w)),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+    )
