@@ -1484,3 +1484,66 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("new_doc", "corpus_doc", F.round("jac", 4).alias("jaccard"))
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH ingested AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT md5(text) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST((COUNT(*) - 1) * MIN(octet_length(encode(text))) AS BIGINT)
+               AS wasted_bytes
+    FROM ingested
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup — the storage-reclamation pass for multimodal
+    corpora: identical blobs (images fetched twice, re-encoded copies of
+    the same upload) are found by a content digest computed DIRECTLY on
+    the binary column, never by materializing the payload anywhere
+    wider. Reports each duplicate group's canonical row and the bytes
+    reclaimable by keeping one copy (payload here is the utf-8 text
+    bytes, the same synthesized blob as q_multimodal_decode; at 100 TB
+    it is the parquet BINARY image/audio column).
+
+    Scale design: the only thing that ever shuffles is (md5, doc_id,
+    byte-length) — 48-odd bytes per blob regardless of blob size; the
+    digest runs JVM-side in the scan's codegen stage. This is the
+    multimodal twin of q_dedup_exact, which keys on text sha2; dedup on
+    digest-of-payload is also the idempotency key a multimodal ingest
+    sink dedups on (reference A6's one-object-one-file naming,
+    convertor/convertor.go:171, upgraded to content addressing)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    # simulate the at-least-once re-ingest that creates blob duplicates
+    # (the reference's SQS redelivery, convertor/convertor.go:48): every
+    # 7th payload arrives a second time under a new row id
+    redelivered = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    ingested = docs.unionByName(redelivered)
+    keyed = ingested.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").alias("n_bytes"),
+    )
+    return (
+        keyed.groupBy("payload_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            ((F.count("*") - 1) * F.min("n_bytes"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
