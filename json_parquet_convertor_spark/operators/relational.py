@@ -1412,3 +1412,66 @@ def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reading").alias("sum_reading"),
         F.max("reading").alias("max_reading"),
     )
+
+
+@query(
+    "q_scan_json_corrupt",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN n_nationkey % 4 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN n_nationkey % 4 <> 0 THEN n_regionkey
+                    ELSE 0 END) AS BIGINT) AS sum_region_good
+    FROM nation
+    """,
+)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on a JSON-lines source — the JSON twin
+    of q_scan_csv_corrupt, and the failure mode the reference actually
+    hits (a non-JSON S3 object makes its json.Unmarshal skip the
+    message, convertor/convertor.go:118-124 = DROPMALFORMED). Every 4th
+    line is truncated garbage; PERMISSIVE mode parses the rest, nulls
+    the bad rows' fields and captures the raw line in _corrupt_record,
+    and the query reports good/corrupt counts plus an aggregate proving
+    the good rows parsed intact.
+
+    Scale note: schema is explicit (no inferSchema second pass);
+    corrupt capture costs one string column on bad rows only. The
+    cache() is Spark's documented requirement for referencing
+    _corrupt_record alongside parsed columns in one query."""
+    import os
+
+    dst = run_tmp("scan_json_corrupt")
+    os.makedirs(dst, exist_ok=True)
+    nation = load_table(spark, sf_dir, "nation").orderBy("n_nationkey")
+    lines = []
+    for r in nation.collect():  # 25 rows — driver-side fixture build only
+        if r["n_nationkey"] % 4 == 0:
+            lines.append('{"n_nationkey": ' + str(r["n_nationkey"]) + ", trunca")
+        else:
+            lines.append(
+                '{"n_nationkey": %d, "n_name": "%s", "n_regionkey": %d}'
+                % (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+            )
+    with open(os.path.join(dst, "part-0.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dst)
+        .cache()
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.sum(good.cast("bigint")).alias("n_good"),
+        F.sum((~good).cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_regionkey")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_region_good"),
+    )
