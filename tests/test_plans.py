@@ -111,6 +111,8 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_graph_triangles",  # crossJoins of three 1-row graph-stat aggs
             "q_sample_temperature",  # 1-row (n_total, sum_w) broadcast
             "q_skew_diagnose",  # 1-row (rows, keys) broadcast onto top-10
+            "q_embed_whiten",  # 1-row whitening-matrix frame broadcast
+            "q_stats_chi2",  # 1-row grand-total broadcast onto cell table
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
