@@ -1213,3 +1213,85 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "okey"), 4).alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+@query(
+    "q_stats_ks",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 10000, 0) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in2
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(in1) AS BIGINT) AS n1v,
+               CAST(SUM(in2) AS BIGINT) AS n2v
+        FROM s GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+               CAST(SUM(n2v) AS BIGINT) AS n2
+        FROM pv
+    ),
+    ecdf AS (
+        SELECT SUM(n1v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+               SUM(n2v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        FROM pv
+    )
+    SELECT tot.n1, tot.n2,
+           round(MAX(abs(CAST(c1 AS DOUBLE) / tot.n1
+                         - CAST(c2 AS DOUBLE) / tot.n2)), 6) AS d_stat
+    FROM ecdf CROSS JOIN tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    detector (are 'click' and 'view' event values drawn from the same
+    distribution?) run before trusting a cohort split or after a
+    pipeline change. D = max |ECDF₁ − ECDF₂|, computed EXACTLY: values
+    on 1e-4-tick integers, tie groups collapsed per distinct value
+    first (so the ECDF jumps land identically in both engines), then
+    one ordered cumulative pass.
+
+    Scale design: the per-value pre-aggregation shrinks the input to
+    |distinct ticks| rows with map-side combine; the single ordered
+    window over that reduced set is the only global operation — the
+    honest caveat at 100 TB, where you either bin the ECDF (fixed
+    grid → groupBy, fully parallel, D within one bin width) or sample;
+    both keep this exact query shape. The 1-row totals frame
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
+        (F.col("event_type") == "click").cast("long").alias("in1"),
+        (F.col("event_type") == "view").cast("long").alias("in2"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("in1").alias("n1v"), F.sum("in2").alias("n2v")
+    )
+    tot = pv.agg(
+        F.sum("n1v").alias("n1"), F.sum("n2v").alias("n2")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = pv.select(
+        F.sum("n1v").over(w).alias("c1"),
+        F.sum("n2v").over(w).alias("c2"),
+    )
+    d = F.abs(
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c2").cast("double") / F.col("n2")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.round(F.max(d), 6).alias("d_stat"))
+    )

@@ -740,3 +740,93 @@ def q_text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query("q_bpe_apply")  # rows-only: greedy merge application is procedural
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned BPE merge table — the tokenizer's INFERENCE half,
+    closing the loop with q_bpe_merge's training step. The top-10 merge
+    pairs (rank-ordered) are folded into a single-row frame and
+    broadcast onto the vocabulary scan (the q_embed_whiten
+    fit-broadcast-apply pattern: learned state flows through the plan,
+    not the driver); each word is then segmented by the standard greedy
+    algorithm — repeatedly merge the highest-priority adjacent pair
+    until none applies.
+
+    Output: the 20 most frequent words with their segmentation — the
+    eyeball check a tokenizer change ships with. tests re-run the same
+    algorithm in plain Python over the collected vocab and assert
+    piece-level equality plus losslessness (concat(pieces) == word).
+
+    Scale design: segmentation runs over the VOCABULARY (distinct
+    words), never the token stream — same collapse q_bpe_merge uses; the
+    per-word loop is bounded by word length × merge count and runs
+    vectorized-batch-wise in mapInPandas. A production tokenizer applies
+    thousands of merges with a priority queue; the dataflow shape (tiny
+    broadcast model + vocab-sized map) is identical."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    merges = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+        .agg(F.collect_list("pair").alias("merge_list"))
+    )
+
+    def segment(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            merge_rank = {
+                p: i for i, p in enumerate(pdf["merge_list"].iloc[0])
+            }
+            out_w, out_f, out_pieces, out_n = [], [], [], []
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                pieces = list(w)
+                while True:
+                    best, best_i = None, -1
+                    for i in range(len(pieces) - 1):
+                        cand = pieces[i] + pieces[i + 1]
+                        r = merge_rank.get(cand)
+                        if r is not None and (best is None or r < best):
+                            best, best_i = r, i
+                    if best is None:
+                        break
+                    pieces[best_i : best_i + 2] = [
+                        pieces[best_i] + pieces[best_i + 1]
+                    ]
+                out_w.append(w)
+                out_f.append(int(f))
+                out_pieces.append(" ".join(pieces))
+                out_n.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    "w": out_w,
+                    "freq": out_f,
+                    "pieces": out_pieces,
+                    "n_pieces": out_n,
+                }
+            )
+
+    segmented = vocab.crossJoin(F.broadcast(merges)).mapInPandas(
+        segment, "w string, freq long, pieces string, n_pieces int"
+    )
+    return segmented.orderBy(F.desc("freq"), "w").limit(20)

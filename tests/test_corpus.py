@@ -126,3 +126,37 @@ def test_embed_quantize_roundtrip_error_bound(spark, sf_dir):
             assert abs(q * r.scale - float(x)) <= r.scale / 2 + 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_bpe_apply_matches_python_reference(spark, sf_dir):
+    """q_bpe_apply's distributed segmentation must equal a plain-Python
+    re-run of the same greedy merge algorithm, and must be lossless
+    (concat of pieces reproduces the word)."""
+    from json_parquet_convertor_spark import registry
+
+    rows = registry.QUERIES["q_bpe_apply"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    merges = [
+        r["pair"]
+        for r in registry.QUERIES["q_bpe_merge"](spark, sf_dir)
+        .limit(10)
+        .collect()
+    ]
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def ref_segment(w):
+        pieces = list(w)
+        while True:
+            best, best_i = None, -1
+            for i in range(len(pieces) - 1):
+                r = rank.get(pieces[i] + pieces[i + 1])
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                return pieces
+            pieces[best_i : best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+
+    for r in rows:
+        assert "".join(r["pieces"].split(" ")) == r["w"]
+        assert r["pieces"].split(" ") == ref_segment(r["w"]), r["w"]
+        assert r["n_pieces"] == len(r["pieces"].split(" "))

@@ -113,6 +113,8 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_skew_diagnose",  # 1-row (rows, keys) broadcast onto top-10
             "q_embed_whiten",  # 1-row whitening-matrix frame broadcast
             "q_stats_chi2",  # 1-row grand-total broadcast onto cell table
+            "q_stats_ks",  # 1-row (n1, n2) totals broadcast onto the ECDF
+            "q_bpe_apply",  # 1-row merge-table frame broadcast onto vocab
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
