@@ -705,3 +705,61 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.sum("len").alias("n_active_days"),
     )
+
+
+@query(
+    "q_win_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), vals),
+               (acc, x) -> acc * 0.7 + 0.3 * x
+           ), 4) AS ewma
+    FROM (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY user_id
+    )
+    """,
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α = 0.3, seed 0)
+    — the recursive smoother (sₙ = 0.7·sₙ₋₁ + 0.3·xₙ) that NO window
+    frame can express, because each step depends on the previous
+    output, not a frame of inputs. Both engines state it as an ordered
+    LIST FOLD: collect the user's values time-ordered (event_id
+    tiebreak), then a higher-order reduce applies the identical
+    float ops in the identical order — bit-identical doubles, fully
+    oracled where a pandas .ewm() would be neither JVM-side nor
+    hash-comparable.
+
+    Scale design: one shuffle on user_id; the fold runs JVM-side in
+    whole-stage codegen over each user's array — per-user state is the
+    array (bounded by events-per-entity; for unbounded histories the
+    same recursion runs incrementally as q_stream_stateful's running
+    profile, carrying only sₙ). This ordered-fold shape is the general
+    recipe for ANY per-entity recursion (compound interest, decayed
+    counters, retention curves) stated declaratively."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id", F.col("value").cast("double").alias("v")
+                )
+            )
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s["v"])
+    fold = F.aggregate(
+        vals,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc * F.lit(0.7) + F.lit(0.3) * x,
+    )
+    return arr.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(fold, 4).alias("ewma"),
+    )
