@@ -1109,3 +1109,92 @@ def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) - 300 AS s_start,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS s_end,
+               event_id AS s_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    i AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) - 900 AS i_start,
+               CAST(floor(epoch(ts)) AS BIGINT) + 900 AS i_end,
+               event_id AS i_id
+        FROM events WHERE event_type = 'error' AND event_id % 50 = 0
+    )
+    SELECT s.user_id, s.s_id, i.i_id,
+           CAST(LEAST(s.s_end, i.i_end)
+                - GREATEST(s.s_start, i.i_start) AS BIGINT) AS overlap_sec
+    FROM s JOIN i
+      ON s.s_start < i.i_end AND i.i_start < s.s_end
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — which purchase windows (±5 min
+    around each purchase) overlap an incident window (±15 min around
+    sampled error events)? The blast-radius question every ops/attribution
+    pipeline asks, and the last member of this repo's temporal-join
+    family (as-of = point→latest-point, range = point→interval, this =
+    interval→interval).
+
+    Scale design: a naive overlap predicate is a nested-loop join. Both
+    interval sets are BINNED to a 30-minute grid, each interval exploding
+    into the bins it touches (≤ 2 bins for sessions, ≤ 2 for incidents —
+    ceil(len/bin)+1); candidates meet ONLY in the bin equi-join, the
+    exact overlap predicate refines, and dropDuplicates removes the
+    multi-bin double-hits. Candidate volume is bounded by per-bin
+    occupancy (the same hot-key logic as every LSH bucket join here) —
+    at 100 TB you size the grid so bins hold ~thousands of intervals.
+    The oracle runs the naive theta join: small enough at sf0.01, and
+    exactly what the binned plan must reproduce."""
+    ep = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (ep - 300).alias("s_start"),
+        (ep + 300).alias("s_end"),
+        F.col("event_id").alias("s_id"),
+    )
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 50 == 0)
+    ).select(
+        (ep - 900).alias("i_start"),
+        (ep + 900).alias("i_end"),
+        F.col("event_id").alias("i_id"),
+    )
+    bin_s = 1800
+
+    def binned(df, start, end):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col(start) / bin_s).cast("bigint"),
+                    (F.col(end) / bin_s).cast("bigint"),
+                )
+            ),
+        )
+    sb = binned(sessions, "s_start", "s_end")
+    ib = binned(incidents, "i_start", "i_end")
+    return (
+        sb.join(ib, "bin")
+        .filter(
+            (F.col("s_start") < F.col("i_end"))
+            & (F.col("i_start") < F.col("s_end"))
+        )
+        .dropDuplicates(["s_id", "i_id"])
+        .select(
+            "user_id",
+            "s_id",
+            "i_id",
+            (
+                F.least("s_end", "i_end")
+                - F.greatest("s_start", "i_start")
+            ).alias("overlap_sec"),
+        )
+    )

@@ -508,8 +508,12 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tf feeds THREE consumers (df, the query-term top-3, and the scoring
+    # join) and dl two (corpus stats + scoring) — cache both so the token
+    # explode + first aggregation runs once, not per consumer (at scale
+    # these are the persisted inverted-index stage tables)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).cache()
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).cache()
     nn = dl.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
