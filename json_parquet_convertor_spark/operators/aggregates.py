@@ -1295,3 +1295,100 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n1", "n2")
         .agg(F.round(F.max(d), 6).alias("d_stat"))
     )
+
+
+@query(
+    "q_stats_auc",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 10000, 0) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT n_pos, n_neg,
+               SUM(n_pos + n_neg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   - (n_pos + n_neg) AS below
+        FROM pv
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+               CAST(SUM(n_neg) AS BIGINT) AS nn,
+               SUM(n_pos * (2 * below + n_pos + n_neg + 1) / 2.0) AS rank_sum
+        FROM r
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           round((rank_sum - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a score separating purchases
+    (positives) from views (negatives) — the Mann–Whitney formulation:
+    AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊·n₋), with midranks for
+    tied scores so ties contribute ½. The model-eval / feature-triage
+    metric computed ENGINE-SIDE over the full population — no sampling,
+    no sklearn, no driver collect.
+
+    Determinism: scores are 1e-4-tick integers, tie groups collapse per
+    distinct value (same trick as q_stats_ks), and midranks derive from
+    integer cumulative counts — both engines compute identical doubles.
+
+    Scale design: per-value pre-aggregation (map-side combining) shrinks
+    the input to |distinct scores| rows; the single ordered cumulative
+    window over that reduced set is the only global step — same
+    binned-at-100 TB note as the KS query. Everything after is a 1-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = ev.select(
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = pv.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.sum(F.col("n_pos") + F.col("n_neg")).over(w)
+            - (F.col("n_pos") + F.col("n_neg"))
+        ).alias("below"),
+    )
+    # 1-based midrank of a tie group = below + (group_size + 1)/2, so the
+    # group's positives contribute n_pos * (2*below + n_pos + n_neg + 1)/2
+    rank_sum = F.sum(
+        F.col("n_pos")
+        * (2 * F.col("below") + F.col("n_pos") + F.col("n_neg") + 1)
+        / 2.0
+    )
+    agg = r.agg(
+        F.sum("n_pos").alias("np"),
+        F.sum("n_neg").alias("nn"),
+        rank_sum.alias("rank_sum"),
+    )
+    np_d = F.col("np").cast("double")
+    nn_d = F.col("nn").cast("double")
+    auc = (F.col("rank_sum") - np_d * (F.col("np") + 1) / 2.0) / (
+        np_d * nn_d
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )

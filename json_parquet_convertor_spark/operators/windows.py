@@ -763,3 +763,63 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("bigint").alias("n_events"),
         F.round(fold, 4).alias("ewma"),
     )
+
+
+@query(
+    "q_win_conversion_lag",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click
+        FROM events
+    )
+    SELECT CAST(floor(epoch(ts - last_click) / 600) AS BIGINT) AS lag_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM marked
+    WHERE event_type = 'purchase' AND last_click IS NOT NULL
+      AND ts - last_click <= INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+)
+def q_win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-lag distribution: for every purchase,
+    the time since the user's most recent PRIOR click (within 2 h),
+    bucketed to 10-minute bins — the funnel-velocity histogram behind
+    attribution windows and campaign tuning. This is the single-table
+    as-of pattern: a running `last(click_ts)` carried forward by one
+    ordered window, NOT a self-join of purchases×clicks (the naive
+    formulation shuffles the event log twice and explodes on active
+    users; q_join_asof documents the same rewrite across two tables).
+
+    Scale design: one shuffle on user_id, one sorted window pass, then
+    a tiny bucket aggregate; the frame ends at 1 PRECEDING so a
+    purchase row never sees itself, and (ts, event_id) ordering makes
+    the carry deterministic under timestamp ties. Lag arithmetic is
+    integer seconds — hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_click",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w),
+    )
+    lag_sec = F.unix_timestamp("ts") - F.unix_timestamp("last_click")
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (lag_sec <= 7200)
+        )
+        .groupBy(
+            F.floor(lag_sec / 600).cast("bigint").alias("lag_bucket")
+        )
+        .agg(F.count("*").alias("n_conversions"))
+    )

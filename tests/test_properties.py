@@ -357,3 +357,38 @@ def test_bloom_prefilter_candidates_superset_and_bounded(spark, sf_dir):
         true_matches,
         fp_rate,
     )
+
+
+def test_auc_matches_python_reference(spark, sf_dir):
+    """q_stats_auc must equal a from-scratch midrank Mann-Whitney AUC
+    over the collected (score, label) pairs — guards the rank-sum
+    algebra, which is easy to get subtly wrong (0-based vs 1-based
+    midranks shift the result by np/(2*nn))."""
+    import collections
+
+    from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    row = registry.QUERIES["q_stats_auc"](spark, sf_dir).collect()[0]
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .collect()
+    )
+    pos, neg = collections.Counter(), collections.Counter()
+    for r in pairs:
+        (pos if r["y"] else neg)[r["v"]] += 1
+    np_, nn = sum(pos.values()), sum(neg.values())
+    below, rank_sum = 0, 0.0
+    for v in sorted(set(pos) | set(neg)):
+        g = pos[v] + neg[v]
+        rank_sum += pos[v] * (below + (g + 1) / 2.0)
+        below += g
+    ref = (rank_sum - np_ * (np_ + 1) / 2.0) / (np_ * nn)
+    assert row["n_pos"] == np_ and row["n_neg"] == nn
+    assert abs(row["auc"] - round(ref, 6)) < 1e-9, (row["auc"], ref)
