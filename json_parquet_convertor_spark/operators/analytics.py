@@ -844,3 +844,151 @@ def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").alias("peak_concurrency"),
         (F.count("*") / 2).cast("bigint").alias("n_intervals"),
     )
+
+
+@query(
+    "q_stats_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS DOUBLE) AS total,
+               CAST(SUM(CAST(i AS DOUBLE) * cents) AS DOUBLE) AS weighted
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(2.0 * weighted / (n * total)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration /
+    inequality summary (0 = everyone spends equally, →1 = one whale),
+    the one-number skew diagnostic that tells you whether
+    q_join_salted's treatment will be needed BEFORE a per-customer
+    join. Closed form over the spend-ranked sequence:
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n. Spend is exact integer cents and
+    the rank is tie-broken by customer key, so both engines build the
+    identical weighted sum.
+
+    Scale design: per-customer spend combines map-side; the global
+    rank is ONE ordered pass over the customer-level (not order-level)
+    table — same honest global-window note as q_stats_ks, with the
+    same fix at extreme scale (bin spend into a fixed grid and rank
+    bins)."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("double").alias("total"),
+        F.sum(F.col("i").cast("double") * F.col("cents"))
+        .cast("double")
+        .alias("weighted"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            2.0 * F.col("weighted") / (n_d * F.col("total"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_stats_pareto",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS i,
+               SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM spend
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total
+        FROM spend
+    )
+    SELECT CAST(MIN(i) AS BIGINT) AS n_top_customers,
+           tot.n AS n_customers,
+           round(CAST(MIN(i) AS DOUBLE) * 100.0 / tot.n, 4) AS top_pct
+    FROM ranked CROSS JOIN tot
+    WHERE CAST(cum AS DOUBLE) / total >= 0.8
+    GROUP BY tot.n
+    """,
+)
+def q_stats_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top customers produce 80 % of
+    revenue (the 80/20 check) — reported as a count and a share of the
+    customer base. Ranked by exact integer cents with a key tiebreak,
+    cumulative share crosses 0.8 at ONE deterministic row in both
+    engines.
+
+    Scale design: same shape as q_stats_gini — customer-level rollup
+    first (map-side combine), then one ordered cumulative pass over the
+    reduced table; the totals frame broadcasts. The answer is the
+    MIN(rank) past the threshold, which plans as a cheap aggregate, not
+    a sort-and-take."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(wc).alias("cum"),
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum").cast("double") / F.col("total") >= 0.8)
+        .groupBy(F.col("n").alias("n_customers"))
+        .agg(
+            F.min("i").alias("n_top_customers"),
+            F.round(
+                F.min("i").cast("double") * 100.0 / F.col("n"), 4
+            ).alias("top_pct"),
+        )
+        .select("n_top_customers", "n_customers", "top_pct")
+    )

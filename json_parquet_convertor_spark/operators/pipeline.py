@@ -1547,3 +1547,60 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           dl.n AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(SUM(CAST(
+               -(CAST(c AS DOUBLE) / dl.n) * ln(CAST(c AS DOUBLE) / dl.n)
+               AS DECIMAL(18,12))) AS DOUBLE), 4) AS entropy
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id, dl.n
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats) — the
+    information-density quality signal that separates natural text from
+    boilerplate and keyboard-mash: low entropy ⇒ few tokens dominate
+    (repetition, templates — complementing q_text_repetition's n-gram
+    view), suspiciously high ⇒ random noise. Each term
+    −p·ln p quantizes to DECIMAL(18,12) BEFORE the per-doc sum (the
+    q_text_tfidf discipline), so accumulation order cannot move the
+    4-dp result across engines.
+
+    Scale design: token counts combine map-side; one shuffle on doc_id
+    serves the tf groupBy, and the doc-length join is co-partitioned on
+    the same key — no second wide exchange. State per doc is its
+    distinct-token count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log(p)).cast("decimal(18,12)")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_tokens"))
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(F.sum(term).cast("double"), 4).alias("entropy"),
+        )
+        .select("doc_id", "n_tokens", "n_distinct", "entropy")
+    )

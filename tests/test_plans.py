@@ -115,6 +115,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_stats_chi2",  # 1-row grand-total broadcast onto cell table
             "q_stats_ks",  # 1-row (n1, n2) totals broadcast onto the ECDF
             "q_bpe_apply",  # 1-row merge-table frame broadcast onto vocab
+            "q_stats_pareto",  # 1-row (n, total) broadcast onto the ranking
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
