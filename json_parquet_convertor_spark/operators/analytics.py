@@ -992,3 +992,94 @@ def q_stats_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_top_customers", "n_customers", "top_pct")
     )
+
+
+@query(
+    "q_pairs_lift",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    supp AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, ab,
+           round(CAST(ab AS DOUBLE) / sa.s, 4) AS confidence,
+           round(CAST(ab AS DOUBLE) * n.n_orders / (sa.s * sb.s), 4)
+               AS lift
+    FROM pairs
+    JOIN supp sa ON part_a = sa.l_partkey
+    JOIN supp sb ON part_b = sb.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the co-purchase pairs: confidence
+    P(b|a) and lift P(a,b)/(P(a)·P(b)) — the step that turns
+    q_pairs_copurchase's raw counts into rankable rules (lift > 1 ⇒
+    genuinely bought together, not just both popular). All three
+    probabilities reduce to exact integer count ratios, so both engines
+    derive identical doubles.
+
+    Scale design: same basket self-join as the pair miner (bounded by
+    per-order basket size), plus two broadcast-sized joins against the
+    per-part support table and a 1-row order-count frame. Supports are
+    computed from the SAME distinct projection the pairs use — one
+    scan, no second pass over lineitem."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = li.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("ab"))
+        .filter(F.col("ab") >= 3)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("sa")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("sb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "ab",
+            F.round(F.col("ab").cast("double") / F.col("sa"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -1604,3 +1604,110 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "n_distinct", "entropy")
     )
+
+
+@query("q_embed_kmeans")  # rows-only: float assignment boundaries
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embedding column (k=8, 3 Lloyd iterations,
+    deterministic init = the vectors with the 8 lowest vec_ids) — the
+    clustering that feeds IVF index building (q_sim_ann_ivf's centroid
+    table is exactly this job's output), corpus domain discovery, and
+    diversity-balanced sampling.
+
+    Scale design: classic Spark k-means dataflow. Per iteration, each
+    Arrow batch computes assignments against the broadcast centroids
+    and reduces LOCALLY to (centroid, count, vector-sum) partials — so
+    an iteration shuffles k×d doubles per batch, never vectors. The
+    8×64-double model (4 KB) is the ONLY thing the driver ever holds —
+    collecting bounded MODEL state between iterations is the sanctioned
+    exception to this repo's no-collect rule (convergence scalars in
+    q_graph_pagerank are the same pattern); the corpus itself never
+    leaves executors. Ties in assignment break to the lowest centroid
+    id, and the final report is per-centroid size + mean inertia,
+    numpy-re-verified in tests."""
+    import numpy as np
+
+    d, k, iters = 64, 8, 3
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    init = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype="float64")
+            for r in emb.orderBy("vec_id").limit(k).collect()
+        ]
+    )
+
+    def make_assign(cent):
+        c = cent.copy()
+
+        def assign(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin ties →
+                # lowest centroid id (np.argmin's first-hit rule)
+                d2 = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2.0 * (m @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                rows = []
+                for ci in range(k):
+                    sel = m[a == ci]
+                    if len(sel):
+                        rows.append(
+                            (
+                                ci,
+                                len(sel),
+                                sel.sum(axis=0).tolist(),
+                                float(d2[a == ci, ci].sum()),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["c", "n", "s", "inertia"]
+                )
+
+        return assign
+
+    cent = init
+    for _ in range(iters):
+        parts = emb.mapInPandas(
+            make_assign(cent),
+            "c int, n long, s array<double>, inertia double",
+        )
+        rows = (
+            parts.groupBy("c")
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()
+        )
+        new = cent.copy()  # empty clusters keep their centroid
+        for r in rows:
+            new[r["c"]] = (
+                np.array([r[f"s{i}"] for i in range(d)]) / r["n"]
+            )
+        cent = new
+
+    final = emb.mapInPandas(
+        make_assign(cent), "c int, n long, s array<double>, inertia double"
+    )
+    return (
+        final.groupBy(F.col("c").alias("centroid_id"))
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.round(
+                (F.sum("inertia") / F.sum("n")), 2
+            ).alias("mean_inertia"),
+        )
+        .orderBy("centroid_id")
+    )

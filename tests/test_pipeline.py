@@ -218,3 +218,49 @@ def test_incremental_dedup_agrees_with_full_pass(spark, sf_dir):
         assert key in full, key
         assert abs(full[key] - r["jaccard"]) < 1e-9, (key, r)
         assert r["new_doc"] % 5 == 0 and r["corpus_doc"] % 5 != 0
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """q_embed_kmeans's distributed Lloyd iterations must reproduce a
+    from-scratch numpy k-means with the same deterministic init (lowest
+    vec_ids), iteration count, and lowest-id tie-break — member counts
+    exactly, mean inertia to float tolerance."""
+    import numpy as np
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    out = {
+        r["centroid_id"]: (r["n_members"], r["mean_inertia"])
+        for r in registry.QUERIES["q_embed_kmeans"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    m = np.vstack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    k, iters = 8, 3
+    cent = m[:k].copy()
+    for _ in range(iters):
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        for ci in range(k):
+            sel = m[a == ci]
+            if len(sel):
+                cent[ci] = sel.mean(axis=0)
+    d2 = (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    a = d2.argmin(axis=1)
+    for ci in range(k):
+        sel = d2[a == ci, ci]
+        assert out[ci][0] == len(sel), (ci, out[ci][0], len(sel))
+        if len(sel):
+            assert abs(out[ci][1] - round(float(sel.mean()), 2)) < 0.05, ci

@@ -116,6 +116,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_stats_ks",  # 1-row (n1, n2) totals broadcast onto the ECDF
             "q_bpe_apply",  # 1-row merge-table frame broadcast onto vocab
             "q_stats_pareto",  # 1-row (n, total) broadcast onto the ranking
+            "q_pairs_lift",  # 1-row order-count broadcast onto rule table
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
