@@ -823,3 +823,70 @@ def q_win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_conversions"))
     )
+
+
+@query(
+    "q_win_attribution",
+    oracle="""
+    WITH marked AS (
+        SELECT event_type, value, ts,
+               MAX(CASE WHEN event_type = 'click'
+                        THEN CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_channel_k
+        FROM events
+    )
+    SELECT CAST(last_channel_k % 4 AS BIGINT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM marked
+    WHERE event_type = 'purchase' AND last_channel_k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    channel (props.k mod 4) of the user's most recent PRIOR click — the
+    marketing-attribution join stated as the same single-table as-of
+    carry as q_win_conversion_lag, here carrying a DIMENSION VALUE
+    forward instead of a timestamp. Channel comes out of the JSON props
+    column (get_json_object, JVM-side), revenue sums in decimal-exact
+    arithmetic.
+
+    Scale design: one user_id shuffle + one ordered window; the carried
+    value is one BIGINT per row regardless of how many dimensions the
+    click carries (carry a struct for multi-touch). The naive
+    formulation — purchases join clicks on user with a time predicate,
+    then a per-purchase top-1 — shuffles both event subsets and needs a
+    dedup window on top; the carry does it in the scan order Spark
+    already established."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_channel_k",
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.get_json_object("props", "$.k").cast("bigint"),
+            )
+        ).over(w),
+    )
+    from json_parquet_convertor_spark.exact import dsum
+
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_channel_k").isNotNull()
+        )
+        .groupBy((F.col("last_channel_k") % 4).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("revenue"),
+        )
+    )
