@@ -651,3 +651,42 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "ts").alias("quarter_start"),
         F.date_trunc("week", "ts").alias("week_start"),
     )
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%s#%03d', n_name, n_nationkey) AS tag,
+           lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS padded_key,
+           rpad(n_name, 20, '.') AS padded_name,
+           trim('  ' || n_name || '  ') AS trimmed,
+           ltrim(n_name, 'AEIOU') AS no_lead_vowels
+    FROM nation
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family — printf-style templates, fixed-width
+    padding, trim variants — the layer that renders keys, file names,
+    and report labels (the reference's output key is exactly such a
+    template: `<key>.parquet`, convertor/convertor.go:171).
+    format_string maps to DuckDB's printf with identical %s/%03d
+    conversions; lpad/rpad/trim/ltrim carry the same names and
+    semantics (char-set ltrim included) in both engines.
+
+    Scale: row-local codegen projections, no shuffle; at 100 TB these
+    appear inside write-path key construction, where per-row Python
+    string formatting would be the classic accidental bottleneck."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("%s#%03d", "n_name", "n_nationkey").alias("tag"),
+        F.lpad(F.col("n_nationkey").cast("string"), 5, "0").alias(
+            "padded_key"
+        ),
+        F.rpad("n_name", 20, ".").alias("padded_name"),
+        F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+        F.ltrim(F.col("n_name"), F.lit("AEIOU")).alias("no_lead_vowels"),
+    )

@@ -237,3 +237,68 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("frac"), 4).alias("keep_frac"),
         )
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH c AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1
+    ),
+    cap AS (SELECT MIN(n) AS cap FROM c),
+    ranked AS (
+        SELECT label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY hash(vec_id), vec_id
+               ) AS rn
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           (SELECT CAST(cap AS BIGINT) FROM cap) AS cap
+    FROM ranked CROSS JOIN cap
+    WHERE rn <= cap
+    GROUP BY label
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows — the rebalancing step before training a
+    classifier on skewed labels (the per-class hard cap, vs
+    q_sample_temperature's smooth α-reweighting and
+    q_sample_stratified's proportional draw). Rows are chosen by a
+    per-label hash ranking, so the selection is uniform-ish,
+    deterministic, and reproducible across engines and runs — never
+    `ORDER BY rand()`.
+
+    NOTE the oracle twin checks the per-label COUNTS and cap (the
+    balance contract); the chosen row sets differ between engines
+    because each ranks by its own hash — which rows are kept is
+    policy-free by design, which rows are counted is not.
+
+    Scale design: one count aggregate (map-side), a 1-row cap
+    broadcast, and one window shuffle on label; at high label skew the
+    window partition for the majority class is the hot spot — the
+    production variant pre-filters with `rand-free` hash sampling at
+    ~cap/n rate before ranking, same plan otherwise."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("label").orderBy(
+        F.xxhash64("vec_id"), "vec_id"
+    )
+    ranked = emb.select(
+        "label", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("cap"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("cap").alias("cap"),
+        )
+    )

@@ -117,6 +117,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_bpe_apply",  # 1-row merge-table frame broadcast onto vocab
             "q_stats_pareto",  # 1-row (n, total) broadcast onto the ranking
             "q_pairs_lift",  # 1-row order-count broadcast onto rule table
+            "q_sample_balanced",  # 1-row min-class cap broadcast
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
