@@ -48,6 +48,7 @@ _VERIFY_PRIORITY = [
     "q_win_conversion_lag", "q_stats_auc", "q_text_entropy",
     "q_stats_gini", "q_stats_pareto", "q_pairs_lift", "q_embed_kmeans",
     "q_win_attribution", "q_sample_balanced", "q_fn_format",
+    "q_win_cumulative_share", "q_corpus_qc",
     # -- never driver-checked (round-3 session-4 additions) --
     "q_cohort_retention", "q_cdc_diff", "q_agg_incremental", "q_stats_ttest",
     "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",

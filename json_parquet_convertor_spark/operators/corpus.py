@@ -830,3 +830,66 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment, "w string, freq long, pieces string, n_pieces int"
     )
     return segmented.orderBy(F.desc("freq"), "w").limit(20)
+
+
+@query(
+    "q_corpus_qc",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    dup AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+            AS n_exact_dups
+        FROM base
+    ),
+    short AS (
+        SELECT CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_short
+        FROM base
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(DISTINCT lang) FROM base) AS BIGINT)
+               AS n_langs,
+           dup.n_exact_dups,
+           short.n_short,
+           CAST((SELECT SUM(n_tokens) FROM base) AS BIGINT)
+               AS total_tokens,
+           round((SELECT SUM(n_tokens) FROM base)
+                 * 1.0 / (SELECT COUNT(*) FROM base), 4)
+               AS avg_tokens
+    FROM dup CROSS JOIN short
+    """,
+)
+def q_corpus_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus QC scorecard — the summary a daily ingestion run
+    publishes before anything downstream trains: corpus size, language
+    coverage, exact-duplicate volume (rows beyond one per content
+    hash), short-document count (the q_corpus_pipeline quality gate's
+    reject class), and token totals. One number per risk axis; alert
+    thresholds live downstream.
+
+    Scale design: ONE scan computes everything — per-doc token counts
+    and hashes are row-local projections; the distinct-hash and
+    distinct-lang counts ride the same aggregate (Spark plans
+    multi-distinct via Expand, still a single pass over the input);
+    output is 1 row. This is the query-shape answer to "don't run five
+    QC jobs over 100 TB when one Expand pass does it"."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+        F.sum((F.col("n_tokens") < 20).cast("bigint")).alias("n_short"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") * F.lit(1.0) / F.count("*"), 4
+        ).alias("avg_tokens"),
+    )

@@ -890,3 +890,66 @@ def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_win_cumulative_share",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(floor(epoch(CAST(date_trunc('month', o_orderdate)
+                                     AS TIMESTAMP))) AS BIGINT) AS month,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM m)
+    SELECT month,
+           CAST(round(cents / 100.0, 2) AS DOUBLE) AS revenue,
+           round(CAST(SUM(cents) OVER (ORDER BY month
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / t.total, 6) AS cum_share
+    FROM m CROSS JOIN t
+    """,
+)
+def q_win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with running share of the total — the pacing /
+    year-to-date curve every revenue dashboard draws. Built on the
+    month-level rollup, so the ordered cumulative window runs over
+    ~tens of rows no matter the fact-table size; shares derive from
+    exact integer cents against a 1-row total broadcast.
+
+    Scale design: the pattern to note is WHERE the window sits — after
+    the aggregate, never over raw orders. A cumulative window over the
+    fact table would be a single-partition sort of everything; over the
+    rollup it's free. Same rollup-first discipline as q_stats_gini and
+    q_stats_pareto."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    t = m.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "month",
+            (F.round(F.col("cents") / 100.0, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.round(
+                F.sum("cents").over(w).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )

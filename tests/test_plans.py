@@ -118,6 +118,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_stats_pareto",  # 1-row (n, total) broadcast onto the ranking
             "q_pairs_lift",  # 1-row order-count broadcast onto rule table
             "q_sample_balanced",  # 1-row min-class cap broadcast
+            "q_win_cumulative_share",  # 1-row total broadcast onto rollup
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 
