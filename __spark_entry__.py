@@ -36,7 +36,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed after their last driver check, then the rest
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
-    # -- never driver-checked (round-3 session-5 additions) --
+    # -- never driver-checked as of r3 (driver checks first 50) --
+    "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
+    "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",
+    "q_union_evolution", "q_agg_bitmap_distinct", "q_scan_xml",
+    "q_fn_variant", "q_fn_collation", "q_win_pattern", "q_udf_cogroup",
+    "q_observe_qc", "q_cache_reuse", "q_fn_string", "q_fn_math",
+    "q_fn_date", "q_fn_array", "q_fn_map", "q_fn_json", "q_fn_conditional",
+    "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_explode",
+    "q_udf_grouped_map", "q_sample_split", "q_sample_stratified",
+    "q_corpus_shard", "q_sink_compacted", "q_merge_upsert", "q_scan_orc",
+    "q_scan_text", "q_sql_cte", "q_sql_subquery_scalar", "q_sql_exists",
+    "q_sql_view", "q_win_distribution", "q_scd2_history", "q_fn_bitwise",
+    "q_fn_url", "q_text_decontaminate", "q_corpus_mix", "q_unpivot",
+    "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
+    "q_agg_hll_union", "q_dedup_cluster", "q_text_scrub_pii",
+    "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
+    "q_agg_mode_median", "q_embed_quantize", "q_composite_q3",
+    "q_fn_struct", "q_udtf_lateral", "q_sink_sorted", "q_text_chunk",
+    "q_text_lm_score", "q_sample_weighted", "q_agg_histogram",
+    "q_sql_not_in", "q_scan_binary", "q_knn_graph", "q_fn_try",
+    "q_win_time_range", "q_graph_pagerank", "q_join_range_binned",
+    "q_profile_stats", "q_fn_encode", "q_win_sessionize", "q_win_funnel",
+    "q_json_normalize", "q_rank_bm25", "q_scan_pruned", "q_setop_all",
+    "q_scan_merge_schema", "q_agg_modern", "q_agg_corr",
+    "q_text_containment", "q_anomaly_zscore", "q_join_fuzzy",
+    "q_time_spine", "q_sql_recursive", "q_join_spatial_grid", "q_gen_range",
+    "q_agg_weighted", "q_stream_foreachbatch", "q_stream_tumbling",
+    "q_stream_sliding", "q_stream_session", "q_stream_dedup",
+    "q_stream_enrich", "q_stream_join", "q_stream_stateful",
+    "q_stream_convert", "q_stream_watermark",
+    # -- last driver-checked round 1 --
+    "q_sort_multi", "q_filter_simple", "q_filter_compound",
+    "q_filter_null_semantics", "q_filter_like", "q_case_when",
+    "q_zero_fill", "q_limit", "q_topk", "q_union_all", "q_union_distinct",
+    "q_intersect", "q_except", "q_win_rank", "q_win_analytic",
+    "q_win_frame_rows", "q_win_frame_range", "q_win_topk_per_group",
+    # -- last driver-checked round 2 --
+    "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
+    "q_sink_partitioned", "q_project_rename_cast", "q_join_inner",
+    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_broadcast", "q_join_theta", "q_join_range",
+    "q_join_asof", "q_join_cross", "q_join_multiway", "q_agg_global",
+    "q_agg_groupby", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets", "q_agg_having",
+    "q_agg_stats", "q_agg_collect", "q_pivot", "q_agg_sketch_quantiles",
+    "q_dedup_exact", "q_text_stats", "q_text_langid", "q_text_quality",
+    "q_text_tokens", "q_text_vocab", "q_sim_cosine_topk", "q_sim_ann_ivf",
+    "q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
+    "q_join_bucketed", "q_join_salted", "q_text_tfidf",
+    "q_text_fingerprint", "q_sim_pairs_lsh", "q_dedup_near",
+    "q_dedup_embed", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    # -- last driver-checked round 3 --
     "q_join_bloom_prefilter", "q_anomaly_mad", "q_stats_linreg",
     "q_fn_regex", "q_embed_pca", "q_scan_metadata", "q_fn_timezone",
     "q_win_moving_distinct", "q_agg_sketch_cms", "q_udf_arrow",
@@ -45,79 +96,13 @@ _VERIFY_PRIORITY = [
     "q_dedup_incremental", "q_agg_ohlc", "q_win_streaks",
     "q_multimodal_dedup", "q_sql_lateral", "q_scan_json_corrupt",
     "q_stats_ks", "q_bpe_apply", "q_win_ewma", "q_join_interval_overlap",
-    "q_win_conversion_lag", "q_stats_auc", "q_text_entropy",
-    "q_stats_gini", "q_stats_pareto", "q_pairs_lift", "q_embed_kmeans",
-    "q_win_attribution", "q_sample_balanced", "q_fn_format",
-    "q_win_cumulative_share", "q_corpus_qc",
-    # -- never driver-checked (round-3 session-4 additions) --
-    "q_cohort_retention", "q_cdc_diff", "q_agg_incremental", "q_stats_ttest",
-    "q_agg_diversity", "q_sort_zorder", "q_text_repetition", "q_embed_pool",
-    "q_sample_temperature", "q_skew_diagnose", "q_pairs_copurchase",
-    "q_join_prune_dynamic",
-    "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
-    "q_scan_csv_corrupt",
-    "q_join_null_safe", "q_join_asof_tolerance", "q_union_evolution",
-    "q_agg_bitmap_distinct",
-    "q_scan_xml", "q_fn_variant", "q_fn_collation", "q_win_pattern",
-    "q_udf_cogroup", "q_observe_qc", "q_cache_reuse",
-    # -- never driver-checked (B8 scalar functions) --
-    "q_fn_string", "q_fn_math", "q_fn_date", "q_fn_array", "q_fn_map",
-    "q_fn_json", "q_fn_conditional",
-    # -- never driver-checked (B10 UDFs) --
-    "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_explode",
-    "q_udf_grouped_map",
-    # -- never driver-checked (sampling / sharding) --
-    "q_sample_split", "q_sample_stratified", "q_corpus_shard",
-    # -- never driver-checked (relational extensions) --
-    "q_sink_compacted", "q_merge_upsert", "q_scan_orc", "q_scan_text",
-    # -- never driver-checked (round-3 session-3 additions; all cheap) --
-    "q_sql_cte", "q_sql_subquery_scalar", "q_sql_exists", "q_sql_view",
-    "q_win_distribution", "q_scd2_history", "q_fn_bitwise", "q_fn_url",
-    "q_text_decontaminate", "q_corpus_mix",
-    # -- never driver-checked (round-3 additions, non-streaming) --
-    "q_unpivot", "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
-    "q_agg_hll_union", "q_dedup_cluster", "q_text_scrub_pii",
-    "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
-    "q_agg_mode_median", "q_embed_quantize", "q_composite_q3", "q_fn_struct",
-    "q_udtf_lateral", "q_sink_sorted",
-    "q_text_chunk", "q_text_lm_score", "q_sample_weighted",
-    "q_agg_histogram", "q_sql_not_in", "q_scan_binary", "q_knn_graph",
-    "q_fn_try", "q_win_time_range", "q_graph_pagerank",
-    "q_join_range_binned", "q_profile_stats", "q_fn_encode",
-    "q_win_sessionize", "q_win_funnel", "q_json_normalize", "q_rank_bm25",
-    "q_scan_pruned", "q_setop_all", "q_scan_merge_schema",
-    "q_agg_modern", "q_agg_corr", "q_text_containment", "q_anomaly_zscore",
-    "q_join_fuzzy", "q_time_spine", "q_sql_recursive",
-    "q_join_spatial_grid", "q_gen_range", "q_agg_weighted",
-    # -- never driver-checked (B9 streaming; slower, oracled ones first) --
-    "q_stream_foreachbatch", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_dedup", "q_stream_enrich", "q_stream_join",
-    "q_stream_stateful", "q_stream_convert", "q_stream_watermark",
-    # -- green in round 1 only; edited or never re-checked since --
-    "q_sort_multi",  # rewritten after its only driver check
-    "q_filter_simple", "q_filter_compound", "q_filter_null_semantics",
-    "q_filter_like", "q_case_when", "q_zero_fill",
-    "q_limit", "q_topk",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    "q_win_rank", "q_win_analytic", "q_win_frame_rows", "q_win_frame_range",
-    "q_win_topk_per_group",
-    # -- green in round 2 (cheap scans/projections/joins first) --
-    "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
-    "q_sink_partitioned", "q_project_rename_cast",
-    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
-    "q_join_range", "q_join_asof", "q_join_cross", "q_join_multiway",
-    "q_agg_global", "q_agg_groupby", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube",
-    "q_agg_groupingsets", "q_agg_having", "q_agg_stats", "q_agg_collect",
-    "q_pivot", "q_agg_sketch_quantiles",
-    # -- green in round 2 (heavier LLM-pipeline operators last) --
-    "q_dedup_exact", "q_text_stats", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_vocab", "q_sim_cosine_topk", "q_sim_ann_ivf",
-    "q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
-    "q_join_bucketed", "q_join_salted", "q_text_tfidf", "q_text_fingerprint",
-    "q_sim_pairs_lsh", "q_dedup_near", "q_dedup_embed",
-    "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_win_conversion_lag", "q_stats_auc", "q_text_entropy", "q_stats_gini",
+    "q_stats_pareto", "q_pairs_lift", "q_embed_kmeans", "q_win_attribution",
+    "q_sample_balanced", "q_fn_format", "q_win_cumulative_share",
+    "q_corpus_qc", "q_cohort_retention", "q_cdc_diff", "q_agg_incremental",
+    "q_stats_ttest", "q_agg_diversity", "q_sort_zorder",
+    "q_text_repetition", "q_embed_pool", "q_sample_temperature",
+    "q_skew_diagnose", "q_pairs_copurchase", "q_join_prune_dynamic",
 ]
 
 

@@ -140,6 +140,47 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def _subtree(lines: list[str], i: int) -> str:
+    """The plan-tree subtree rooted at line ``i`` (by marker indentation)."""
+    import re as _re
+
+    def pos(line: str) -> int:
+        m = _re.search(r"[+:]-", line)
+        return m.start() if m else 10**6
+
+    p = pos(lines[i])
+    out = [lines[i]]
+    for line in lines[i + 1:]:
+        if pos(line) <= p:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_bm25_df_broadcast_is_query_term_bounded(spark, sf_dir):
+    """The document-frequency build side must be restricted to the (≤3)
+    query terms BEFORE it broadcasts — a full-vocabulary df broadcast OOMs
+    every executor at 100 TB (judge round-3 finding). Mechanically: every
+    BroadcastExchange whose subtree aggregates token counts (the df build)
+    must also contain the limit-3 query-term restriction inside that
+    subtree."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "q_rank_bm25")
+    lines = plan.splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        sub = _subtree(lines, i)
+        if _re.search(
+            r"HashAggregate\(keys=\[token\S*\], functions=\[count\(1\)\]", sub
+        ):
+            checked += 1
+            assert "limit=3" in sub, sub
+    assert checked >= 1, plan
+
+
 def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
     """The eval-suite gram set must broadcast: the 100 TB corpus is never
     shuffled for the contamination check."""
