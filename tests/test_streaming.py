@@ -304,3 +304,117 @@ def test_foreachbatch_partials_are_idempotent_on_replay(spark, tmp_path):
     # genuinely new data: exactly its rows are added
     write_src([2, 3], "b")
     assert run_once() == {1: 2, 2: 2, 3: 1}
+
+
+def test_sink_commit_log_hides_uncommitted_files(spark, tmp_path):
+    """Sink-level at-least-once→exactly-once proof (reference parity:
+    convertor/convertor.go:156-164 acks AFTER the S3 put, so a crash
+    between put and ack leaves an orphan object AND redelivers the
+    message). The Structured Streaming parquet sink writes a
+    ``_spark_metadata`` commit log; a batch reader of the sink directory
+    trusts ONLY files listed there — so a data file written by a crashed
+    task (present on disk, never committed) must be invisible, with no
+    compensating delete needed."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("user_id bigint, value double")
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    committed = sorted(
+        r["user_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert committed == [1, 2]
+
+    # crashed-task orphan: a well-formed parquet file lands in the sink dir
+    # but no commit covers it — the metadata-aware reader must not see it
+    orphan_rows = spark.createDataFrame(
+        [(99, 990.0)], "user_id bigint, value double"
+    )
+    orphan_dir = str(tmp_path / "orphan")
+    orphan_rows.coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    part = next(
+        f for f in os.listdir(orphan_dir) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(orphan_dir, part),
+        os.path.join(out, "part-99999-orphan.snappy.parquet"),
+    )
+    after = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert after == [1, 2], (
+        "uncommitted sink file leaked into reads: %s" % after
+    )
+
+
+def test_redelivered_message_new_file_is_deduped_across_restart(
+    spark, tmp_path
+):
+    """True SQS redelivery is a NEW receive of the SAME message (new file
+    in stream terms, same message id) — the file-source checkpoint alone
+    cannot dedup it because the path differs. The engine's answer is a
+    keyed dropDuplicates stage whose state store persists in the
+    checkpoint: the redelivered copy arriving in a LATER run must add
+    nothing, while a genuinely new message still flows. (Bounded id-space
+    state here; production pairs dropDuplicates with a watermark as in
+    q_stream_dedup so state ages out.)"""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def deliver(msg_id, body, fname):
+        spark.createDataFrame(
+            [(msg_id, body)], "msg_id string, body string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + fname))
+        )
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / ("stage_" + fname)))
+            if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(str(tmp_path / ("stage_" + fname)), part),
+            os.path.join(src, fname + ".parquet"),
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("msg_id string, body string")
+            .parquet(src)
+            .dropDuplicates(["msg_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["msg_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    deliver("m1", "hello", "d1")
+    deliver("m2", "world", "d2")
+    assert run_once() == ["m1", "m2"]
+
+    # redelivery: same message id, same body, NEW file, next run — the
+    # checkpointed dedup state must swallow it
+    deliver("m1", "hello", "d1_redelivered")
+    assert run_once() == ["m1", "m2"]
+
+    # and a genuinely new message still lands exactly once
+    deliver("m3", "!", "d3")
+    assert run_once() == ["m1", "m2", "m3"]
