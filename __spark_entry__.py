@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed after their last driver check, then the rest
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
+    # -- new this round (never driver-checked) --
+    "q_s3_event_parse",
     # -- never driver-checked as of r3 (driver checks first 50) --
     "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
     "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",
