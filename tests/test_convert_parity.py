@@ -112,3 +112,43 @@ def test_age_narrows_to_tinyint(spark, tmp_path):
         ).fetchall()
     }
     assert cols["age"] == "TINYINT"
+
+
+def test_per_file_output_layout_matches_reference_convention(spark, tmp_path):
+    """json_to_parquet_per_file writes one single parquet FILE per input
+    JSON file named <key>.parquet — the reference's output convention
+    (convertor/convertor.go:171, and the repo's own shipped
+    sample_json/person2.json.parquet) — with content identical to the
+    directory-style sink and readable file-by-file."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    convert.write_sample_json(src)
+
+    back = convert.json_to_parquet_per_file(spark, src, out)
+
+    produced = sorted(os.listdir(out))
+    assert produced == [
+        "person2.json.parquet",
+        "person3.json.parquet",
+        "person4.json.parquet",
+    ], produced
+    # each output is a standalone single-file parquet holding exactly its
+    # input's converted row
+    one = spark.read.parquet(os.path.join(out, "person2.json.parquet"))
+    rows = one.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["name"], r["nationality"], r["age"]) == (
+        "1234", "Jon", "CM", 12,
+    )
+    # the union of the per-file outputs equals the directory-sink result
+    dir_out = str(tmp_path / "dir_out")
+    expected = {
+        (r["id"], r["name"], r["nationality"], r["age"])
+        for r in convert.json_to_parquet(spark, src, dir_out).collect()
+    }
+    got = {
+        (r["id"], r["name"], r["nationality"], r["age"])
+        for r in back.select("id", "name", "nationality", "age").collect()
+    }
+    assert got == expected
