@@ -266,7 +266,9 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation — arrays sorted on both sides (collect order is
     nondeterministic by contract), then serialized to a comma-joined string:
     the driver's pandas-based canonicalizer cannot hash list cells, so every
-    oracled query must return scalar columns only."""
+    oracled query must return scalar columns only. Broadcast bound: the
+    build side is the 25-row nation dim (any star-schema dim ≪ executor
+    memory qualifies)."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -920,7 +922,10 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned join back for the deviations. At 100 TB swap both
     medians for approx_percentile (t-digest, map-side combinable,
     zero extra shuffle) and keep the identical downstream rule; the
-    two-pass shape is unchanged."""
+    two-pass shape is unchanged. Broadcast bound: the med/mad frames
+    carry one row per event_type (a handful); a high-cardinality group
+    key would drop the hints and co-partition both join-backs on the
+    same key — one shuffle total, since the groupBys already hash it."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),

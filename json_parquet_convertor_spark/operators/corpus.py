@@ -322,7 +322,11 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hashes broadcast and the contamination check is a map-side
     broadcast semi-join against the training gram stream — no shuffle of
     the corpus at all. Grams are md5-hashed (32-byte keys, identical hex in
-    both engines) so the join never moves raw text."""
+    both engines) so the join never moves raw text. Broadcast bound:
+    |eval grams| ≈ 10^5-10^6 rows × 32 B — tens of MB; an eval suite big
+    enough to break that bound should shard into per-benchmark passes (or
+    drop the hint → shuffled semi-join, corpus shuffles its gram hashes
+    once)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     gram = lambda i: F.md5(  # noqa: E731
@@ -504,7 +508,11 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes: one shared-nothing pass builds tf partials, one map-side
     broadcast join scores. In production the lp table persists as a stage
     table; here both passes run in one plan and Spark reuses the exploded
-    token scan via the shuffle files of the tf aggregation."""
+    token scan via the shuffle files of the tf aggregation. Broadcast
+    bound: |vocab| rows ≈ hundreds of MB — if an open vocabulary pushes
+    the lp table past a few GB, drop the broadcast hint and this becomes
+    a shuffled hash join on token with the same surrounding plan (the
+    corpus side then shuffles once; correctness unchanged)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")

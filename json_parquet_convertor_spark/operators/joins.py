@@ -463,7 +463,11 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 3 hot ones. The post-join aggregate is salt-oblivious.
 
     The oracle computes the same weighted sum join-free (CASE lookup),
-    proving the salt changed the distribution, not the semantics."""
+    proving the salt changed the distribution, not the semantics.
+    Broadcast bound: the salted dim is |dim| × salt_n rows (24 here);
+    when the replicated dim outgrows the broadcast threshold, salt BOTH
+    sides instead (fact gets rand-mod salt, dim explodes the full range)
+    and shuffle-join on (key, salt) — load-balance is identical."""
     salt_n = 8
     dim = spark.createDataFrame(
         [("A", "1.10"), ("N", "1.20"), ("R", "1.30")], ["flag", "factor_s"]
@@ -724,7 +728,10 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: only the small station side replicates (×9); the big point
     side is hashed once on its cell. Skewed cells (urban cores) are the
     q_join_salted case. Swap the arithmetic cells for geohash/S2/H3
-    prefixes and the join shape is unchanged."""
+    prefixes and the join shape is unchanged. Broadcast bound: 9×|stations|
+    rows — fine while stations number ≲10^6; a station set past that drops
+    the hint and the cell equi-join shuffles both sides on (cx, cy), same
+    candidate set."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (((F.col("c_custkey") * 53) % 1000) / 10.0).alias("x"),

@@ -531,7 +531,8 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of small files, and at 100 TB the resulting open/seek storm
     dominates scan time. Write 64 shards, compact to 4 with repartition,
     and verify both layouts hold identical rows. File counts are computed
-    engine-side via countDistinct(input_file_name()) — no driver listing."""
+    engine-side via countDistinct(input_file_name()) — no driver listing.
+    Broadcast bound: the crossJoined n_small frame is exactly 1 row."""
     import os as _os
 
     base = run_tmp("compaction")
