@@ -1205,3 +1205,92 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_sec"),
         )
     )
+
+
+@query(
+    "q_composite_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_composite_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the six-table composite —
+    region→nation dim chain, a year of orders, and the LOCAL-supplier
+    condition (c_nationkey = s_nationkey) that makes the join graph
+    cyclic, not a star. Q3 (q_composite_q3) is the 3-table warm-up; this
+    is the plan where join ORDER and build-side choice actually decide
+    the runtime, which is why it's the classic optimizer benchmark.
+
+    Scale design: region (1 row after the filter), nation (25) and
+    supplier (SF×10k) broadcast — so the fact-side pipeline is
+    lineitem⋈orders (the only big×big join, on the orders shuffle key)
+    with every dim applied map-side; the year filter pushes into the
+    orders scan and dynamic partition pruning would prune a
+    date-partitioned fact at 100 TB. The local-supplier equality is a
+    join-level predicate, not a post-filter, so Catalyst applies it
+    inside the supplier hash join — candidates never materialize.
+    Revenue sums in decimal (exact.py), tiebreak on n_name for a
+    deterministic order."""
+    from json_parquet_convertor_spark.exact import dec
+
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # dim chain folds driver-free: nation semi-restricted to the region
+    nat = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -1510,7 +1510,16 @@ def q_s3_event_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python; a billion queued notifications parse at scan speed. The
     one groupBy here belongs to the fixture build (simulating SQS batch
     delivery), not to the operator: in production the bodies arrive
-    pre-formed from the queue source and the parse stage is a pure map."""
+    pre-formed from the queue source and the parse stage is a pure map.
+    The streaming twin (q_stream_s3_events) runs the SAME parse over a
+    readStream of the same bodies."""
+    return parse_s3_events(s3_notification_bodies(spark, sf_dir))
+
+
+def s3_notification_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic S3 event-notification JSON bodies built from the
+    events table: one message per user, Records[] sorted by event_id,
+    object keys URL-encoded as S3 delivers them."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value"
     )
@@ -1547,6 +1556,14 @@ def q_s3_event_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("body")
         )
     )
+    return bodies
+
+
+def parse_s3_events(bodies: DataFrame) -> DataFrame:
+    """The parse stage shared by q_s3_event_parse and q_stream_s3_events:
+    explicit-schema from_json → explode ALL Records[] → url_decode. Pure
+    codegen expressions, so it is equally valid on a batch frame and a
+    streaming one."""
     parsed = bodies.select(
         F.from_json(
             "body",

@@ -581,3 +581,56 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "q_stream_s3_events",
+    oracle="""
+    SELECT 'jpc-landing' AS bucket,
+           'incoming/' || event_type || '/' || CAST(event_id AS VARCHAR)
+               || ' raw.json' AS key,
+           CAST(floor(value * 100) AS BIGINT) AS size_bytes
+    FROM events
+    """,
+)
+def q_stream_s3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's poll loop end-to-end as a stream (A1+A2): a
+    readStream of queued S3 event-notification bodies parsed into work
+    items with the SAME stateless parse stage as q_s3_event_parse
+    (from_json → explode ALL Records[] → url_decode), micro-batched with
+    back-pressure (maxFilesPerTrigger, the bounded-channel analogue of
+    ``convertor/convertor.go:60``).
+
+    Because the parse is stateless, the streaming plan needs no state
+    store and no watermark: each micro-batch maps bodies → work items at
+    scan speed, append-mode. That is exactly the reference's worker-pool
+    economics (one message in, N work items out, no cross-message state)
+    with Spark's scheduler replacing the hand-rolled pool — and a
+    restart resumes from the checkpoint instead of relying on SQS
+    redelivery."""
+    from json_parquet_convertor_spark.operators.relational import (
+        parse_s3_events,
+        s3_notification_bodies,
+    )
+
+    src = _replay_source(
+        spark, sf_dir, "s3events",
+        lambda: s3_notification_bodies(spark, sf_dir),
+    )
+    stream = (
+        spark.readStream.schema("body string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    sink = f"jpc_s3e_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            parse_s3_events(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
