@@ -706,7 +706,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-id vertex (at web scale you'd additionally orient by degree —
     same plan, different comparator). The co-purchase edge builder
     already caps basket blow-up via q_pairs_copurchase's reasoning, and
-    the ≥2-support filter prunes the edge set before any join."""
+    the ≥2-support filter prunes the edge set before any join.
+
+    Graph-density caveat (SCALING.json's one >4× ratio, 5.07× at 4×
+    data): replicating ORDERS densifies the co-purchase graph, so wedge
+    and triangle counts grow with edge density, not input rows — the
+    work is output-bound, which no plan can beat; the degree-orientation
+    above is what keeps the constant factor linear in Σ(wedges)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
