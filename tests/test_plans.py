@@ -287,3 +287,22 @@ def test_hinted_join_is_shuffled_hash_without_sort(spark, sf_dir):
         if join_seen and "SortMergeJoin" in line:
             raise AssertionError(f"unexpected SMJ alongside hint:\n{plan}")
     assert join_seen
+
+
+def test_composite_q5_single_big_join(spark, sf_dir):
+    """Q5's six-table graph must resolve to at most ONE non-broadcast join
+    (lineitem⋈orders); region/nation/supplier/customer all apply map-side.
+    A second shuffle join means a dim lost its broadcast; any nested-loop
+    means the local-supplier predicate fell out of the join condition."""
+    import re as _re
+
+    plan = _plan(spark, sf_dir, "q_composite_q5")
+    joins = _re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    assert joins.count("BroadcastHashJoin") >= 4, joins
+    assert "BroadcastNestedLoopJoin" not in joins, plan
+    assert "CartesianProduct" not in joins, plan
+    assert sum(1 for j in joins if j != "BroadcastHashJoin") <= 1, joins
