@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
     # -- new this round (never driver-checked) --
-    "q_s3_event_parse", "q_composite_q5", "q_stream_s3_events",
+    "q_s3_event_parse", "q_composite_q5", "q_stream_s3_events", "q_composite_q18",
     # -- never driver-checked as of r3 (driver checks first 50) --
     "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
     "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",

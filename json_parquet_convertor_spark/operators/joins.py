@@ -1294,3 +1294,68 @@ def q_composite_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "q_composite_q18",
+    oracle="""
+    WITH hq AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, hq.sum_qty
+    FROM hq
+    JOIN orders o   ON o.o_orderkey = hq.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_composite_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): find the orders whose
+    total line quantity exceeds a threshold, then attach order and
+    customer detail — the HAVING-driven semi-join composite. The classic
+    trap Q18 exists to expose: the naive plan aggregates lineitem TWICE
+    (once for the IN-subquery, once for the displayed sum). Here the
+    heavy-order table is computed ONCE and reused as both the filter and
+    the sum column — one lineitem shuffle total.
+
+    Scale design: the lineitem groupBy is the only fact-table shuffle;
+    its output (orders passing the threshold — a tiny fraction) drives
+    broadcast joins against orders and customer at this SF, and at
+    100 TB AQE keeps the post-HAVING side small enough that the
+    orders join stays broadcast while customer attaches after the
+    top-100 cut if the optimizer pushes the limit (TakeOrderedAndProject
+    bounds the result either way). Quantities are integral, so the sum
+    is computed in BIGINT — exact in both engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    hq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        hq.join(orders, hq.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
