@@ -106,7 +106,9 @@ def time_query(spark, fn, sf_dir, reps=1):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         samples.append(time.perf_counter() - t0)
-    spark.catalog.clearCache()
+        # between reps, not after: queries that cache intermediates must
+        # rebuild them each rep or later reps measure warm-cache replays
+        spark.catalog.clearCache()
     return statistics.median(samples)
 
 
