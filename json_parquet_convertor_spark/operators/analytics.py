@@ -1089,3 +1089,90 @@ def q_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_psi",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bin
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    c AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_base,
+               CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cur
+        FROM b GROUP BY 1
+    ),
+    g AS (
+        SELECT bin, n_base, n_cur,
+               CAST(n_base + 1 AS DOUBLE)
+                   / CAST(SUM(n_base) OVER () + 10 AS DOUBLE) AS p,
+               CAST(n_cur + 1 AS DOUBLE)
+                   / CAST(SUM(n_cur) OVER () + 10 AS DOUBLE) AS q
+        FROM c
+    )
+    SELECT bin, n_base, n_cur,
+           floor((p - q) * ln(p / q) * 1000000 + 0.5) / 1000000
+               AS psi_contrib
+    FROM g
+    """,
+)
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index: binned distribution drift of order value
+    between a baseline year (1995) and a comparison year (1996) — the
+    model-monitoring metric scored before retraining; PSI > 0.2 means the
+    feature moved enough to distrust the model. Complements q_stats_ks
+    (exact continuous drift) and q_stats_chi2 (independence): PSI is the
+    binned, per-bucket-attributable variant dashboards plot.
+
+    Per fixed 50k-wide price bin: p/q are Laplace-smoothed (+1 / +n_bins)
+    year shares, so empty bins stay finite; contribution is
+    (p - q) * ln(p / q), quantized with the boundary-safe floor expression
+    (analytics ground rules) since ln-derived doubles land anywhere.
+
+    Scale design: one scan, one groupBy on the ≤10-value bin key, then a
+    10-row window for the totals — the fact table shuffles bounded
+    per-bin counts only, never rows. The smoothed shares divide exact
+    integer counts, so both engines build identical doubles before ln."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    b = o.filter(yr.isin(1995, 1996)).select(
+        yr.cast("int").alias("yr"),
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_base") + 1).cast("double") / (
+        F.sum("n_base").over(w) + 10
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.sum("n_cur").over(w) + 10
+    ).cast("double")
+    g = c.select("bin", "n_base", "n_cur", p.alias("p"), q.alias("q"))
+    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return g.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        (F.floor(contrib * 1000000 + 0.5) / 1000000).alias("psi_contrib"),
+    )

@@ -901,3 +901,106 @@ def q_corpus_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens") * F.lit(1.0) / F.count("*"), 4
         ).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language model head
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+    ),
+    bi AS (
+        SELECT l[g.i] AS w1, l[g.i + 1] AS w2
+        FROM toks CROSS JOIN unnest(generate_series(1, len(toks.l) - 1))
+            AS g(i)
+    ),
+    c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bi GROUP BY 1, 2
+    ),
+    heads AS (
+        SELECT w1, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM c GROUP BY 1
+        ORDER BY tot DESC, w1 LIMIT 20
+    ),
+    ranked AS (
+        SELECT c.w1, c.w2, c.cnt, h.tot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.w1 ORDER BY c.cnt DESC, c.w2
+               ) AS rn
+        FROM c JOIN heads h ON c.w1 = h.w1
+    )
+    SELECT w1, w2, cnt, tot,
+           floor(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) * 10000 + 0.5)
+               / 10000 AS p_next
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model head: for the corpus's 20 most frequent head
+    tokens, the top-3 next tokens with their conditional probability
+    P(next | head) = cnt(head, next) / cnt(head, *) — the count table
+    behind classical LM smoothing, autocomplete, and the
+    contamination-fingerprint n-gram statistics; extends q_text_vocab's
+    unigram table (pipeline.py:829) one order up.
+
+    Bigrams materialize JVM-side as zip_with over two shifted slices of
+    the token array (no Python, no posexplode self-join); the conditional
+    denominator is one more groupBy on the head token. The probability
+    quantizes with the boundary-safe floor expression since exact
+    count ratios (e.g. 1/32) can sit exactly on a rounding boundary.
+
+    Scale design: tokenize + explode is one linear pass; both groupBys
+    shuffle on token keys (the classic word-count shape that motivated
+    MapReduce — partial aggregation absorbs Zipf skew map-side). The
+    20-row head list broadcasts back, so the per-head ranking only ever
+    sees the joined sliver. Hot-key guard: the head list is top-k
+    (per-partition heaps), never a global sort of the vocabulary."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(F.split("text", " ").alias("l"))
+    bi = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.expr("slice(l, 2, greatest(size(l) - 1, 0))"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("cnt"))
+    heads = (
+        c.groupBy("w1")
+        .agg(F.sum("cnt").cast("bigint").alias("tot"))
+        .orderBy(F.col("tot").desc(), "w1")
+        .limit(20)
+    )
+    ranked = c.join(F.broadcast(heads), "w1").select(
+        "w1",
+        "w2",
+        "cnt",
+        "tot",
+        F.row_number()
+        .over(
+            Window.partitionBy("w1").orderBy(F.col("cnt").desc(), "w2")
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "w1",
+        "w2",
+        "cnt",
+        "tot",
+        (
+            F.floor(
+                F.col("cnt").cast("double") / F.col("tot").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("p_next"),
+    )

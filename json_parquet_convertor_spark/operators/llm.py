@@ -563,3 +563,106 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rank_rrf",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST((len(text) - len(replace(text, 'data', ''))) / 4
+                    AS BIGINT) AS hits,
+               n_chars
+        FROM documents
+    ),
+    r1 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS r
+        FROM (SELECT * FROM sig ORDER BY hits DESC, doc_id LIMIT 100)
+    ),
+    r2 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM (SELECT * FROM sig ORDER BY n_chars DESC, doc_id LIMIT 100)
+    ),
+    fused AS (
+        SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+               r1.r AS rank_term, r2.r AS rank_len,
+               COALESCE(1.0 / (60 + r1.r), 0.0)
+                   + COALESCE(1.0 / (60 + r2.r), 0.0) AS rrf
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, rank_term, rank_len,
+           floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion: merge two retrieval rankings (a term-hit
+    ranker standing in for BM25, a length ranker standing in for an
+    embedding score) by summing 1/(60+rank) over the lists each document
+    appears in — the standard hybrid-search combiner (lexical + vector)
+    in every RAG stack, robust because it needs no score calibration.
+
+    Spark-first shape: RRF fuses TOP-K LISTS, not full corpora — each
+    ranker is a TakeOrderedAndProject (per-partition heaps, parallel, no
+    global sort), and only the ≤100-row candidate lists get ranked by a
+    window and full-outer-joined. A document missing from one list simply
+    contributes nothing for it (COALESCE .. 0), per the original RRF
+    formulation.
+
+    Scale design: the corpus is scanned once per ranker with the signal
+    computed JVM-side; everything after the top-k heaps is bounded by k,
+    so the fusion cost is independent of corpus size. At 100 TB you'd feed
+    the same fusion from q_rank_bm25 and q_sim_cosine_topk outputs —
+    already bounded — unchanged. The single-partition window over 100 rows
+    is the sanctioned bounded-data pattern (cf. q_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("data"), F.lit(""))))
+            / 4
+        )
+        .cast("bigint")
+        .alias("hits"),
+        "n_chars",
+    )
+    top1 = sig.orderBy(F.col("hits").desc(), "doc_id").limit(100)
+    top2 = sig.orderBy(F.col("n_chars").desc(), "doc_id").limit(100)
+    from pyspark.sql import Window
+
+    r1 = top1.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("hits").desc(), "doc_id"))
+        .alias("rank_term"),
+    )
+    r2 = top2.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rank_len"),
+    )
+    fused = r1.join(r2, "doc_id", "full").select(
+        "doc_id",
+        "rank_term",
+        "rank_len",
+        (
+            F.coalesce(1.0 / (60 + F.col("rank_term")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_len")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.select(
+        "doc_id",
+        "rank_term",
+        "rank_len",
+        (F.floor(F.col("rrf") * 1000000 + 0.5) / 1000000).alias("rrf"),
+    ).orderBy(F.col("rrf").desc(), "doc_id").limit(20)

@@ -51,6 +51,7 @@ def load_all() -> None:
         relational,
         sampling,
         sqlapi,
+        timeseries,
         udfs,
         windows,
     )
