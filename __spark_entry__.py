@@ -39,7 +39,9 @@ _VERIFY_PRIORITY = [
     # -- new this round (never driver-checked) --
     "q_s3_event_parse", "q_composite_q5", "q_stream_s3_events", "q_composite_q18",
     "q_stats_psi", "q_rank_rrf", "q_text_bigram_lm", "q_join_nearest",
-    "q_win_rolling_median", "q_time_interpolate",
+    "q_win_rolling_median", "q_time_interpolate", "q_seq_markov",
+    "q_win_cusum", "q_season_profile", "q_stats_mannwhitney",
+    "q_join_array_membership",
     # -- never driver-checked as of r3 (driver checks first 50) --
     "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
     "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",

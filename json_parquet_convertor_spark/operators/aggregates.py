@@ -1401,3 +1401,103 @@ def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_neg"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_mannwhitney",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    r AS (
+        SELECT event_type,
+               AVG(rk) OVER (PARTITION BY value) AS rk
+        FROM (
+            SELECT event_type, value,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value) AS DOUBLE) AS rk
+            FROM s
+        )
+    ),
+    agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            SUM(CASE WHEN event_type = 'click' THEN rk ELSE 0 END) AS r1
+        FROM r
+    )
+    SELECT n1, n2,
+           floor((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2) * 100 + 0.5)
+               / 100 AS u1,
+           floor((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12)
+                 * 10000 + 0.5) / 10000 AS z
+    FROM agg
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do 'click' and 'view' event values
+    come from the same distribution? The NON-parametric member of the
+    drift family — q_stats_ttest assumes normality, q_stats_ks compares
+    whole ECDFs; the U test is what you reach for on skewed engagement
+    metrics where means mislead.
+
+    Mid-ranks (ties averaged) come from a ROW_NUMBER over the global value
+    order followed by AVG per tied value — integer-derived halves, exact
+    in both engines; U and the normal-approximation z then divide exact
+    sums, mirrored operation-for-operation before quantization.
+
+    Scale design: the global rank is the textbook formulation and fine to
+    |rows| ≈ 10⁸; past that, rank via the binned-ECDF shape q_stats_ks
+    uses (counts per value bucket + cumulative window) — the U statistic
+    only needs rank SUMS, which bucket counts reconstruct exactly. The
+    rank-sum aggregate itself is one pass, no join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", "value"
+    )
+    rk = (
+        F.row_number()
+        .over(Window.orderBy("value"))
+        .cast("double")
+    )
+    ranked = s.select("event_type", "value", rk.alias("rk0"))
+    mid = ranked.select(
+        "event_type",
+        F.avg("rk0").over(Window.partitionBy("value")).alias("rk"),
+    )
+    agg = mid.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("rk")).otherwise(
+                0.0
+            )
+        ).alias("r1"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = F.col("r1") - n1d * (F.col("n1") + 1) / 2
+    z = (F.col("r1") - n1d * (F.col("n1") + 1) / 2 - n1d * F.col("n2") / 2) / F.sqrt(
+        n1d * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (F.floor(u1 * 100 + 0.5) / 100).alias("u1"),
+        (F.floor(z * 10000 + 0.5) / 10000).alias("z"),
+    )

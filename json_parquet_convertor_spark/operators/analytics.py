@@ -1176,3 +1176,240 @@ def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         (F.floor(contrib * 1000000 + 0.5) / 1000000).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seq_markov",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, cnt,
+           floor(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS p
+    FROM c
+    """,
+)
+def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    P(next event type | current) — the behavioral model behind
+    next-action prediction, bot detection (improbable paths), and funnel
+    leak localization; q_win_funnel checks ONE fixed path, this scores
+    ALL of them.
+
+    Transitions come from a single lead() per user (ts, event_id ordered
+    for cross-engine determinism); the conditional denominator is a
+    window total over the ≤|types|² count matrix, and the probability is
+    a boundary-safe quantized exact-count ratio.
+
+    Scale design: one shuffle on user_id with O(1) lead state per row;
+    the count matrix is bounded by |event_types|² (25 cells here), so the
+    probability window is driver-trivial. Per-session rather than
+    per-user chains = swap the partition key for q_win_sessionize's
+    session_id — same plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = s.filter(F.col("dst").isNotNull()).groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "cnt",
+        (
+            F.floor(
+                F.col("cnt").cast("double")
+                / F.sum("cnt").over(tot).cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sum_v
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, day,
+               CAST(sum_v AS DOUBLE) AS sum_v,
+               CAST(SUM(sum_v) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS DOUBLE) AS cum,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS rn,
+               CAST(SUM(sum_v) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type) AS mean_v
+        FROM daily
+    )
+    SELECT event_type, day,
+           floor(sum_v * 10000 + 0.5) / 10000 AS sum_v,
+           floor((cum - rn * mean_v) * 10000 + 0.5) / 10000 AS cusum
+    FROM g
+    """,
+)
+def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal: per event type, the running cumulative
+    deviation of daily totals from the series mean — flat while the
+    process is stable, a sustained ramp after a level shift; the classic
+    SPC chart that catches slow drifts a per-day threshold misses.
+
+    Determinism: the cumulative numerator is a DECIMAL window sum of the
+    decimal daily totals (exact, order-independent), cast to double only
+    at the end; the mean is exact-sum / count; cusum = cum − rn·mean is
+    then mirrored operation-for-operation, so no float accumulation
+    order can diverge between engines.
+
+    Scale design: the windows run over the DAILY rollup (|types| × |days|
+    rows), one shuffle on event_type; cumulative frames are O(1) state.
+    The fact table is touched once, in the decimal groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ord_w = Window.partitionBy("event_type").orderBy("day")
+    all_w = Window.partitionBy("event_type")
+    g = daily.select(
+        "event_type",
+        "day",
+        F.col("sum_v").cast("double").alias("sum_vd"),
+        F.sum("sum_v").over(cum_w).cast("double").alias("cum"),
+        F.row_number().over(ord_w).alias("rn"),
+        (
+            F.sum("sum_v").over(all_w).cast("double")
+            / F.count("*").over(all_w)
+        ).alias("mean_v"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        (F.floor(F.col("sum_vd") * 10000 + 0.5) / 10000).alias("sum_v"),
+        (
+            F.floor(
+                (F.col("cum") - F.col("rn") * F.col("mean_v")) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("cusum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_season_profile",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST((floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) + 4) % 7
+                    AS INT) AS dow,
+               value
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sum_v
+        FROM e GROUP BY 1, 2
+    )
+    SELECT event_type, dow, n_events,
+           floor(CAST(sum_v AS DOUBLE) * 10000 + 0.5) / 10000 AS sum_value,
+           floor(CAST(n_events AS DOUBLE)
+                 / (CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                         AS DOUBLE) / 7)
+                 * 10000 + 0.5) / 10000 AS seasonality_idx
+    FROM d
+    """,
+)
+def q_season_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per event type, volume and value
+    by weekday plus a seasonality index (observed share ÷ uniform share;
+    1.0 = no weekly pattern) — the decomposition input capacity planning
+    and anomaly baselines start from, and the profile q_time_spine's
+    gap-filled series gets compared against.
+
+    The weekday comes from integer epoch-day arithmetic ((day + 4) % 7,
+    anchored to 1970-01-01 = Thursday) rather than each engine's
+    dayofweek() — SQL engines disagree on week start, modular arithmetic
+    doesn't. Index = exact-count ratio, boundary-safe quantized.
+
+    Scale design: one scan → groupBy on the (type, dow) key (≤35 groups),
+    decimal-exact value sums; the per-type totals window runs over the
+    35-row profile. Nothing after the first groupBy sees fact rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+        "value",
+    )
+    d = e.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"),
+    )
+    tot = Window.partitionBy("event_type")
+    return d.select(
+        "event_type",
+        "dow",
+        "n_events",
+        (F.floor(F.col("sum_v").cast("double") * 10000 + 0.5) / 10000).alias(
+            "sum_value"
+        ),
+        (
+            F.floor(
+                F.col("n_events").cast("double")
+                / (F.sum("n_events").over(tot).cast("double") / 7)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("seasonality_idx"),
+    )

@@ -1359,3 +1359,62 @@ def q_composite_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# array-membership join (explode → equi-join, not array_contains)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_array_membership",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT d.doc_id, u.tok
+        FROM documents d
+        CROSS JOIN unnest(string_split(d.text, ' ')) AS u(tok)
+        WHERE u.tok IN ('spark', 'table', 'hash', 'merge', 'join')
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           array_to_string(list_sort(list(tok)), ',') AS hits
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-membership join: which watchlist keywords does each document
+    contain? The naive formulation — `array_contains(tokens, kw)` against
+    every keyword — is a nested-loop theta join (|docs| × |watchlist|
+    evaluations, no pushdown); the Spark-first shape EXPLODES the token
+    array and equi-joins the broadcast watchlist, turning membership into
+    a hash probe per token. Content moderation, PII keyword screens, and
+    topic tagging are all this join.
+
+    Distinct (doc, keyword) pairs before the rollup so repeated words
+    count once; the hit list is sorted and comma-serialized on both
+    engines before the hash compare (registry array rule).
+
+    Scale design: explode is linear; the watchlist broadcast (bounded —
+    keyword screens are KBs, documented broadcast-size rule) makes the
+    join map-side, so the only shuffle is the per-doc rollup on doc_id —
+    which q_text_tokens et al. already shuffle on. If the watchlist ever
+    outgrew broadcast, the same explode feeds a shuffle equi-join on the
+    token key; the plan family, not the operator, changes."""
+    watch = spark.createDataFrame(
+        [("spark",), ("table",), ("hash",), ("merge",), ("join",)], ["kw"]
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    hits = (
+        tok.join(F.broadcast(watch), tok.tok == watch.kw)
+        .select("doc_id", "tok")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.array_join(F.sort_array(F.collect_list("tok")), ",").alias(
+            "hits"
+        ),
+    )
