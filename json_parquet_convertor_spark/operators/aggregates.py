@@ -1501,3 +1501,67 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(u1 * 100 + 0.5) / 100).alias("u1"),
         (F.floor(z * 10000 + 0.5) / 10000).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    )
+    SELECT digit, n,
+           floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS obs_p,
+           floor(log10(1 + 1.0 / digit) * 10000 + 0.5) / 10000 AS exp_p,
+           floor((CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                  - log10(1 + 1.0 / digit)) * 10000 + 0.5) / 10000 AS dev
+    FROM c
+    """,
+)
+def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit: the leading-digit distribution of
+    order values vs the log10(1 + 1/d) expectation — the forensic
+    data-quality screen for fabricated or truncated monetary data (real
+    multiplicative processes follow it; synthetic uniform data, like this
+    fixture, visibly does not — the `dev` column IS the finding).
+
+    The leading digit comes from integer/string arithmetic
+    (substr(floor(x)::bigint::varchar, 1, 1)) — NOT pow/log10 division,
+    whose float edge cases near exact powers of ten produce a spurious
+    digit "10" and disagree between engines; log10 only touches the
+    constant expectation, mirrored in both.
+
+    Scale design: one scan → a ≤9-group aggregate; the share window runs
+    over 9 rows. Nothing downstream of the first groupBy sees fact rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    qz = lambda x: F.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    return c.select(
+        "digit",
+        "n",
+        qz(obs).alias("obs_p"),
+        qz(exp).alias("exp_p"),
+        qz(obs - exp).alias("dev"),
+    )

@@ -1413,3 +1413,43 @@ def q_season_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("seasonality_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# degree distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH deg AS (
+        SELECT l_suppkey,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS degree
+        FROM lineitem GROUP BY 1
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY 1
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier–part bipartite graph: how many
+    distinct parts each supplier ships, histogrammed — the first question
+    asked of any graph (is it power-law? are there super-nodes that will
+    skew every downstream join?); the empirical input behind
+    q_join_salted's skew thresholds and q_skew_diagnose's hot-key report.
+
+    Scale design: two cascaded aggregations — distinct (supp, part) pairs
+    shuffle once on the composite key with map-side dedup absorbing the
+    fan-in, then per-supplier counts, then the tiny degree histogram.
+    Exactly the double-groupBy shape that survives super-nodes, because
+    no per-key state ever exceeds a counter; contrast with collecting
+    neighbor lists (q_knn_graph), which is what power-law tails break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_suppliers")
+    )

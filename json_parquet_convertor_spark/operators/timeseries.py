@@ -355,3 +355,179 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(pick_b, b_d).otherwise(f_d).alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# running-peak drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sum_v
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, day, sum_v,
+               MAX(sum_v) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS peak
+        FROM daily
+    )
+    SELECT event_type, day,
+           CAST(sum_v AS DOUBLE) AS sum_v,
+           CAST(peak AS DOUBLE) AS peak,
+           CAST(peak - sum_v AS DOUBLE) AS drawdown,
+           floor(CAST(peak - sum_v AS DOUBLE) / CAST(peak AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS drawdown_pct
+    FROM g
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown: each day's distance below the best day seen
+    so far, per event type — the risk metric behind "how far below the
+    high-water mark are we", used on revenue series exactly as on equity
+    curves; pairs with q_win_cusum (drift) and q_win_ewma (smoothing) in
+    the monitoring family.
+
+    The peak is a cumulative MAX window over DECIMAL daily totals —
+    comparison-only, so exact in both engines; drawdown stays decimal
+    until the output cast and only the pct ratio needs the boundary-safe
+    quantization.
+
+    Scale design: daily decimal rollup first (the only pass over fact
+    rows), then one shuffle on event_type with an O(1) running-max frame.
+    Identical plan shape at any history length."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = daily.select(
+        "event_type",
+        "day",
+        "sum_v",
+        F.max("sum_v").over(w).alias("peak"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("peak").cast("double").alias("peak"),
+        (F.col("peak") - F.col("sum_v")).cast("double").alias("drawdown"),
+        (
+            F.floor(
+                (F.col("peak") - F.col("sum_v")).cast("double")
+                / F.col("peak").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("drawdown_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_downsample_m4",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+                   AS bucket,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, bucket, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, bucket ORDER BY us, event_id
+               ) AS rf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, bucket
+                   ORDER BY us DESC, event_id DESC
+               ) AS rl,
+               COUNT(*) OVER (PARTITION BY event_type, bucket) AS n,
+               MIN(value) OVER (PARTITION BY event_type, bucket) AS v_min,
+               MAX(value) OVER (PARTITION BY event_type, bucket) AS v_max
+        FROM e
+    )
+    SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+           floor(v_min * 10000 + 0.5) / 10000 AS v_min,
+           floor(v_max * 10000 + 0.5) / 10000 AS v_max,
+           floor(MAX(CASE WHEN rf = 1 THEN value END) * 10000 + 0.5)
+               / 10000 AS v_first,
+           floor(MAX(CASE WHEN rl = 1 THEN value END) * 10000 + 0.5)
+               / 10000 AS v_last
+    FROM r GROUP BY event_type, bucket, n, v_min, v_max
+    """,
+)
+def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (series, 6-hour bucket) the min / max / first /
+    last values plus count — the four points that make a downsampled line
+    chart pixel-identical to the raw series (the M4 aggregation used by
+    time-series visualization backends), and the same shape q_agg_ohlc
+    uses for finance bars, generalized to any series.
+
+    First/last are row_number picks over the (µs, event_id) total order —
+    deterministic under equal timestamps — combined with plain min/max in
+    one window pass; raw stored doubles pass through untouched except the
+    final display quantization.
+
+    Scale design: one shuffle on (series, bucket); every window shares the
+    same partitioning, so Catalyst runs all five measures in one exchange
+    + sort. Output is |series| × |buckets| — the whole point is that
+    downstream (a chart, a dashboard cache) never touches fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 21600).cast("bigint").alias(
+            "bucket"
+        ),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    part = Window.partitionBy("event_type", "bucket")
+    fwd = part.orderBy("us", "event_id")
+    bwd = part.orderBy(F.col("us").desc(), F.col("event_id").desc())
+    r = e.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(fwd).alias("rf"),
+        F.row_number().over(bwd).alias("rl"),
+        F.count("*").over(part).alias("n"),
+        F.min("value").over(part).alias("v_min"),
+        F.max("value").over(part).alias("v_max"),
+    )
+    q = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return r.groupBy(
+        "event_type", "bucket", "n", "v_min", "v_max"
+    ).agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("f"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("l"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+        q(F.col("v_min")).alias("v_min"),
+        q(F.col("v_max")).alias("v_max"),
+        q(F.col("f")).alias("v_first"),
+        q(F.col("l")).alias("v_last"),
+    )
