@@ -1453,3 +1453,110 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_suppliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segment",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(max(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400)
+                    AS BIGINT) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey, last_day, frequency, monetary,
+               CAST(NTILE(5) OVER (ORDER BY last_day, o_custkey) AS INT)
+                   AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT)
+                   AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INT)
+                   AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE)
+               AS segment_revenue,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored into quintiles on Recency
+    (last order day), Frequency (order count), and Monetary (exact-decimal
+    lifetime revenue), then rolled into the marketing segments
+    (champion / at-risk / new / regular) every CRM campaign targets.
+
+    NTILE(5) with a custkey tiebreak gives identical quintile boundaries
+    in both engines (NTILE's front-loaded bucket-size rule is standard);
+    monetary stays decimal through the segment rollup so revenue is
+    exact.
+
+    Scale design: the per-customer rollup is the only pass over orders.
+    The global NTILEs run over |customers| rows in one sort — fine to
+    ~10⁸; past that, replace with percentile-threshold scoring (compute
+    the 5 quantile cut points via approx sketch, broadcast, CASE into
+    scores) — same output contract, no global sort. The final segment
+    aggregate is ≤125 groups."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400)
+        .cast("bigint")
+        .alias("last_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("mon_d"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "mon_d",
+        F.ntile(5)
+        .over(Window.orderBy("last_day", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon_d").cast("double"), "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("mon_d").cast("double").alias("segment_revenue"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "segment_revenue",
+            seg.alias("segment"),
+        )
+    )

@@ -1711,3 +1711,90 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH v AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY freq DESC, term LIMIT 100
+    ),
+    r AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                       AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM v
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 10000 + 0.5) / 10000 AS zipf_slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n * 10000 + 0.5) / 10000 AS intercept
+    FROM s
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(frequency) vs ln(rank)
+    over the top-100 vocabulary — natural corpora sit near −1; a flat
+    slope screams templated/synthetic text and a steep one a stuck
+    generator, so this single number is a cheap corpus-health gate
+    (q_text_vocab shows the head, this scores its SHAPE).
+
+    The regression reuses q_stats_linreg's sufficient-statistics shape on
+    the 100-point (ln rank, ln freq) series; ranks and frequencies are
+    exact integers, ln and the closed-form slope are mirrored
+    operation-for-operation before quantization.
+
+    Scale design: the word count is the only corpus-scale stage (linear
+    shuffle on the term key, Zipf skew absorbed map-side); the top-100
+    head comes off per-partition heaps, and everything after runs on 100
+    rows. The window-based rank over the head list is the sanctioned
+    bounded-data pattern (cf. q_rank_rrf)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(100)
+    )
+    r = v.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "term"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        (F.floor(slope * 10000 + 0.5) / 10000).alias("zipf_slope"),
+        (F.floor(intercept * 10000 + 0.5) / 10000).alias("intercept"),
+    )

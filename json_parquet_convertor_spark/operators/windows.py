@@ -963,3 +963,88 @@ def q_win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "q_win_rank_delta",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(floor(epoch(CAST(date_trunc('month', o_orderdate)
+                                     AS TIMESTAMP))) AS BIGINT) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_custkey, month,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(RANK() OVER (
+                   PARTITION BY month ORDER BY rev DESC, o_custkey
+               ) AS INT) AS rnk
+        FROM m
+    ),
+    d AS (
+        SELECT o_custkey, month, revenue, rnk,
+               lag(rnk) OVER (
+                   PARTITION BY o_custkey ORDER BY month
+               ) AS prev_rnk
+        FROM r
+    )
+    SELECT o_custkey, month, revenue, rnk, prev_rnk,
+           CAST(prev_rnk - rnk AS INT) AS delta
+    FROM d WHERE rnk <= 10
+    """,
+)
+def q_win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard rank movement: each month's top-10 customers by revenue
+    with their rank CHANGE vs their previous ranked month — the
+    period-over-period movers report (who climbed, who fell) behind sales
+    leaderboards and trending charts; composes the two window families
+    (rank within period, lag across periods) in one query.
+
+    Rank is over decimal-exact monthly revenue with a custkey tiebreak;
+    delta = prev − current so climbing is positive. Customers absent from
+    a month simply have no row then (lag skips to their previous ranked
+    month — the business reading of "last time they charted").
+
+    Scale design: monthly rollup first (one fact pass), then two windows
+    with DIFFERENT keys — an unavoidable second shuffle from (month) to
+    (custkey) partitioning, but both run over the rollup (|custs|×|months|
+    rows), never fact rows. The top-10 filter applies AFTER the lag so
+    deltas reference true prior ranks, not prior top-10 membership."""
+    from json_parquet_convertor_spark.sources.io import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_custkey",
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate"))
+        .cast("bigint")
+        .alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    r = m.select(
+        "o_custkey",
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.rank()
+        .over(
+            Window.partitionBy("month").orderBy(
+                F.col("rev").desc(), "o_custkey"
+            )
+        )
+        .cast("int")
+        .alias("rnk"),
+    )
+    d = r.select(
+        "*",
+        F.lag("rnk")
+        .over(Window.partitionBy("o_custkey").orderBy("month"))
+        .alias("prev_rnk"),
+    )
+    return d.filter(F.col("rnk") <= 10).select(
+        "o_custkey",
+        "month",
+        "revenue",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("delta"),
+    )
