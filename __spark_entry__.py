@@ -43,7 +43,8 @@ _VERIFY_PRIORITY = [
     "q_win_cusum", "q_season_profile", "q_stats_mannwhitney",
     "q_join_array_membership", "q_win_drawdown", "q_time_downsample_m4",
     "q_stats_benford", "q_graph_degree_dist", "q_rfm_segment",
-    "q_win_rank_delta", "q_text_zipf",
+    "q_win_rank_delta", "q_text_zipf", "q_convert_parquet_json",
+    "q_stats_autocorr", "q_text_hapax",
     # -- never driver-checked as of r3 (driver checks first 50) --
     "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
     "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",

@@ -1565,3 +1565,85 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz(exp).alias("exp_p"),
         qz(obs - exp).alias("dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type, x,
+               lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(x) AS sx, SUM(xp) AS sxp,
+               SUM(x * xp) AS sxy, SUM(x * x) AS sxx, SUM(xp * xp) AS spp
+        FROM p WHERE xp IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           floor((n * sxy - sx * sxp)
+                 / sqrt((n * sxx - sx * sx) * (n * spp - sxp * sxp))
+                 * 10000 + 0.5) / 10000 AS autocorr_1
+    FROM s
+    """,
+)
+def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each series' daily totals — does today
+    predict tomorrow? Near 0 = noise (forecast with the mean), near 1 =
+    momentum (q_win_ewma smoothing helps), negative = oscillation; the
+    one-number screen run before bothering with a real forecast model,
+    and the persistence check q_win_cusum's drift alarms assume.
+
+    Pairs come from one lag() per series over the daily rollup; the
+    Pearson correlation of (x_t, x_{t-1}) is then sufficient statistics
+    — counts and sums — combined in the same closed form on both engines
+    (the q_stats_linreg shape), quantized boundary-safe.
+
+    Scale design: one fact pass (decimal daily rollup), one shuffle on
+    event_type, O(1) lag state, and a ≤|series|-row aggregate. Lag-k =
+    the same plan with lag(x, k)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(dsum("value").alias("x"))
+    p = daily.select(
+        "event_type",
+        "x",
+        F.lag("x")
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("xp"),
+    ).filter(F.col("xp").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("xp").alias("sxp"),
+        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).alias("spp"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sxp")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("spp") - F.col("sxp") * F.col("sxp"))
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        (F.floor(r * 10000 + 0.5) / 10000).alias("autocorr_1"),
+    )

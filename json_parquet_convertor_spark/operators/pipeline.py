@@ -1798,3 +1798,81 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 10000 + 0.5) / 10000).alias("zipf_slope"),
         (F.floor(intercept * 10000 + 0.5) / 10000).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hapax legomena / vocabulary richness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH v AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           floor(CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS hapax_ratio,
+           floor(CAST(COUNT(*) AS DOUBLE)
+                 / sqrt(CAST(SUM(freq) AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS guiraud_r
+    FROM v
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness scorecard: hapax-legomena ratio (share of the
+    vocabulary appearing exactly once) and Guiraud's R (vocab / √tokens)
+    — the lexical-diversity signals that catch both degenerate repetition
+    (ratio collapses, cf. q_text_repetition per-doc) and token-salad spam
+    (ratio inflates) at CORPUS level; pairs with q_text_zipf as the
+    tail-shape twin of the head-shape check.
+
+    Everything is exact integer counting until the two final mirrored
+    ratios; one row out.
+
+    Scale design: one word-count shuffle on the term key (map-side
+    partials absorb Zipf skew), then a 1-row rollup of the frequency
+    table. The frequency table is the same stage q_text_vocab /
+    q_text_zipf build — in a real pipeline it's computed once and these
+    scorecards are free."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return v.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("hapax_ratio"),
+        (
+            F.floor(
+                F.count("*").cast("double")
+                / F.sqrt(F.sum("freq").cast("double"))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("guiraud_r"),
+    )

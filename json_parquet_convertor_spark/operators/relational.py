@@ -1576,3 +1576,39 @@ def parse_s3_events(bodies: DataFrame) -> DataFrame:
         F.url_decode(F.col("rec.s3.object.key")).alias("key"),
         F.col("rec.s3.object.size").alias("size_bytes"),
     )
+
+
+@query(
+    "q_convert_parquet_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM nation GROUP BY 1, 2, 3
+    """,
+)
+def q_convert_parquet_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pipeline REVERSED: parquet in → JSON-lines out →
+    read back — the export direction (convertor/convertor.go:59-184 only
+    goes JSON→parquet) a lake needs for feeding JSON-consuming systems
+    (search indexers, webhooks, legacy ETL). Round-trip on nation is
+    lossless for the integer/string columns, so the grouped read-back
+    must reproduce the source exactly with one copy per key.
+
+    Scale design: both directions are parallel per-partition writers —
+    the JSON sink emits one .json part per task, no driver funneling.
+    JSON is ~4× parquet on disk and loses types (everything re-infers on
+    read), which is why this direction is an EXPORT, not storage; the
+    docstring states it so nobody ships it as a lake format. Compression
+    (gzip per line-file) would pipeline the same way."""
+    base = run_tmp("convert_pj")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    dst = os.path.join(base, "json_out")
+    nation.write.mode("overwrite").json(dst)
+    back = spark.read.json(dst)
+    return back.groupBy(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    ).agg(F.count("*").cast("bigint").alias("n_copies"))
