@@ -1560,3 +1560,162 @@ def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg.alias("segment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (time-to-event with right censoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH dur AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(floor(epoch(CAST(l.ship AS TIMESTAMP)) / 86400) AS BIGINT)
+                   - CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP))
+                                / 86400) AS BIGINT) AS t,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS observed
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey, MAX(l_shipdate) AS ship
+            FROM lineitem GROUP BY 1
+        ) l ON l.l_orderkey = o.o_orderkey
+    ),
+    at_t AS (
+        SELECT priority, t,
+               SUM(observed) AS d,
+               SUM(1 - observed) AS c
+        FROM dur GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT priority, t, d, c,
+               SUM(d + c) OVER (
+                   PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS consumed,
+               SUM(d + c) OVER (PARTITION BY priority) AS total
+        FROM at_t
+    ),
+    km AS (
+        SELECT priority, t, d, c,
+               total - consumed + d + c AS n_risk,
+               MAX(CASE WHEN d = total - consumed + d + c
+                   THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS extinct,
+               exp(SUM(CASE WHEN d > 0
+                             AND d < total - consumed + d + c
+                       THEN ln(1.0 - CAST(d AS DOUBLE)
+                                     / (total - consumed + d + c))
+                       ELSE 0.0 END) OVER (
+                   PARTITION BY priority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS s
+        FROM risk
+    )
+    SELECT priority, t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_event,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE floor(s * 10000 + 0.5) / 10000 END AS survival
+    FROM km
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over order fulfillment time:
+    duration = days from order date to the order's LAST line shipment,
+    an order is an observed event if finished ('F') and right-censored
+    otherwise (still open/partial when the snapshot was taken — we know
+    it survived AT LEAST this long, not when it finishes). One curve per
+    order priority: at each distinct duration t, the at-risk count n_t,
+    events d_t, censored c_t, and the product-limit estimate
+    S(t) = prod_{t'<=t}(1 - d/n) — the standard censoring-correct way to
+    answer "how long until fulfillment/churn/failure" (naive averages
+    are biased low because open orders are silently dropped).
+
+    Scale design: durations come from a per-orderkey max-shipdate
+    aggregate joined to orders on the key both sides would be bucketed
+    by in a real lake (shuffle on an 8-byte key, map-side partial max).
+    The curve itself runs over the per-(priority, t) COUNTS — |groups| x
+    |distinct days| rows, thousands at any data size — so the window
+    cumulative product (as exp-sum-ln, the numerically standard form)
+    costs nothing after the first aggregate. n_risk is derived from the
+    same running sum (total - consumed + d + c), avoiding a second
+    window direction. Doubles: d and n are exact integers; ln/exp and
+    the running double sum execute in the same t-order in both engines,
+    bit-identical before the 4-dp round; days are floor-epoch per side,
+    the repo's cross-engine date-diff convention. When the last at-risk
+    subjects all die at once (d = n), S hits exactly 0 — that step is
+    excluded from the exp-sum-ln (ln 0 errors in DuckDB, is -inf in
+    Spark) and an 'extinct' running flag pins survival to 0.0 from that
+    point on, on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("ship")
+    )
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast(  # noqa: E731
+        "bigint"
+    )
+    dur = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        (day(F.col("ship")) - day(F.col("o_orderdate"))).alias("t"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    at_t = dur.groupBy("priority", "t").agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.lit(1) - F.col("observed")).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy("priority").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.partitionBy("priority")
+    risk = at_t.select(
+        "priority",
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(cum).alias("consumed"),
+        F.sum(F.col("d") + F.col("c")).over(whole).alias("total"),
+    )
+    n_risk = F.col("total") - F.col("consumed") + F.col("d") + F.col("c")
+    km = risk.select(
+        "priority",
+        "t",
+        "d",
+        "c",
+        n_risk.alias("n_risk"),
+        F.max(
+            F.when(F.col("d") == n_risk, F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(cum)
+        .alias("extinct"),
+        F.exp(
+            F.sum(
+                F.when(
+                    (F.col("d") > 0) & (F.col("d") < n_risk),
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / n_risk
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(cum)
+        ).alias("s"),
+    )
+    return km.select(
+        "priority",
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_event"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.floor(F.col("s") * 10000 + 0.5) / 10000)
+        .alias("survival"),
+    )

@@ -531,3 +531,184 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("f")).alias("v_first"),
         q(F.col("l")).alias("v_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval union / coverage (merge overlapping spans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + greatest(1, CAST(floor(value) AS BIGINT)) AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island,
+               MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_raw
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n_raw) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(me - ms) AS BIGINT) AS coverage_sec,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_sec
+    FROM merged GROUP BY 1
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: overlapping/adjacent activity spans
+    [ts, ts+duration) are merged into maximal islands, reporting raw vs
+    merged counts, total covered seconds and the longest merged span —
+    "how much wall-clock was this user actually active" (billing,
+    SLA-coverage, machine-utilization), which double-counts unless the
+    overlaps are merged first. Complements q_win_concurrency: the sweep
+    line counts simultaneous spans, this one measures their union.
+
+    The classic cumulative-max island trick: an interval starts a new
+    island iff its start exceeds the running max end of everything
+    before it (ROWS .. 1 PRECEDING, so the current row's own end is
+    excluded); the island id is then a running sum of those flags, and
+    each island collapses to (min s, max e) in one groupBy.
+
+    Scale design: both window passes share one (user_id ordered-by s,e)
+    sort — one shuffle keyed by user_id, O(1) state per row (running
+    max + running sum), then a hash aggregate. Per-user data is bounded
+    by that user's event count, so skew follows user activity — for a
+    pathological mega-user, pre-split by day and stitch islands whose
+    spans cross midnight (same carry trick q_win_concurrency documents).
+    Half-open convention: a span ending exactly where the next begins
+    merges (s > max_e is strict)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.greatest(F.lit(1), F.floor("value").cast("bigint"))
+        ).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prev_max), F.lit(-1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    ).select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(run).alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_raw").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("coverage_sec"),
+        F.max(F.col("me") - F.col("ms")).cast("bigint").alias("longest_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local-extremum (peak) detection on a daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_peaks",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    nbr AS (
+        SELECT event_type, day, v,
+               lag(v) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+               lead(v) OVER (PARTITION BY event_type ORDER BY day) AS nv
+        FROM daily
+    )
+    SELECT event_type, day,
+           floor(v * 10000 + 0.5) / 10000 AS v,
+           floor((v - greatest(pv, nv)) * 10000 + 0.5) / 10000
+               AS prominence
+    FROM nbr
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+    """,
+)
+def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection over each event type's daily-revenue
+    series: a day is a peak iff it strictly exceeds both neighbors
+    (series edges excluded — they have only one neighbor), with a
+    min-neighbor prominence (v - max(prev, next)) — the spike-detection
+    primitive behind alerting and campaign-attribution ("which days
+    stood out from their neighborhood").
+
+    Scale design: raw events collapse to per-(type, day) sums first
+    (decimal-exact, map-side partial agg), so the lag/lead windows run
+    over |types| x |days| rows — series length, not event count. Both
+    neighbors come from ONE window sort (lag and lead share the
+    (type, day) ordering; Catalyst evaluates them in a single Window
+    node, one shuffle). The daily sums pass through the decimal path so
+    Spark and DuckDB compare bit-identical doubles before the 4-dp
+    round; v - greatest(pv, nv) is then the same two double ops in the
+    same order on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(dsum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    nbr = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    q = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return nbr.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+    ).select(
+        "event_type",
+        "day",
+        q(F.col("v")).alias("v"),
+        q(F.col("v") - F.greatest("pv", "nv")).alias("prominence"),
+    )

@@ -53,6 +53,7 @@ def load_all() -> None:
         sqlapi,
         timeseries,
         udfs,
+        validation,
         windows,
     )
     from json_parquet_convertor_spark.functions import scalar  # noqa: F401

@@ -120,6 +120,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_pairs_lift",  # 1-row order-count broadcast onto rule table
             "q_sample_balanced",  # 1-row min-class cap broadcast
             "q_win_cumulative_share",  # 1-row total broadcast onto rollup
+            "q_qc_expectations",  # crossJoin of two 1-row audit-count aggs
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

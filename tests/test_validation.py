@@ -1,0 +1,190 @@
+"""Invariant tests for operators/validation.py and the round-4
+interval/peak/survival additions, beyond DuckDB parity.
+
+Parity (tests/test_oracle_parity.py and the driver) proves Spark ==
+DuckDB; these prove both are RIGHT by recomputing each result with
+plain Python (hashlib md5, exhaustive interval merging, a textbook
+Kaplan-Meier product) over the same parquet rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from json_parquet_convertor_spark import registry
+
+registry.load_all()
+
+
+def _md5_low64_le(s: str) -> int:
+    """Little-endian interpretation of md5 digest bytes 8..15 — the
+    convention shared by DuckDB's md5_number_lower and the Spark twin."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def test_checksum_matches_hashlib_and_is_order_free(spark, duck, sf_dir):
+    """row_checksum must equal a hashlib recomputation over rows fetched
+    in DuckDB's (arbitrary) order — proving both the digest twin and the
+    order-insensitivity of the sum."""
+    rows = duck.execute(
+        "SELECT l_returnflag, l_orderkey, l_linenumber,"
+        " CAST(l_quantity AS BIGINT),"
+        " CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT)"
+        " FROM lineitem"
+    ).fetchall()
+    expected_sum: dict[str, int] = defaultdict(int)
+    expected_n: dict[str, int] = defaultdict(int)
+    for flag, ok, ln, qty, ship in rows:
+        expected_sum[flag] += _md5_low64_le(f"{ok}|{ln}|{qty}|{ship}")
+        expected_n[flag] += 1
+    got = {
+        r.l_returnflag: (r.n_rows, r.row_checksum)
+        for r in registry.QUERIES["q_checksum_table"](spark, sf_dir).collect()
+    }
+    assert got == {
+        f: (expected_n[f], expected_sum[f] % 10**18) for f in expected_n
+    }
+
+
+def test_qc_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    """The driver fixtures satisfy every contract rule; each rule row
+    must report 0 violations with the full checked count."""
+    rows = registry.QUERIES["q_qc_expectations"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    by_rule = {r.rule: r for r in rows}
+    assert all(r.passed and r.n_violations == 0 for r in rows), by_rule
+    # orders rules all checked the same row count; same for lineitem
+    o_n = {r.n_checked for n, r in by_rule.items() if n.startswith("orders.")}
+    l_n = {
+        r.n_checked for n, r in by_rule.items() if n.startswith("lineitem.")
+    }
+    assert len(o_n) == 1 and len(l_n) == 1
+    assert o_n.pop() > 0 and l_n.pop() > 0
+
+
+def test_seq_gaps_matches_bruteforce(spark, duck, sf_dir):
+    keys = sorted(
+        k
+        for (k,) in duck.execute(
+            "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+        ).fetchall()
+    )
+    gaps = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    expected = sorted(gaps, key=lambda g: (-g[2], g[0]))[:100]
+    got = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in registry.QUERIES["q_seq_gaps"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def _merge(intervals):
+    merged = []
+    for s, e in sorted(intervals):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return merged
+
+
+def test_interval_merge_matches_bruteforce(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),"
+        " greatest(1, CAST(floor(value) AS BIGINT)) FROM events"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for uid, s, d in rows:
+        per_user[uid].append((s, s + d))
+    got = {
+        r.user_id: (r.n_intervals, r.n_merged, r.coverage_sec, r.longest_sec)
+        for r in registry.QUERIES["q_interval_merge"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_user)
+    for uid, iv in per_user.items():
+        m = _merge(iv)
+        spans = [e - s for s, e in m]
+        assert got[uid] == (len(iv), len(m), sum(spans), max(spans)), uid
+
+
+def test_win_peaks_matches_bruteforce(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT event_type,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT), value"
+        " FROM events"
+    ).fetchall()
+    daily = defaultdict(float)
+    for et, day, v in rows:
+        daily[(et, day)] += v
+    series = defaultdict(dict)
+    for (et, day), v in daily.items():
+        series[et][day] = v
+    expected = {}
+    for et, by_day in series.items():
+        days = sorted(by_day)
+        for p, cur, n in zip(days, days[1:], days[2:]):
+            # lag/lead semantics: neighbors are adjacent SERIES points
+            # (sorted observed days), not adjacent calendar days
+            v, pv, nv = by_day[cur], by_day[p], by_day[n]
+            if v > pv and v > nv:
+                expected[(et, cur)] = (v, v - max(pv, nv))
+    got = {
+        (r.event_type, r.day): (r.v, r.prominence)
+        for r in registry.QUERIES["q_win_peaks"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (v, prom) in expected.items():
+        assert math.isclose(got[k][0], v, abs_tol=2e-4), k
+        assert math.isclose(got[k][1], prom, abs_tol=2e-4), k
+
+
+def test_survival_km_matches_textbook(spark, duck, sf_dir):
+    """Recompute the product-limit estimate the textbook way (sequential
+    product over event times) and check every curve point."""
+    rows = duck.execute(
+        """
+        SELECT o.o_orderpriority,
+               CAST(floor(epoch(CAST(l.ship AS TIMESTAMP)) / 86400) AS BIGINT)
+                 - CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                        AS BIGINT),
+               o.o_orderstatus = 'F'
+        FROM orders o
+        JOIN (SELECT l_orderkey, MAX(l_shipdate) AS ship
+              FROM lineitem GROUP BY 1) l
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    cohorts = defaultdict(list)
+    for prio, t, obs in rows:
+        cohorts[prio].append((t, bool(obs)))
+    got = {
+        (r.priority, r.t): (r.n_risk, r.n_event, r.n_censored, r.survival)
+        for r in registry.QUERIES["q_survival_km"](spark, sf_dir).collect()
+    }
+    n_points = 0
+    for prio, subjects in cohorts.items():
+        at_t = defaultdict(lambda: [0, 0])
+        for t, obs in subjects:
+            at_t[t][0 if obs else 1] += 1
+        n = len(subjects)
+        s = 1.0
+        for t in sorted(at_t):
+            d, c = at_t[t]
+            if 0 < d < n:
+                s *= 1.0 - d / n
+            expect_s = 0.0 if d == n else math.floor(s * 10000 + 0.5) / 10000
+            if d == n:
+                s = 0.0
+            assert got[(prio, t)] == (n, d, c) + (got[(prio, t)][3],)
+            assert math.isclose(
+                got[(prio, t)][3], expect_s, abs_tol=1e-9
+            ), (prio, t)
+            n -= d + c
+            n_points += 1
+    assert n_points == len(got)
