@@ -1418,3 +1418,109 @@ def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (SCD2 as-of) join — fact rows against a versioned dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_point_in_time",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey AS custkey,
+               CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+                    AS BIGINT) AS valid_from,
+               max_by(o_orderpriority, o_orderkey) AS state
+        FROM orders GROUP BY 1, 2
+    ),
+    versions AS (
+        SELECT custkey, valid_from, state,
+               lead(valid_from) OVER (
+                   PARTITION BY custkey ORDER BY valid_from
+               ) AS valid_to
+        FROM dim
+    ),
+    facts AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+               CAST(floor(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+                    AS BIGINT) AS ship_day
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_day,
+           v.state AS state_asof
+    FROM facts f LEFT JOIN versions v
+      ON v.custkey = f.custkey
+     AND f.ship_day >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ship_day < v.valid_to)
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every shipment picks up the customer's order
+    priority AS OF its ship day — i.e. the SCD2 dimension version whose
+    [valid_from, valid_to) span contains the fact timestamp. This is the
+    lookup every versioned-dimension lake needs (q_scd2_history BUILDS
+    the history; this query CONSUMES one), and the train-data variant is
+    feature-leakage prevention: a feature joined point-in-time can never
+    see the future.
+
+    Scale design: the naive formulation is a range join (key equality +
+    BETWEEN) whose worst case multiplies each fact by every version of
+    its key. This implementation never builds that pairing: dimension
+    versions and facts are UNIONED into one stream keyed by custkey and
+    sorted by (day, kind) — versions sorting before facts on the same
+    day — and one last-non-null window carries the current state onto
+    each fact row. Cost = one shuffle of facts+versions on the dimension
+    key and an O(1)-state window: the as-of join collapses into the same
+    single-sort pattern as q_join_asof, with per-version ties resolved
+    deterministically at build time (max_by orderkey within a day).
+    DuckDB twins it as the explicit interval join — same result, which
+    is exactly the equivalence the window rewrite claims. Facts earlier
+    than their customer's first version keep a NULL state (left-join
+    semantics: "no version was in effect"), which the fixture exercises
+    because its synthetic ship dates are not ordered after order
+    dates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast(  # noqa: E731
+        "bigint"
+    )
+    dim = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            day(F.col("o_orderdate")).alias("d"),
+        )
+        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("state"))
+        .select("custkey", "d", F.lit(0).alias("kind"), "state",
+                F.lit(None).cast("bigint").alias("l_orderkey"),
+                F.lit(None).cast("bigint").alias("l_linenumber"))
+    )
+    facts = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            day(F.col("l_shipdate")).alias("d"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        )
+    )
+    merged = dim.unionByName(facts)
+    carry = (
+        Window.partitionBy("custkey")
+        .orderBy("d", "kind", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = merged.withColumn(
+        "state_asof", F.last("state", ignorenulls=True).over(carry)
+    )
+    return resolved.filter(F.col("kind") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        "custkey",
+        F.col("d").alias("ship_day"),
+        "state_asof",
+    )

@@ -1612,3 +1612,74 @@ def q_convert_parquet_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("int").alias("n_regionkey"),
     ).agg(F.count("*").cast("bigint").alias("n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# dense surrogate-id assignment (compact entity ids without a global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_id_dense",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT c.c_custkey
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_custkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT)
+               AS dense_id
+    FROM active
+    """,
+)
+def q_id_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based surrogate ids for every customer that has ordered —
+    the entity-vocabulary compaction step before building embedding
+    tables, feature matrices, or graph adjacency (frameworks want ids in
+    [0, n), not sparse business keys).
+
+    Scale design: ``ROW_NUMBER() OVER (ORDER BY key)`` funnels all rows
+    through ONE task — the textbook global-sort trap. The distributed
+    rewrite: order-preserving buckets (key div B), per-bucket
+    row_number (shuffle key = bucket, parallel), plus one window over
+    the per-bucket COUNT summary (|keys|/B rows) to turn bucket counts
+    into cumulative start offsets; id = bucket offset + in-bucket rank
+    - 1. Identical to the global sort's output because buckets tile the
+    key line in order. Same envelope-summary pattern as q_seq_gaps: B
+    is sized so the summary fits one task (4096 here, ~2^20 at 100 TB,
+    or recurse once more — each level divides the summary by B)."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bucket_size = 4096
+    active = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey")
+        .distinct()
+        .withColumn(
+            "b", (F.col("c_custkey") / bucket_size).cast("bigint")
+        )
+    )
+    in_bucket = Window.partitionBy("b").orderBy("c_custkey")
+    ranked = active.withColumn("rk", F.row_number().over(in_bucket))
+    offsets = (
+        active.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("b", "offset")
+    )
+    return ranked.join(offsets, "b").select(
+        "c_custkey",
+        (F.col("offset") + F.col("rk") - 1).cast("bigint").alias("dense_id"),
+    )

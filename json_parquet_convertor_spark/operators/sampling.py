@@ -302,3 +302,169 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cap").alias("cap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (distributed resampling)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities for k=0..7);
+# identical double literals on both engines make the weight a pure function
+# of the deterministic per-(row, replicate) uniform.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+_BOOT_B = 40
+_BOOT_MIX2 = 7919  # replicate-decorrelation prime
+
+
+def _boot_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+@query(
+    "q_sample_bootstrap",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT l_returnflag, b,
+               ((l_orderkey * 8 + l_linenumber) * {_MIX}
+                + b * {_BOOT_MIX2}) % 1000003 AS h1,
+               l_extendedprice
+        FROM lineitem CROSS JOIN (
+            SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b
+        )
+    ),
+    weighted AS (
+        SELECT l_returnflag, b AS rep,
+               (h1 * {_MIX}) % 1000000 / 1000000.0 AS u,
+               l_extendedprice
+        FROM expanded
+    ),
+    reps AS (
+        SELECT l_returnflag, rep,
+               CAST(SUM(({_boot_case_sql('u')})
+                        * CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+                   / SUM({_boot_case_sql('u')}) AS rep_mean
+        FROM weighted GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT l_returnflag, rep_mean,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag ORDER BY rep_mean, rep
+               ) AS rk
+        FROM reps
+    ),
+    point AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) AS mean_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.l_returnflag,
+           floor(p.mean_price * 10000 + 0.5) / 10000 AS mean_price,
+           floor(MAX(CASE WHEN r.rk = 2 THEN r.rep_mean END)
+                 * 10000 + 0.5) / 10000 AS ci_lo,
+           floor(MAX(CASE WHEN r.rk = {_BOOT_B - 1} THEN r.rep_mean END)
+                 * 10000 + 0.5) / 10000 AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM point p JOIN ranked r USING (l_returnflag)
+    GROUP BY 1, 2
+    """,
+)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean extended price
+    per return flag: every (row, replicate) pair draws a deterministic
+    Poisson(1) weight (inverse-CDF over a hash uniform), replicate means
+    are trimmed at the 2nd / (B-1)th order statistics for a ~95% CI. The
+    Poisson bootstrap is THE distributed-resampling construction: unlike
+    the classical multinomial bootstrap it needs no global row count and
+    no coordination — each row independently decides how many times it
+    appears in each replicate, so the whole procedure is embarrassingly
+    parallel (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012).
+
+    Scale design: the B=40 replicate expansion happens MAP-SIDE (explode
+    of a constant 40-element sequence) and collapses immediately into a
+    partial aggregate on (flag, replicate) — the shuffle carries
+    |flags| x B accumulator rows, not B x data copies. Replicate means
+    use the decimal-exact sum path; order statistics replace
+    percentile interpolation (rank 2 / rank B-1 of 40), so both engines
+    pick identical doubles — no quantile-formula divergence. The hash
+    chain is the repo's Knuth-mix convention (production note: swap for
+    xxhash64 when ids exceed ~2^31, where the staged-pmod mix keeps
+    products inside int64 but loses avalanche quality; likewise, rows
+    sharing an id — the synthetic fixture duplicates some (orderkey,
+    linenumber) pairs — draw identical weights, which a production id
+    column would not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    expanded = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        rid.alias("rid"),
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("b"),
+        F.pmod(
+            F.col("rid") * _MIX + F.col("b") * _BOOT_MIX2, F.lit(1000003)
+        ).alias("h1"),
+    )
+    u = F.pmod(F.col("h1") * _MIX, F.lit(1000000)) / 1000000.0
+    rep = F.col("b")
+    w = F.lit(8)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    reps = (
+        expanded.select(
+            "l_returnflag",
+            rep.alias("rep"),
+            w.alias("w"),
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        )
+        .groupBy("l_returnflag", "rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.sum("w")
+            ).alias("rep_mean")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rk_w = Window.partitionBy("l_returnflag").orderBy("rep_mean", "rep")
+    ranked = reps.withColumn("rk", F.row_number().over(rk_w))
+    point = li.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_price")
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    ci = ranked.groupBy("l_returnflag").agg(
+        q4(F.max(F.when(F.col("rk") == 2, F.col("rep_mean")))).alias("ci_lo"),
+        q4(
+            F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("rep_mean")))
+        ).alias("ci_hi"),
+    )
+    return point.join(ci, "l_returnflag").select(
+        "l_returnflag",
+        q4(F.col("mean_price")).alias("mean_price"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+    )

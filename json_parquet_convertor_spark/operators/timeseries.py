@@ -712,3 +712,122 @@ def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("v")).alias("v"),
         q(F.col("v") - F.greatest("pv", "nv")).alias("prominence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation between two daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               coalesce(CAST(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE),
+                   0.0) AS x,
+               coalesce(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE),
+                   0.0) AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    rolled AS (
+        SELECT day, x, y,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 7
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN floor((n * sxy - sx * sy)
+                           / sqrt(n * sxx - sx * sx)
+                           / sqrt(n * syy - sy * sy) * 10000 + 0.5) / 10000
+           END AS rolling_corr
+    FROM rolled
+    """,
+)
+def q_stats_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between the click and purchase
+    daily-revenue series (a day with one series absent counts as 0.0
+    revenue for it — unlike q_time_interpolate's sensors, "no purchases"
+    IS zero) — the metric-coupling monitor ("did purchases
+    stop following clicks this week?") that a global correlation
+    (q_agg_corr / q_stats_linreg's sufficient statistics) cannot see
+    because regime changes average out. Windows shorter than 7 observed
+    days emit NULL (correlation over a handful of points is noise), as
+    do degenerate zero-variance windows.
+
+    Scale design: events collapse to one row per day FIRST (conditional
+    decimal-exact sums pivot the two series into columns — no join
+    between two daily aggregates), so the six rolling sufficient
+    statistics run over series-length rows with O(window) state, all
+    six sharing ONE window sort. The closed-form r from sufficient
+    sums is the same n*sxy - sx*sy shape q_stats_linreg established;
+    identical operation order on both engines keeps the doubles
+    bit-identical before the 4-dp round. The single unpartitioned
+    window is over the DAILY table (|days| rows — thousands for years
+    of data); with many series, partition by series key as
+    q_win_peaks does."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("value").cast("decimal(18,4)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,4)"),
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    rolled = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    r = cov_n / F.sqrt(var_x) / F.sqrt(var_y)
+    return rolled.select(
+        "day",
+        n.cast("bigint").alias("n_days"),
+        F.when(
+            (n >= 7) & (var_x > 0) & (var_y > 0),
+            F.floor(r * 10000 + 0.5) / 10000,
+        ).alias("rolling_corr"),
+    )

@@ -188,3 +188,144 @@ def test_survival_km_matches_textbook(spark, duck, sf_dir):
             n -= d + c
             n_points += 1
     assert n_points == len(got)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 2: dense ids, PIT join, Poisson bootstrap, rolling corr
+# ---------------------------------------------------------------------------
+
+
+def test_id_dense_matches_global_enumeration(spark, duck, sf_dir):
+    keys = sorted(
+        k
+        for (k,) in duck.execute(
+            "SELECT DISTINCT c_custkey FROM customer c"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+        ).fetchall()
+    )
+    expected = {k: i for i, k in enumerate(keys)}
+    got = {
+        r.c_custkey: r.dense_id
+        for r in registry.QUERIES["q_id_dense"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_join_point_in_time_matches_bruteforce(spark, duck, sf_dir):
+    import bisect
+
+    dim_rows = duck.execute(
+        "SELECT o_custkey,"
+        " CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))/86400) AS BIGINT),"
+        " max_by(o_orderpriority, o_orderkey)"
+        " FROM orders GROUP BY 1, 2"
+    ).fetchall()
+    versions = defaultdict(list)
+    for ck, d, st in dim_rows:
+        versions[ck].append((d, st))
+    for v in versions.values():
+        v.sort()
+    fact_rows = duck.execute(
+        "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,"
+        " CAST(floor(epoch(CAST(l.l_shipdate AS TIMESTAMP))/86400) AS BIGINT)"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.custkey, r.ship_day, r.state_asof)
+        for r in registry.QUERIES["q_join_point_in_time"](
+            spark, sf_dir
+        ).collect()
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic fixture —
+    # compare full multisets, not a keyed dict
+    expected = []
+    for ok, ln, ck, sd in fact_rows:
+        vs = versions[ck]
+        i = bisect.bisect_right([d for d, _ in vs], sd) - 1
+        expected.append((ok, ln, ck, sd, vs[i][1] if i >= 0 else None))
+    assert got == sorted(expected)
+
+
+def test_sample_bootstrap_matches_python_resampling(spark, duck, sf_dir):
+    """Replicate means and trimmed CI recomputed with the same hash chain
+    and Poisson inverse-CDF in pure Python."""
+    from json_parquet_convertor_spark.operators.sampling import (
+        _BOOT_B,
+        _BOOT_MIX2,
+        _MIX,
+        _POIS_CDF,
+    )
+
+    rows = duck.execute(
+        "SELECT l_returnflag, l_orderkey * 8 + l_linenumber,"
+        " CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem"
+    ).fetchall()
+    sums = defaultdict(lambda: [0, 0])  # (flag, b) -> [sum_wx, sum_w]
+    point = defaultdict(lambda: [0, 0])  # flag -> [sum_x, n]
+    for flag, rid, price in rows:
+        point[flag][0] += price
+        point[flag][1] += 1
+        for b in range(_BOOT_B):
+            h1 = (rid * _MIX + b * _BOOT_MIX2) % 1000003
+            u = (h1 * _MIX) % 1000000 / 1000000.0
+            w = next(
+                (k for k, c in enumerate(_POIS_CDF) if u < c), 8
+            )
+            if w:
+                sums[(flag, b)][0] += w * price
+                sums[(flag, b)][1] += w
+    q4 = lambda v: math.floor(float(v) * 10000 + 0.5) / 10000  # noqa: E731
+    got = {
+        r.l_returnflag: (r.mean_price, r.ci_lo, r.ci_hi, r.n_replicates)
+        for r in registry.QUERIES["q_sample_bootstrap"](
+            spark, sf_dir
+        ).collect()
+    }
+    for flag, (sx, n) in point.items():
+        means = sorted(
+            (float(sums[(flag, b)][0]) / sums[(flag, b)][1], b)
+            for b in range(_BOOT_B)
+        )
+        expected = (
+            q4(float(sx) / n),
+            q4(means[1][0]),
+            q4(means[_BOOT_B - 2][0]),
+            _BOOT_B,
+        )
+        assert got[flag] == expected, flag
+
+
+def test_rolling_corr_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT),"
+        " event_type, value FROM events"
+        " WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    daily = defaultdict(lambda: [0.0, 0.0])
+    for d, et, v in rows:
+        daily[d][0 if et == "click" else 1] += v
+    days = sorted(daily)
+    got = {
+        r.day: (r.n_days, r.rolling_corr)
+        for r in registry.QUERIES["q_stats_rolling_corr"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(days)
+    for i, d in enumerate(days):
+        win = days[max(0, i - 13) : i + 1]
+        xs = [daily[dd][0] for dd in win]
+        ys = [daily[dd][1] for dd in win]
+        n = len(win)
+        assert got[d][0] == n
+        sx, sy = sum(xs), sum(ys)
+        vx = n * sum(x * x for x in xs) - sx * sx
+        vy = n * sum(y * y for y in ys) - sy * sy
+        if n >= 7 and vx > 0 and vy > 0:
+            r = (n * sum(x * y for x, y in zip(xs, ys)) - sx * sy) / (
+                math.sqrt(vx) * math.sqrt(vy)
+            )
+            assert got[d][1] is not None
+            assert math.isclose(got[d][1], r, abs_tol=2e-4), d
+        else:
+            assert got[d][1] is None, d
