@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # deterministic id → [0, 100) bucket, identical in Spark and DuckDB
 _MIX = 2654435761
@@ -407,7 +407,7 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing an id — the synthetic fixture duplicates some (orderkey,
     linenumber) pairs — draw identical weights, which a production id
     column would not)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     rid = F.col("l_orderkey") * 8 + F.col("l_linenumber")
     expanded = li.select(
         "l_returnflag",

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json_parquet_convertor_spark.registry import query
-from json_parquet_convertor_spark.sources.io import load_table
+from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # ---------------------------------------------------------------------------
 # declarative expectation suite (dbt-test / Great-Expectations shape)
@@ -200,7 +200,9 @@ def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     where double/timestamp rendering is not.
 
     Scale design: hashing is per-row JVM codegen (md5 + substrings, no
-    Python), and SUM over decimal(38) is a map-side partial aggregate —
+    Python) spread() across all slots (md5 is the CPU hot spot; a
+    single-file fixture would serialize it), and SUM over decimal(38)
+    is a map-side partial aggregate —
     the shuffle carries one 16-byte accumulator per (group, partition),
     so the checksum of 100 TB moves kilobytes. Addition is commutative,
     which is exactly why the fingerprint is row-order- and
@@ -208,7 +210,7 @@ def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a BIGINT only at the very end (full precision travels through
     the aggregation; the fold keeps the output type stable across
     engines at a 1e-18 collision rate)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     canonical = F.concat_ws(
         "|",
         F.col("l_orderkey"),
