@@ -1647,3 +1647,57 @@ def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_pairs"),
         (F.floor(r * 10000 + 0.5) / 10000).alias("autocorr_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (binned heatmap aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_hist2d",
+    oracle="""
+    SELECT CAST(least(floor((CAST(round(l_quantity, 0) AS BIGINT) - 1)
+                            / 5.0), 9) AS BIGINT) AS qty_bin,
+           CAST(least(floor(CAST(round(l_discount * 100, 0) AS BIGINT)
+                            / 2.0), 4) AS BIGINT) AS disc_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram over (quantity, discount): 10 x 5 fixed-width bins
+    with per-cell count and decimal-exact revenue — the heatmap /
+    density-grid aggregation every dashboard and joint-distribution
+    sanity check needs (1-D histograms: q_agg_histogram). Upper edges
+    clamp into the last bin (least()), so out-of-range values are
+    visible rather than dropped.
+
+    Scale design: bin assignment is two arithmetic expressions inside
+    the scan's codegen stage; the groupBy key space is a constant 50
+    cells, so map-side partial aggregation reduces the shuffle to
+    |partitions| x 50 accumulators no matter the data size — the
+    cheapest possible shape for a full-table profile. Bin assignment
+    first rounds the stored values onto their integer grids (whole
+    quantities; discount cents) and bins with integer arithmetic —
+    binning raw doubles (floor(0.06 / 0.02)) is boundary-fragile
+    because the IEEE quotient can land on either side of the integer
+    depending on the operand bits, even when both engines agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_bin = F.least(
+        F.floor((F.round("l_quantity", 0).cast("bigint") - 1) / 5.0),
+        F.lit(9),
+    ).cast("bigint")
+    disc_bin = F.least(
+        F.floor(F.round(F.col("l_discount") * 100, 0).cast("bigint") / 2.0),
+        F.lit(4),
+    ).cast("bigint")
+    return li.groupBy(
+        qty_bin.alias("qty_bin"), disc_bin.alias("disc_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )

@@ -1719,3 +1719,97 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.col("s") * 10000 + 0.5) / 10000)
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonality-adjusted anomaly detection (day-of-week median + MAD)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                   AS vc
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, day, (day + 4) % 7 AS dow, vc FROM daily
+    ),
+    med AS (
+        SELECT event_type, dow, median(vc) AS med
+        FROM d GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.dow, d.vc, m.med,
+               abs(CAST(d.vc AS DOUBLE) - m.med) AS dev
+        FROM d JOIN med m USING (event_type, dow)
+    ),
+    mad AS (
+        SELECT event_type, dow, median(dev) AS mad
+        FROM dev GROUP BY 1, 2
+    )
+    SELECT v.event_type, v.day, CAST(v.dow AS INT) AS dow,
+           round(CAST(v.vc AS DOUBLE) / 10000, 4) AS value,
+           round(v.med / 10000, 4) AS dow_median,
+           (s.mad > 0 AND v.dev > 3.0 * 1.4826 * s.mad) AS is_anomaly
+    FROM dev v JOIN mad s USING (event_type, dow)
+    """,
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each (event type, day)
+    revenue is compared against the MEDIAN of its own day-of-week cohort
+    and flagged when it deviates more than 3 robust sigmas
+    (1.4826 x MAD) — a Monday is judged against Mondays, so the weekly
+    cycle q_season_profile measures never masquerades as an anomaly and
+    a raw z-score (q_anomaly_zscore) never flags every weekend.
+    Median/MAD instead of mean/stddev keeps one true outlier from
+    inflating its own threshold.
+
+    Cross-engine determinism: daily sums go exact-decimal, then scale to
+    integer ten-thousandths (the q_anomaly_mad convention) so every
+    median is an order statistic (or half-sum) over INTEGERS — identical
+    in both engines, immune to float accumulation order. The weekday is
+    (epoch_day + 4) % 7, the engine-neutral arithmetic q_season_profile
+    established.
+
+    Scale design: the fact scan collapses to |types| x |days| rows
+    first; medians run per (type, dow) — 7 bounded cohorts per type
+    whose size is |days|/7, i.e. series-length work. Exact median of a
+    day-count-sized cohort is cheap; at year scales it stays thousands
+    of rows per cohort. Everything joins back on (type, dow) — 35-key
+    joins, broadcast-sized tables both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("bigint")
+        .alias("vc")
+    )
+    d = daily.withColumn("dow", (F.col("day") + 4) % 7)
+    med = d.groupBy("event_type", "dow").agg(F.median("vc").alias("med"))
+    dev = d.join(med, ["event_type", "dow"]).withColumn(
+        "dev", F.abs(F.col("vc").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "dow").agg(
+        F.median("dev").alias("mad")
+    )
+    out = dev.join(mad, ["event_type", "dow"])
+    r4 = lambda c: F.round(c, 4)  # noqa: E731
+    return out.select(
+        "event_type",
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        r4(F.col("vc").cast("double") / 10000).alias("value"),
+        r4(F.col("med") / 10000).alias("dow_median"),
+        (
+            (F.col("mad") > 0)
+            & (F.col("dev") > 3.0 * 1.4826 * F.col("mad"))
+        ).alias("is_anomaly"),
+    )

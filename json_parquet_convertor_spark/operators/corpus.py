@@ -1004,3 +1004,105 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (association-ranked word pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+    ),
+    bi AS (
+        SELECT l[g.i] AS w1, l[g.i + 1] AS w2
+        FROM toks CROSS JOIN unnest(generate_series(1, len(toks.l) - 1))
+            AS g(i)
+    ),
+    c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bi GROUP BY 1, 2
+    ),
+    m1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM c GROUP BY 1),
+    m2 AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM c),
+    pmi AS (
+        SELECT c.w1, c.w2, c.cnt,
+               ln((CAST(c.cnt AS DOUBLE) / t.m)
+                  / ((CAST(m1.c1 AS DOUBLE) / t.m)
+                     * (CAST(m2.c2 AS DOUBLE) / t.m))) AS raw
+        FROM c
+        JOIN m1 USING (w1)
+        JOIN m2 USING (w2)
+        CROSS JOIN tot t
+        WHERE c.cnt >= 5
+    )
+    SELECT w1, w2, cnt,
+           floor(raw * 10000 + 0.5) / 10000 AS pmi
+    FROM pmi
+    ORDER BY raw DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information: adjacent
+    word pairs whose co-occurrence beats the independence baseline,
+    PMI = ln(P(w1,w2) / (P1(w1) P2(w2))) with all probabilities taken
+    over the bigram population (row/column marginals of the same count
+    table — self-consistent, no separate tokenization pass). A min
+    count of 5 drops the hapax pairs whose PMI is maximal but
+    meaningless. This is the phrase-mining / tokenizer-vocabulary
+    primitive (spot "new york"-style units worth fusing) that
+    q_text_bigram_lm's conditional table does not rank — association
+    strength, not next-token probability.
+
+    Scale design: one tokenize + explode pass into the word-count
+    shuffle shape (partial agg absorbs Zipf skew map-side); both
+    marginals derive from the bigram table itself (two more groupBys on
+    single-token keys) and join back by token key — SHUFFLE joins,
+    because at corpus scale the marginal tables are vocabulary-sized
+    and must never broadcast (the q_rank_bm25 lesson). The only
+    broadcast is the 1-row grand-total. Final ranking is a top-k over
+    the cnt>=5 survivors, ordered by the RAW double (identical in both
+    engines), with the quantized value only in the output."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(F.split("text", " ").alias("l"))
+    bi = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.persist()
+    m1 = c.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    m2 = c.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    tot = c.agg(F.sum("cnt").alias("m"))
+    raw = F.log(
+        (F.col("cnt").cast("double") / F.col("m"))
+        / (
+            (F.col("c1").cast("double") / F.col("m"))
+            * (F.col("c2").cast("double") / F.col("m"))
+        )
+    )
+    out = (
+        c.filter(F.col("cnt") >= 5)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cnt", raw.alias("raw"))
+        .orderBy(F.desc("raw"), "w1", "w2")
+        .limit(50)
+    )
+    return out.select(
+        "w1",
+        "w2",
+        "cnt",
+        (F.floor(F.col("raw") * 10000 + 0.5) / 10000).alias("pmi"),
+    )

@@ -182,11 +182,16 @@ def main() -> int:
             f"RECHECK {name}: x{out[name]['ratio_r3']}", file=sys.stderr
         )
 
+    # a suspect whose 3-rep recheck lands back under threshold was noise
+    # (first-run cache effects), not super-linearity — don't report it
+    confirmed = [
+        n for n in suspects if out[n]["ratio_r3"] > args.threshold
+    ]
     result = {
         "replicas": args.replicas,
         "threshold": args.threshold,
         "suspects": {
-            n: out[n] for n in suspects
+            n: out[n] for n in confirmed
         },
         "queries": out,
     }

@@ -121,6 +121,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_sample_balanced",  # 1-row min-class cap broadcast
             "q_win_cumulative_share",  # 1-row total broadcast onto rollup
             "q_qc_expectations",  # crossJoin of two 1-row audit-count aggs
+            "q_text_collocations",  # 1-row bigram-total broadcast onto PMI
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

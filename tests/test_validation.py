@@ -329,3 +329,122 @@ def test_rolling_corr_matches_python(spark, duck, sf_dir):
             assert math.isclose(got[d][1], r, abs_tol=2e-4), d
         else:
             assert got[d][1] is None, d
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 3: PMI collocations, seasonal anomaly, 2-D histogram
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_match_python_pmi(spark, duck, sf_dir):
+    texts = [t for (t,) in duck.execute("SELECT text FROM documents").fetchall()]
+    cnt = defaultdict(int)
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] += 1
+    m = sum(cnt.values())
+    c1, c2 = defaultdict(int), defaultdict(int)
+    for (a, b), c in cnt.items():
+        c1[a] += c
+        c2[b] += c
+    scored = sorted(
+        (
+            (
+                -math.log((c / m) / ((c1[a] / m) * (c2[b] / m))),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in cnt.items()
+            if c >= 5
+        ),
+    )[:50]
+    expected = [
+        (a, b, c, math.floor(-neg * 10000 + 0.5) / 10000)
+        for neg, a, b, c in scored
+    ]
+    got = [
+        (r.w1, r.w2, r.cnt, r.pmi)
+        for r in registry.QUERIES["q_text_collocations"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    # and PMI actually ranks association: every returned pair beats
+    # independence or at least is finite
+    assert all(isinstance(p, float) for *_x, p in got)
+
+
+def test_anomaly_seasonal_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT event_type,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT), value"
+        " FROM events"
+    ).fetchall()
+    daily = defaultdict(Decimal)
+    for et, d, v in rows:
+        daily[(et, d)] += Decimal(str(round(v, 4)))
+    vc = {k: int(v * 10000) for k, v in daily.items()}
+
+    def median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        mid = n // 2
+        return (
+            float(vals[mid])
+            if n % 2
+            else (vals[mid - 1] + vals[mid]) / 2.0
+        )
+
+    cohorts = defaultdict(list)
+    for (et, d), v in vc.items():
+        cohorts[(et, (d + 4) % 7)].append(v)
+    med = {k: median(v) for k, v in cohorts.items()}
+    devs = defaultdict(list)
+    for (et, d), v in vc.items():
+        devs[(et, (d + 4) % 7)].append(abs(v - med[(et, (d + 4) % 7)]))
+    mad = {k: median(v) for k, v in devs.items()}
+    got = {
+        (r.event_type, r.day): (r.dow, r.value, r.dow_median, r.is_anomaly)
+        for r in registry.QUERIES["q_anomaly_seasonal"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(vc)
+    for (et, d), v in vc.items():
+        dow = (d + 4) % 7
+        m, s = med[(et, dow)], mad[(et, dow)]
+        dev = abs(v - m)
+        expect = (
+            dow,
+            round(v / 10000, 4),
+            round(m / 10000, 4),
+            s > 0 and dev > 3.0 * 1.4826 * s,
+        )
+        assert got[(et, d)] == expect, (et, d)
+
+
+def test_hist2d_bins_and_totals(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT l_quantity, l_discount, l_extendedprice FROM lineitem"
+    ).fetchall()
+    from decimal import Decimal
+
+    cells = defaultdict(lambda: [0, Decimal(0)])
+    for q, disc, p in rows:
+        qb = min((round(q) - 1) * 2 // 10, 9)
+        db = min(round(disc * 100) // 2, 4)
+        cells[(qb, db)][0] += 1
+        cells[(qb, db)][1] += Decimal(str(round(p, 4)))
+    got = {
+        (r.qty_bin, r.disc_bin): (r.n, r.revenue)
+        for r in registry.QUERIES["q_agg_hist2d"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    assert sum(n for n, _ in got.values()) == len(rows)
+    for k, (n, rev) in cells.items():
+        assert got[k][0] == n, k
+        assert math.isclose(got[k][1], float(rev), abs_tol=1e-6), k
