@@ -1813,3 +1813,107 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dev") > 3.0 * 1.4826 * F.col("mad"))
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value (cumulative revenue per acquisition cohort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
+                   AS wk,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS c0 FROM p GROUP BY 1
+    ),
+    cell AS (
+        SELECT c.c0 AS cohort_week,
+               p.wk - c.c0 AS week_offset,
+               SUM(p.v) AS rev
+        FROM p JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    size_ AS (
+        SELECT c0 AS cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cohort GROUP BY 1
+    )
+    SELECT cell.cohort_week,
+           CAST(cell.week_offset AS BIGINT) AS week_offset,
+           s.n_users,
+           CAST(SUM(cell.rev) OVER (
+               PARTITION BY cell.cohort_week ORDER BY cell.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_revenue,
+           floor(CAST(SUM(cell.rev) OVER (
+               PARTITION BY cell.cohort_week ORDER BY cell.week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / s.n_users * 10000 + 0.5) / 10000
+               AS ltv_per_user
+    FROM cell JOIN size_ s USING (cohort_week)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-purchase week,
+    cumulative cohort revenue and per-user LTV at every week offset —
+    the payback-period / LTV-to-CAC table that sits next to
+    q_cohort_retention's counts (same triangle, revenue instead of
+    presence).
+
+    Scale design: purchases collapse to per-(cohort, offset) DECIMAL
+    sums before any window runs, so the cumulative pass works on
+    |cohorts| x |weeks| cells, not events — and because the running sum
+    accumulates DECIMALS (exact, order-free), the cross-engine result
+    is bit-identical before the single divide-by-cohort-size at the
+    end. First-purchase cohorting shuffles on user_id once and AQE
+    reuses the exchange for the join back (the q_cohort_retention
+    layout). Week arithmetic is integer epoch-week on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    cohort = p.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    cell = (
+        p.join(cohort, "user_id")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            (F.col("wk") - F.col("c0")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.sum("v").alias("rev"))
+    )
+    size = cohort.groupBy(F.col("c0").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cum_w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = cell.join(size, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.sum("rev").over(cum_w).cast("double").alias("cum_revenue"),
+    )
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cum_revenue",
+        (
+            F.floor(
+                F.col("cum_revenue") / F.col("n_users") * 10000 + 0.5
+            )
+            / 10000
+        ).alias("ltv_per_user"),
+    )

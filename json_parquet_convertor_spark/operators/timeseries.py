@@ -831,3 +831,88 @@ def q_stats_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(r * 10000 + 0.5) / 10000,
         ).alias("rolling_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# period-over-period growth (DoD / WoW)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_growth",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, v,
+               lag(v, 1) OVER w AS v_d1,
+               lag(v, 7) OVER w AS v_d7,
+               lag(day, 1) OVER w AS day_d1,
+               lag(day, 7) OVER w AS day_d7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS revenue,
+           CASE WHEN day_d1 = day - 1 AND v_d1 > 0
+                THEN floor((CAST(v AS DOUBLE) / CAST(v_d1 AS DOUBLE) - 1)
+                           * 10000 + 0.5) / 10000 END AS growth_dod,
+           CASE WHEN day_d7 = day - 7 AND v_d7 > 0
+                THEN floor((CAST(v AS DOUBLE) / CAST(v_d7 AS DOUBLE) - 1)
+                           * 10000 + 0.5) / 10000 END AS growth_wow
+    FROM lagged
+    """,
+)
+def q_win_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth per event type: day-over-day and
+    week-over-week revenue growth rates, NULL when the comparison day
+    is missing from the series (lag() returns the previous ROW, so the
+    guard day_dN = day - N ensures the growth compares true calendar
+    neighbors, not whatever happened to precede a gap) — the daily
+    scorecard metric next to q_stats_autocorr's momentum diagnosis and
+    q_win_rank_delta's rank movement.
+
+    Scale design: facts collapse to per-(type, day) DECIMAL sums first;
+    both lags (and their day twins) share one (type, day) window sort —
+    a single exchange on event_type, series-length state. The growth
+    ratio divides the two exact decimals as doubles in the same
+    operation order on both engines before the 4-dp quantize."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v", 1).over(w).alias("v_d1"),
+        F.lag("v", 7).over(w).alias("v_d7"),
+        F.lag("day", 1).over(w).alias("day_d1"),
+        F.lag("day", 7).over(w).alias("day_d7"),
+    )
+
+    def growth(vn, dn, n):
+        return F.when(
+            (F.col(dn) == F.col("day") - n) & (F.col(vn) > 0),
+            F.floor(
+                (F.col("v").cast("double") / F.col(vn).cast("double") - 1)
+                * 10000
+                + 0.5
+            )
+            / 10000,
+        )
+
+    return lagged.select(
+        "event_type",
+        "day",
+        F.col("v").cast("double").alias("revenue"),
+        growth("v_d1", "day_d1", 1).alias("growth_dod"),
+        growth("v_d7", "day_d7", 7).alias("growth_wow"),
+    )

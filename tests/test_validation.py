@@ -448,3 +448,137 @@ def test_hist2d_bins_and_totals(spark, duck, sf_dir):
     for k, (n, rev) in cells.items():
         assert got[k][0] == n, k
         assert math.isclose(got[k][1], float(rev), abs_tol=1e-6), k
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 4: entity resolution, cohort LTV, PoP growth
+# ---------------------------------------------------------------------------
+
+
+def test_er_pipeline_matches_python_union_find(spark, duck, sf_dir):
+    """Recompute blocking + Levenshtein + connected components with a
+    pure-Python union-find and check every golden record."""
+    rows = duck.execute(
+        "SELECT p_partkey, p_name, p_retailprice FROM part"
+    ).fetchall()
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    parent = {k: k for k, _n, _p in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    blocks = defaultdict(list)
+    for k, name, _p in rows:
+        blocks[name.rsplit(" ", 1)[-1]].append((k, name))
+    for members in blocks.values():
+        for i, (ka, na) in enumerate(members):
+            for kb, nb in members[i + 1 :]:
+                if lev(na, nb) <= 2:
+                    ra, rb = find(ka), find(kb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    entities = defaultdict(list)
+    for k, name, price in rows:
+        entities[find(k)].append((k, name, price))
+    expected = {}
+    for members in entities.values():
+        members.sort()
+        eid = members[0][0]
+        prices = [round(p * 100) for _k, _n, p in members]
+        expected[eid] = (
+            len(members),
+            members[0][1],
+            (max(prices) - min(prices)) / 100.0,
+        )
+    got = {
+        r.entity_id: (r.n_records, r.canonical_name, r.price_spread)
+        for r in registry.QUERIES["q_er_pipeline"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, (n, name, spread) in expected.items():
+        assert got[eid][0] == n and got[eid][1] == name, eid
+        assert math.isclose(got[eid][2], spread, abs_tol=1e-9), eid
+
+
+def test_cohort_ltv_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT user_id,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/604800) AS BIGINT), value"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    first = {}
+    for uid, wk, _v in rows:
+        first[uid] = min(first.get(uid, wk), wk)
+    cells = defaultdict(Decimal)
+    for uid, wk, v in rows:
+        cells[(first[uid], wk - first[uid])] += Decimal(str(round(v, 4)))
+    sizes = defaultdict(int)
+    for uid, c0 in first.items():
+        sizes[c0] += 1
+    got = {
+        (r.cohort_week, r.week_offset): (
+            r.n_users,
+            r.cum_revenue,
+            r.ltv_per_user,
+        )
+        for r in registry.QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for c0 in sizes:
+        cum = Decimal(0)
+        for off in sorted(o for c, o in cells if c == c0):
+            cum += cells[(c0, off)]
+            n, got_cum, got_ltv = got[(c0, off)]
+            assert n == sizes[c0]
+            assert math.isclose(got_cum, float(cum), abs_tol=1e-6)
+            assert got_ltv == math.floor(
+                float(cum) / n * 10000 + 0.5
+            ) / 10000, (c0, off)
+
+
+def test_win_growth_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT event_type,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT), value"
+        " FROM events"
+    ).fetchall()
+    daily = defaultdict(Decimal)
+    for et, d, v in rows:
+        daily[(et, d)] += Decimal(str(round(v, 4)))
+    got = {
+        (r.event_type, r.day): (r.revenue, r.growth_dod, r.growth_wow)
+        for r in registry.QUERIES["q_win_growth"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for (et, d), v in daily.items():
+        rev, dod, wow = got[(et, d)]
+        assert math.isclose(rev, float(v), abs_tol=1e-6)
+        for n, g in ((1, dod), (7, wow)):
+            prev = daily.get((et, d - n))
+            if prev is not None and prev > 0:
+                expect = (
+                    math.floor((float(v) / float(prev) - 1) * 10000 + 0.5)
+                    / 10000
+                )
+                assert g == expect, (et, d, n)
+            else:
+                assert g is None, (et, d, n)
