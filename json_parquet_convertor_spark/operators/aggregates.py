@@ -1701,3 +1701,60 @@ def q_agg_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact daily percentile bands (latency/SLO dashboard aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_percentile_daily",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               CAST(round(value * 10000, 0) AS BIGINT) AS vc
+        FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(quantile_cont(vc, 0.50) / 10000 * 10000 + 0.5) / 10000
+               AS p50,
+           floor(quantile_cont(vc, 0.95) / 10000 * 10000 + 0.5) / 10000
+               AS p95,
+           floor(quantile_cont(vc, 0.99) / 10000 * 10000 + 0.5) / 10000
+               AS p99
+    FROM b GROUP BY 1
+    """,
+)
+def q_agg_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily p50/p95/p99 bands over event values — the SLO /
+    latency dashboard table ("did tail latency regress on Tuesday"),
+    where q_agg_sketch_quantiles' approximate sketch is the
+    corpus-scale path and THIS is the exact per-partition-day variant
+    a dashboard backfills from moderate daily volumes.
+
+    Cross-engine determinism: values land on the integer 1e-4 grid
+    first, so the linear-interpolation percentile (both engines use
+    the (n-1)p convention — verified bit-identical including the p99
+    float-noise tail) interpolates between integers; the result is
+    quantized only at output.
+
+    Scale design: one scan, groupBy day — percentile is a sort-based
+    aggregate WITHIN each day group (map-side partials collect per-day
+    buffers; a day's events fit an executor by the partition-day
+    contract, the same assumption every exact-percentile backfill
+    makes). For unbounded groups, fall back to the sketch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),
+    )
+    q4 = lambda c: F.floor(c / 10000 * 10000 + 0.5) / 10000  # noqa: E731
+    return b.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        q4(F.percentile("vc", 0.50)).alias("p50"),
+        q4(F.percentile("vc", 0.95)).alias("p95"),
+        q4(F.percentile("vc", 0.99)).alias("p99"),
+    )

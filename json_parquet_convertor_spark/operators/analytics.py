@@ -1917,3 +1917,159 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top user journeys (first-N event paths)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seq_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY 1
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: each user's first five events concatenated
+    into a path string ('signup>click>purchase>...'), counted across
+    users — the "what do people actually do first" product-analytics
+    view that q_seq_markov's one-step transition matrix cannot show
+    (paths are whole trajectories, not memoryless steps).
+
+    Scale design: the row_number + rn<=5 filter runs inside the one
+    user-keyed window sort and throws away everything past the fifth
+    event BEFORE any aggregation — per-user state is 5 rows no matter
+    how active the user. Path assembly is collect_list of (rn, type)
+    structs sorted JVM-side (array_sort on the rn field makes the
+    unordered collect deterministic), then a transform+concat — no
+    Python. The final path count is a classic low-cardinality groupBy
+    with map-side partials, and the top-20 is a heap, not a sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) without a quadratic self-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH r AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT a.p_partkey,
+           floor(CAST(a.price_c AS DOUBLE) / 100 * 10000 + 0.5) / 10000
+               AS price,
+           a.size
+    FROM r a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM r b
+        WHERE b.price_c <= a.price_c AND b.size <= a.size
+          AND (b.price_c < a.price_c OR b.size < a.size)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog (minimize price AND size):
+    every part not strictly dominated by another — the multi-objective
+    shortlist behind "cheapest adequate option" recommendations and
+    query-optimizer plan pruning. Identical (price, size) twins are
+    mutually non-dominating and all stay on the frontier.
+
+    Scale design: the textbook formulation is the quadratic NOT EXISTS
+    self-join the ORACLE runs — fine for DuckDB at fixture scale,
+    catastrophic at catalog scale. The Spark plan is the O(n log n)
+    sweep rewrite: with price scaled to integer cents, one window
+    ordered by price_c with RANGE .. 1 PRECEDING yields min(size) over
+    all STRICTLY cheaper rows (value-range frame, so equal prices are
+    excluded exactly), and a second frame over the same sort keyed by
+    equal price yields min(size) among price-ties. A row is dominated
+    iff a strictly-cheaper row has size <= its size, or a price-tie has
+    size strictly smaller. One sort, O(1) state — the same
+    sufficient-statistic-over-a-sweep trick as q_win_concurrency, and
+    the two frames share a single exchange. The single unpartitioned
+    sort is over the DIMENSION (catalog-sized); for fact-scale skylines
+    pre-partition by a coarse price bucket and stitch (each bucket's
+    frontier + the running cross-bucket min), same envelope pattern as
+    q_seq_gaps."""
+    p = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    r = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    cheaper = (
+        Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ties = Window.partitionBy("price_c")
+    flagged = r.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.min("size").over(cheaper).alias("min_size_cheaper"),
+        F.min("size").over(ties).alias("min_size_tie"),
+    )
+    skyline = flagged.filter(
+        (
+            F.col("min_size_cheaper").isNull()
+            | (F.col("min_size_cheaper") > F.col("size"))
+        )
+        & (F.col("min_size_tie") == F.col("size"))
+    )
+    return skyline.select(
+        "p_partkey",
+        (
+            F.floor(F.col("price_c").cast("double") / 100 * 10000 + 0.5)
+            / 10000
+        ).alias("price"),
+        "size",
+    )

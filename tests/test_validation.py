@@ -582,3 +582,86 @@ def test_win_growth_matches_python(spark, duck, sf_dir):
                 assert g == expect, (et, d, n)
             else:
                 assert g is None, (et, d, n)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 5: user paths, skyline, daily percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_seq_paths_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT user_id, event_type,"
+        " epoch_us(CAST(ts AS TIMESTAMP)), event_id FROM events"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for uid, et, us, eid in rows:
+        per_user[uid].append((us, eid, et))
+    counts = defaultdict(int)
+    for uid, evs in per_user.items():
+        evs.sort()
+        counts[">".join(et for _u, _e, et in evs[:5])] += 1
+    expected = sorted(
+        ((-n, p) for p, n in counts.items())
+    )[:20]
+    got = [
+        (-r.n_users, r.path)
+        for r in registry.QUERIES["q_seq_paths"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_skyline_matches_bruteforce(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT),"
+        " p_size FROM part"
+    ).fetchall()
+    frontier = {
+        k
+        for k, pc, sz in rows
+        if not any(
+            (pc2 <= pc and sz2 <= sz and (pc2 < pc or sz2 < sz))
+            for _k2, pc2, sz2 in rows
+        )
+    }
+    got = {
+        r.p_partkey
+        for r in registry.QUERIES["q_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert got == frontier
+    # frontier sanity: sorted by price, sizes strictly decrease
+    pts = sorted(
+        (pc, sz) for k, pc, sz in rows if k in frontier
+    )
+    assert all(b[1] < a[1] or (a[0] == b[0] and a[1] == b[1])
+               for a, b in zip(pts, pts[1:]))
+
+
+def test_percentile_daily_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT),"
+        " CAST(round(value * 10000, 0) AS BIGINT) FROM events"
+    ).fetchall()
+    days = defaultdict(list)
+    for d, vc in rows:
+        days[d].append(vc)
+
+    def pct(vals, p):
+        vals = sorted(vals)
+        idx = (len(vals) - 1) * p
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        v = vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+        return math.floor(v / 10000 * 10000 + 0.5) / 10000
+
+    got = {
+        r.day: (r.n, r.p50, r.p95, r.p99)
+        for r in registry.QUERIES["q_agg_percentile_daily"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(days)
+    for d, vals in days.items():
+        n, p50, p95, p99 = got[d]
+        assert n == len(vals)
+        for p, g in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            assert math.isclose(g, pct(vals, p), abs_tol=2e-4), (d, p)
