@@ -1758,3 +1758,73 @@ def q_agg_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(F.percentile("vc", 0.95)).alias("p95"),
         q4(F.percentile("vc", 0.99)).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence interval for proportions (A/B primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_wilson",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE value > 100.0) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n, k,
+           floor(CAST(k AS DOUBLE) / n * 10000 + 0.5) / 10000 AS p_hat,
+           floor(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  / (1 + 1.96 * 1.96 / n)
+                  - (1.96 / (1 + 1.96 * 1.96 / n))
+                    * sqrt(CAST(k AS DOUBLE) / n
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + 1.96 * 1.96 / (4.0 * n * n)))
+                 * 10000 + 0.5) / 10000 AS ci_lo,
+           floor(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  / (1 + 1.96 * 1.96 / n)
+                  + (1.96 / (1 + 1.96 * 1.96 / n))
+                    * sqrt(CAST(k AS DOUBLE) / n
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + 1.96 * 1.96 / (4.0 * n * n)))
+                 * 10000 + 0.5) / 10000 AS ci_hi
+    FROM c
+    """,
+)
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the high-value-event
+    rate per event type (share of events with value > 100) — the
+    proportion CI that behaves at small n and extreme p where the
+    naive Wald interval collapses; the building block of conversion
+    dashboards and A/B readouts (q_stats_ttest handles means, this
+    handles rates).
+
+    Scale design: the entire statistic reduces to two integers per
+    group (n, successes) from one conditional-aggregate scan — the
+    closed-form interval is then arithmetic on a |groups|-row table.
+    Cross-engine: every double op derives from exact integer counts
+    with identical operation order and the z=1.96 literal, so the
+    doubles are bit-identical before the 4-dp quantize."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("value") > 100.0).cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (1.96 / (1 + z2 / n)) * F.sqrt(
+        p * (1 - p) / n + z2 / (4.0 * n * n)
+    )
+    q4 = lambda col: F.floor(col * 10000 + 0.5) / 10000  # noqa: E731
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        q4(p).alias("p_hat"),
+        q4(center - half).alias("ci_lo"),
+        q4(center + half).alias("ci_hi"),
+    )

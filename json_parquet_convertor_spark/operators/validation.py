@@ -301,3 +301,79 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nk") - F.col("k") - 1).alias("gap_len"),
     )
     return gaps.orderBy(F.desc("gap_len"), "gap_start").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier re-identification risk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_privacy_kanon",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(least(floor(c_acctbal / 1000), 9) AS BIGINT)
+                   AS bal_band,
+               COUNT(*) AS grp
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(MIN(grp) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (WHERE grp < 5) AS BIGINT)
+               AS classes_below_5,
+           CAST(SUM(grp) FILTER (WHERE grp < 5) AS BIGINT)
+               AS customers_at_risk,
+           floor(CAST(SUM(grp * grp) AS DOUBLE)
+                 / (CAST(SUM(grp) AS DOUBLE) * SUM(grp))
+                 * 10000 + 0.5) / 10000 AS reid_collision_rate
+    FROM q
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: treat (nation, market
+    segment, account-balance band) as the quasi-identifier, measure the
+    smallest equivalence class (the dataset's k), how many classes fall
+    below k=5, how many customers sit in them, and the expected
+    re-identification collision rate (sum p_i^2, the probability two
+    random records share a class) — the release gate privacy review
+    runs before publishing "anonymized" data, and exactly what the
+    reference's field-dropping converter (convertor/convertor.go:139-147
+    silently drops unknown fields, which is NOT anonymization) cannot
+    answer.
+
+    Scale design: one scan → groupBy the quasi-identifier tuple
+    (map-side partials; class count is bounded by the QI domain, here
+    25 x 5 x 10), then a single 1-row rollup over the class table. The
+    balance band uses integer-floor banding (the q_agg_hist2d grid
+    rule). All outputs derive from exact integer counts; the collision
+    rate divides exact sums in the same operation order on both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.least(F.floor(F.col("c_acctbal") / 1000), F.lit(9)).cast(
+        "bigint"
+    )
+    q = c.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    return q.agg(
+        F.min("grp").cast("bigint").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.count_if(F.col("grp") < 5).cast("bigint").alias("classes_below_5"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") < 5, F.col("grp"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("customers_at_risk"),
+        (
+            F.floor(
+                F.sum(F.col("grp") * F.col("grp")).cast("double")
+                / (F.sum("grp").cast("double") * F.sum("grp"))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("reid_collision_rate"),
+    )

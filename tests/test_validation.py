@@ -665,3 +665,58 @@ def test_percentile_daily_matches_python(spark, duck, sf_dir):
         assert n == len(vals)
         for p, g in ((0.5, p50), (0.95, p95), (0.99, p99)):
             assert math.isclose(g, pct(vals, p), abs_tol=2e-4), (d, p)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 6: k-anonymity, Wilson intervals
+# ---------------------------------------------------------------------------
+
+
+def test_privacy_kanon_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT c_nationkey, c_mktsegment,"
+        " CAST(least(floor(c_acctbal / 1000), 9) AS BIGINT) FROM customer"
+    ).fetchall()
+    classes = defaultdict(int)
+    for key in rows:
+        classes[key] += 1
+    grps = list(classes.values())
+    r = registry.QUERIES["q_privacy_kanon"](spark, sf_dir).collect()[0]
+    assert r.k_anonymity == min(grps)
+    assert r.n_classes == len(grps)
+    assert r.classes_below_5 == sum(1 for g in grps if g < 5)
+    assert r.customers_at_risk == sum(g for g in grps if g < 5)
+    total = sum(grps)
+    coll = sum(g * g for g in grps) / (total * total)
+    assert math.isclose(
+        r.reid_collision_rate,
+        math.floor(coll * 10000 + 0.5) / 10000,
+        abs_tol=1e-9,
+    )
+
+
+def test_stats_wilson_matches_statsmodels_formula(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT event_type, count(*),"
+        " count(*) FILTER (WHERE value > 100.0) FROM events GROUP BY 1"
+    ).fetchall()
+    got = {
+        r.event_type: (r.n, r.k, r.p_hat, r.ci_lo, r.ci_hi)
+        for r in registry.QUERIES["q_stats_wilson"](spark, sf_dir).collect()
+    }
+    z = 1.96
+    for et, n, k in rows:
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = (z / denom) * math.sqrt(
+            p * (1 - p) / n + z * z / (4.0 * n * n)
+        )
+        q4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+        gn, gk, gp, glo, ghi = got[et]
+        assert (gn, gk) == (n, k)
+        assert math.isclose(gp, q4(p), abs_tol=1e-9)
+        assert math.isclose(glo, q4(center - half), abs_tol=2e-4)
+        assert math.isclose(ghi, q4(center + half), abs_tol=2e-4)
+        # CI must contain the point estimate and sit inside [0, 1]
+        assert 0 <= glo <= gp <= ghi <= 1
