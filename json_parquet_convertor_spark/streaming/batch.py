@@ -634,3 +634,77 @@ def q_stream_s3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate (dead-letter routing per micro-batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle="""
+    SELECT CASE WHEN l_quantity <= 45 THEN 'good'
+                ELSE 'quarantine' END AS sink,
+           l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate with dead-letter routing — the ingestion
+    pattern the reference lacks entirely (convertor.go:135-154 writes
+    whatever parses): each micro-batch splits on a business rule
+    (quantity <= 45; oversize orders go to review) and lands in TWO
+    parquet sinks — the clean table and the quarantine dead-letter
+    dir — via foreachBatch, the only streaming construct that can
+    fan one batch out to multiple writers. The returned frame audits
+    both sinks by reading them BACK (counts by sink and return flag),
+    so the check covers the round trip, not the in-memory split.
+
+    Scale posture: the rule evaluates inside the stream's scan stage
+    (no shuffle before the split); each sink write is an append of
+    that batch's partitions. Exactly-once: AvailableNow runs each
+    batch once per checkpoint; under redelivery the batchId-keyed
+    idempotent-overwrite pattern of q_stream_foreachbatch
+    (batch.py:517) applies unchanged to both sinks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    src = _replay_source(spark, sf_dir, "qgate", lambda: li)
+    base = os.path.join(run_tmp("stream_qgate"), uuid.uuid4().hex[:8])
+    good_dir = os.path.join(base, "good")
+    quar_dir = os.path.join(base, "quarantine")
+    ckpt = os.path.join(base, "ckpt")
+    good_rule = F.col("l_quantity") <= 45
+
+    def route(batch, _batch_id):
+        batch.filter(good_rule).write.mode("append").parquet(good_dir)
+        batch.filter(~good_rule).write.mode("append").parquet(quar_dir)
+
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    good = spark.read.parquet(good_dir).withColumn("sink", F.lit("good"))
+    quar = spark.read.parquet(quar_dir).withColumn(
+        "sink", F.lit("quarantine")
+    )
+    return (
+        good.unionByName(quar)
+        .groupBy("sink", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+        )
+    )

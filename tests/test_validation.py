@@ -720,3 +720,23 @@ def test_stats_wilson_matches_statsmodels_formula(spark, duck, sf_dir):
         assert math.isclose(ghi, q4(center + half), abs_tol=2e-4)
         # CI must contain the point estimate and sit inside [0, 1]
         assert 0 <= glo <= gp <= ghi <= 1
+
+
+def test_stream_quality_gate_partitions_input(spark, duck, sf_dir):
+    """good + quarantine must partition the input exactly: per-flag rows
+    and quantity totals reconcile with the static table."""
+    rows = duck.execute(
+        "SELECT l_returnflag, count(*), SUM(CAST(l_quantity AS BIGINT)),"
+        " count(*) FILTER (WHERE l_quantity <= 45)"
+        " FROM lineitem GROUP BY 1"
+    ).fetchall()
+    got = defaultdict(dict)
+    for r in registry.QUERIES["q_stream_quality_gate"](
+        spark, sf_dir
+    ).collect():
+        got[r.l_returnflag][r.sink] = (r.n_rows, r.total_qty)
+    for flag, n, qty, n_good in rows:
+        sinks = got[flag]
+        assert sinks["good"][0] == n_good
+        assert sinks.get("quarantine", (0, 0))[0] == n - n_good
+        assert sum(s[1] for s in sinks.values()) == qty
