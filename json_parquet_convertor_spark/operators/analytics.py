@@ -2073,3 +2073,108 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
         "size",
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user ML feature matrix (behavioral features incl. trend slope)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_features",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    horizon AS (SELECT MAX(day) AS h FROM daily),
+    f AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS active_days,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS total_value,
+               CAST(MAX(h) - MAX(day) AS BIGINT) AS recency_days,
+               CAST(MAX(day) - MIN(day) AS BIGINT) AS tenure_days,
+               COUNT(*) * SUM(CAST(day AS DECIMAL(18,4)) * v)
+                   - SUM(CAST(day AS DECIMAL(18,4))) * SUM(v) AS s_num,
+               COUNT(*) * SUM(CAST(day AS DECIMAL(18,4))
+                              * CAST(day AS DECIMAL(18,4)))
+                   - SUM(CAST(day AS DECIMAL(18,4)))
+                     * SUM(CAST(day AS DECIMAL(18,4))) AS s_den
+        FROM daily CROSS JOIN horizon
+        GROUP BY user_id
+    )
+    SELECT user_id, active_days, n_events,
+           floor(total_value * 10000 + 0.5) / 10000 AS total_value,
+           recency_days, tenure_days,
+           CASE WHEN s_den > 0
+                THEN floor(CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE)
+                           * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS value_slope
+    FROM f
+    """,
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature matrix — the churn/LTV-model input
+    builder: activity (active days, event count), monetary total,
+    recency against the corpus horizon, tenure, and a per-user daily
+    value TREND (least-squares slope over the user's daily series —
+    rising or fading engagement), everything a feature store would
+    snapshot per entity. q_rfm_segment buckets three of these into
+    quintiles; this emits the raw model-ready vector, slope included.
+
+    Scale design: events collapse to per-(user, day) decimal sums
+    first; every feature including the regression slope then comes
+    from ONE groupBy over user_id via sufficient statistics — the
+    q_stats_linreg closed form with day cast to decimal so Σdv, Σd,
+    Σd² are EXACT (order-free) and the single slope division is the
+    only double op, performed identically on both engines. The corpus
+    horizon is a 1-row broadcast. Two shuffles total (user-day, then
+    user), both on the user key — AQE reuses the layout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    horizon = daily.agg(F.max("day").alias("h"))
+    d = F.col("day").cast("decimal(18,4)")
+    f = (
+        daily.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            (F.max("h") - F.max("day")).cast("bigint").alias("recency_days"),
+            (F.max("day") - F.min("day")).cast("bigint").alias("tenure_days"),
+            (
+                F.count(F.lit(1)) * F.sum(d * F.col("v"))
+                - F.sum(d) * F.sum("v")
+            ).alias("s_num"),
+            (
+                F.count(F.lit(1)) * F.sum(d * d) - F.sum(d) * F.sum(d)
+            ).alias("s_den"),
+        )
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return f.select(
+        "user_id",
+        "active_days",
+        "n_events",
+        q4(F.col("total_value")).alias("total_value"),
+        "recency_days",
+        "tenure_days",
+        F.when(
+            F.col("s_den") > 0,
+            q4(F.col("s_num").cast("double") / F.col("s_den").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("value_slope"),
+    )

@@ -1524,3 +1524,101 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("ship_day"),
         "state_asof",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: role-playing dimension (nation joined under two roles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_composite_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))
+                      / 86400 / 365.25) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_composite_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year, with the ROLE-PLAYING dimension pattern —
+    the same nation table joined twice under different roles
+    (supplier's nation vs customer's nation), which star-schema
+    optimizers must treat as two independent dims. The OR between the
+    two direction tuples is the interesting predicate: it can only be
+    applied once BOTH roles are bound.
+
+    Scale design: both nation roles and supplier/customer broadcast
+    (each nation filter reduces its dim before the fact joins — the
+    supplier side keeps only NATION_1+NATION_2 suppliers, so the fact
+    stream shrinks at the FIRST join). lineitem⋈orders stays the only
+    big×big join, on the natural orderkey shuffle. The direction OR is
+    evaluated on two broadcast-bound small columns, never expanding
+    rows. Ship-year from integer epoch arithmetic (365.25-day years)
+    keeps the bucketing engine-neutral; revenue is the decimal-factor
+    product of exact.py."""
+    from json_parquet_convertor_spark.exact import dec
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    year = F.floor(
+        F.unix_timestamp("l_shipdate") / 86400 / 365.25
+    ).cast("bigint")
+    return joined.groupBy(
+        "supp_nation", "cust_nation", year.alias("ship_year")
+    ).agg(
+        F.sum(
+            dec("l_extendedprice", 12, 2)
+            * (1 - dec("l_discount", 4, 2))
+        )
+        .cast("double")
+        .alias("revenue")
+    )

@@ -122,6 +122,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_win_cumulative_share",  # 1-row total broadcast onto rollup
             "q_qc_expectations",  # crossJoin of two 1-row audit-count aggs
             "q_text_collocations",  # 1-row bigram-total broadcast onto PMI
+            "q_user_features",  # 1-row corpus-horizon broadcast onto users
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

@@ -740,3 +740,96 @@ def test_stream_quality_gate_partitions_input(spark, duck, sf_dir):
         assert sinks["good"][0] == n_good
         assert sinks.get("quarantine", (0, 0))[0] == n - n_good
         assert sum(s[1] for s in sinks.values()) == qty
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 8: Q7 composite, user feature matrix
+# ---------------------------------------------------------------------------
+
+
+def test_composite_q7_directions_and_totals(spark, duck, sf_dir):
+    """Both trade directions present; revenue reconciles with a direct
+    recomputation per (direction, year)."""
+    rows = duck.execute(
+        """
+        SELECT n1.n_name, n2.n_name,
+               CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))
+                          / 86400 / 365.25) AS BIGINT),
+               l_extendedprice, l_discount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        """
+    ).fetchall()
+    from decimal import Decimal
+
+    expected = defaultdict(Decimal)
+    for sn, cn, yr, p, disc in rows:
+        expected[(sn, cn, yr)] += Decimal(str(round(p, 2))) * (
+            1 - Decimal(str(round(disc, 2)))
+        )
+    got = {
+        (r.supp_nation, r.cust_nation, r.ship_year): r.revenue
+        for r in registry.QUERIES["q_composite_q7"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    if got:  # tiny fixtures may have no qualifying nation-pair shipments
+        assert {d for d, _c, _y in got} <= {"NATION_1", "NATION_2"}
+    for k, rev in expected.items():
+        assert math.isclose(got[k], float(rev), abs_tol=1e-6), k
+
+
+def test_user_features_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+    from fractions import Fraction
+
+    rows = duck.execute(
+        "SELECT user_id,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT), value"
+        " FROM events"
+    ).fetchall()
+    daily_v = defaultdict(Decimal)
+    daily_n = defaultdict(int)
+    for uid, d, v in rows:
+        daily_v[(uid, d)] += Decimal(str(round(v, 4)))
+        daily_n[(uid, d)] += 1
+    horizon = max(d for _u, d in daily_v)
+    users = defaultdict(list)
+    for (uid, d), v in daily_v.items():
+        users[uid].append((d, v))
+    got = {
+        r.user_id: r
+        for r in registry.QUERIES["q_user_features"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(users)
+    for uid, pts in users.items():
+        days = [d for d, _v in pts]
+        n = len(pts)
+        sx = sum(Fraction(d) for d in days)
+        sy = sum(Fraction(v) for _d, v in pts)
+        sxy = sum(Fraction(d) * Fraction(v) for d, v in pts)
+        sxx = sum(Fraction(d) * Fraction(d) for d in days)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = got[uid]
+        assert r.active_days == n
+        assert r.n_events == sum(daily_n[(uid, d)] for d in days)
+        assert r.recency_days == horizon - max(days)
+        assert r.tenure_days == max(days) - min(days)
+        total = float(sum(v for _d, v in pts))
+        assert math.isclose(
+            r.total_value, math.floor(total * 10000 + 0.5) / 10000,
+            abs_tol=2e-4,
+        )
+        if den > 0:
+            assert math.isclose(
+                r.value_slope,
+                math.floor(float(num) / float(den) * 10000 + 0.5) / 10000,
+                abs_tol=2e-4,
+            ), uid
+        else:
+            assert r.value_slope == 0.0
