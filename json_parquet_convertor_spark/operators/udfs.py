@@ -394,3 +394,60 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nf.initials").alias("initials"),
         F.col("nf.n_letters").alias("n_letters"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python UDTF (@udtf class) with LATERAL join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           CAST(g.i AS INT) AS pos,
+           l[g.i] || '_' || l[g.i + 1] AS bigram
+    FROM toks CROSS JOIN
+         unnest(generate_series(1, least(len(toks.l) - 1, 3))) AS g(i)
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's first-class Python UDTF surface: a ``@udtf`` class whose
+    ``eval`` yields multiple rows per input, registered and invoked via
+    SQL ``LATERAL`` — the user-extensible table function the classic API
+    faked with explode-over-arrays (q_udtf_explode shows the
+    mapInPandas shape; THIS is the declarative registration the SQL
+    user sees). Emits each document's first three adjacent-token
+    bigrams with positions.
+
+    Scale posture: a UDTF runs per-partition inside the Python worker —
+    parallelism follows the scan, no shuffle is introduced by the
+    lateral itself. The per-row Python loop is the cost (row-at-a-time
+    pickling, the documented slow path vs q_udtf_explode's
+    Arrow-batched mapInPandas twin) — acceptable at B10's API-surface
+    scope, not in a hot path; Spark 4's arrow-optimized UDTF mode
+    (useArrow=True) is the production setting but changes no
+    semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class FirstBigrams:
+        def eval(self, text: str, k: int):  # noqa: D102
+            toks = text.split(" ")
+            for i in range(min(len(toks) - 1, k)):
+                yield i + 1, f"{toks[i]}_{toks[i + 1]}"
+
+    spark.udtf.register("first_bigrams", FirstBigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "jpc_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM jpc_udtf_docs d,
+             LATERAL first_bigrams(d.text, 3) AS b
+        """
+    )

@@ -833,3 +833,17 @@ def test_user_features_matches_python(spark, duck, sf_dir):
             ), uid
         else:
             assert r.value_slope == 0.0
+
+
+def test_udtf_python_matches_python(spark, duck, sf_dir):
+    texts = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    expected = set()
+    for did, t in texts:
+        toks = t.split(" ")
+        for i in range(min(len(toks) - 1, 3)):
+            expected.add((did, i + 1, f"{toks[i]}_{toks[i + 1]}"))
+    got = {
+        (r.doc_id, r.pos, r.bigram)
+        for r in registry.QUERIES["q_udtf_python"](spark, sf_dir).collect()
+    }
+    assert got == expected
