@@ -1929,8 +1929,12 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic MDM / record-linkage composite: (1) BLOCK on a cheap key
     (the name's last word) so candidate pairs are generated only inside
     blocks, (2) MATCH candidates with edit distance <= 4 on the full
-    name, (3) CLUSTER matches into entities via connected components
-    (min-label propagation, the q_dedup_cluster machinery) — note the
+    name, (3) CLUSTER matches into entities via connected components —
+    and because blocking GUARANTEES no edge crosses a block, global CC
+    equals per-block CC, so the clustering is ONE cogrouped
+    applyInPandas pass (exact union-find inside each Arrow block
+    group) instead of the iterative min-label rounds q_dedup_cluster
+    needs for unconfined edge sets — note the
     fixture exercises true transitivity: 'cold X'~'old X'~'red X'~
     'new X' chain into one entity even though cold-vs-new alone is
     distance 4, past the pairwise threshold — and (4) emit
@@ -1939,16 +1943,19 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the dedupe-then-survivorship pass a product catalog fed by
     the reference's blind converter would need.
 
-    Scale design: the only quadratic step is confined inside blocks
-    (|block|^2 pairs where |block| = name-variants per noun — bounded
-    by vocabulary, not catalog size; a skewed block would get a second
-    blocking key, documented standard practice). Levenshtein runs
-    JVM-side on the pre-filtered pairs only. Label propagation
-    iterates min-over-neighbors with localCheckpoint per round
-    (lineage stays flat; rounds = component diameter, tiny for
-    name-variant clusters). The golden-record rollup is one groupBy on
-    entity_id. DuckDB twins the clustering with a recursive CTE —
-    same fixpoint, declarative form."""
+    Scale design: matching runs over the DISTINCT-NAME space (rows
+    with equal names are edit-distance-0 linked by definition, so each
+    name is one node carrying its min row key) — the quadratic step is
+    |distinct names per block|^2, bounded by VOCABULARY, independent
+    of row count. Levenshtein runs JVM-side on those name pairs only.
+    Clustering is one shuffle on blk + per-block union-find (linear in
+    block edges, alpha(n) amortized) — no driver-side iteration;
+    per-block state is bounded by the name vocabulary. The resolved
+    name→entity map is dictionary-sized and BROADCASTS back onto the
+    row stream, so the catalog itself is touched exactly twice (name
+    rollup, final golden-record groupBy). DuckDB twins the clustering
+    with a recursive CTE over row-level pairs — same fixpoint,
+    declarative form."""
     p = load_table(spark, sf_dir, "part")
     rec = p.select(
         F.col("p_partkey").alias("k"),
@@ -1956,48 +1963,54 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
         F.element_at(F.split("p_name", " "), -1).alias("blk"),
     )
-    a, b = rec.alias("a"), rec.alias("b")
+    # resolve the DISTINCT-NAME space, not the row space: rows sharing a
+    # name are linked by definition (edit distance 0), so each name
+    # collapses to one node carrying its minimum row key — pair
+    # generation is then |distinct names per block|^2, independent of
+    # row count (the duplication factor that made row-level pairing
+    # quadratic in data size)
+    nm = rec.groupBy("blk", "name").agg(F.min("k").alias("nk"))
+    a, b = nm.alias("a"), nm.alias("b")
     pairs = (
         a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.k") < F.col("b.k"))
+        .filter(F.col("a.nk") < F.col("b.nk"))
         .filter(
             F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2
         )
-        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.col("a.nk").alias("ka"),
+            F.col("b.nk").alias("kb"),
+        )
     )
-    edges = pairs.select(
-        F.col("ka").alias("src"), F.col("kb").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("kb").alias("src"), F.col("ka").alias("dst"))
-    ).persist()
-    labels = rec.select("k", F.col("k").alias("lab")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    while True:
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("k").alias("dst"), F.col("lab").alias("dlab")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dlab").alias("nmin"))
+    import pandas as pd
+
+    # blocking guarantees edges never cross blocks, so global CC ==
+    # per-block CC: one cogrouped pass, exact union-find per block
+    def block_cc(key, nodes, prs):
+        parent = {int(k): int(k) for k in nodes["nk"]}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ka, kb in zip(prs["ka"], prs["kb"]):
+            ra, rb = find(int(ka)), find(int(kb))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ks = list(parent)
+        return pd.DataFrame(
+            {"nk": pd.Series(ks, dtype="int64"),
+             "lab": pd.Series([find(k) for k in ks], dtype="int64")}
         )
-        labels = (
-            labels.join(nbr, labels["k"] == nbr["src"], "left")
-            .select(
-                "k",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("lab")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    joined = rec.join(labels, "k")
+
+    labels = nm.select("blk", "nk").groupBy("blk").cogroup(
+        pairs.groupBy("blk")
+    ).applyInPandas(block_cc, "nk long, lab long")
+    name_entity = nm.join(labels, "nk").select("blk", "name", "lab")
+    joined = rec.join(F.broadcast(name_entity), ["blk", "name"])
     return joined.groupBy(F.col("lab").alias("entity_id")).agg(
         F.count(F.lit(1)).alias("n_records"),
         F.min_by("name", "k").alias("canonical_name"),
