@@ -1828,3 +1828,81 @@ def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         q4(center - half).alias("ci_lo"),
         q4(center + half).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment sizing (two-sample power analysis from observed moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_power",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(value AS DECIMAL(18,4))) AS q
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_observed,
+           floor(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000 AS mean,
+           floor(CAST(n * q - s * s AS DOUBLE) / n / (n - 1)
+                 * 10000 + 0.5) / 10000 AS variance,
+           floor(CAST(s AS DOUBLE) / n * 0.05 * 10000 + 0.5) / 10000
+               AS mde_abs,
+           CAST(ceil(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416)
+                     * (CAST(n * q - s * s AS DOUBLE) / n / (n - 1))
+                     / ((CAST(s AS DOUBLE) / n * 0.05)
+                        * (CAST(s AS DOUBLE) / n * 0.05))) AS BIGINT)
+               AS n_required_per_arm
+    FROM m
+    """,
+)
+def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment sizing from observed moments: for each event
+    type, the per-arm sample size needed to detect a 5% relative lift
+    in mean value at alpha = 0.05 (two-sided, z = 1.96) with 80% power
+    (z = 0.8416), n = 2 (z_a + z_b)^2 sigma^2 / delta^2 — the
+    "how long must this experiment run" calculator every
+    experimentation platform runs before launch, fed by the same
+    sufficient statistics as q_stats_ttest.
+
+    Cross-engine determinism: n, Σx, Σx² accumulate in DECIMAL (exact,
+    order-free); sample variance uses the (nQ - S²)/(n(n-1)) closed
+    form on the exact integers-in-decimal, so the only doubles are the
+    final few identically-ordered ops on both engines, and the output
+    n_required is an integer ceil — no 4-dp boundary at all on the
+    headline number.
+
+    Scale design: one conditional-aggregate scan → |groups| rows →
+    closed-form arithmetic. Nothing after the scan sees data."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n
+    var = (
+        (n * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / n
+        / (n - 1)
+    )
+    delta = mean * 0.05
+    z2 = (1.96 + 0.8416) * (1.96 + 0.8416)
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_observed"),
+        q4(mean).alias("mean"),
+        q4(var).alias("variance"),
+        q4(delta).alias("mde_abs"),
+        F.ceil(2.0 * z2 * var / (delta * delta))
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )

@@ -1106,3 +1106,81 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.floor(F.col("raw") * 10000 + 0.5) / 10000).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-paragraph document filter (Gopher/MassiveText repetition rule)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_dedup_paragraph",
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS s
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, s FROM sent WHERE length(s) >= 10
+    ),
+    freq AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS df FROM norm GROUP BY 1
+    ),
+    scored AS (
+        SELECT n.doc_id,
+               COUNT(*) AS n_sents,
+               COUNT(*) FILTER (WHERE f.df >= 3) AS n_dup
+        FROM norm n JOIN freq f ON n.s = f.s
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_dup AS BIGINT) AS n_dup_sents,
+           floor(CAST(n_dup AS DOUBLE) / n_sents * 10000 + 0.5) / 10000
+               AS dup_share,
+           CAST(n_dup AS DOUBLE) / n_sents > 0.3 AS drop_doc
+    FROM scored
+    """,
+)
+def q_text_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-paragraph document filter — the Gopher/MassiveText
+    repetition rule operating ACROSS documents: split each doc into
+    sentence units, count in how many distinct docs each unit appears
+    (document frequency), and flag documents whose share of
+    widely-duplicated sentences (df >= 3) exceeds 30% — boilerplate
+    mirrors, templated spam, and licence-header farms that per-doc
+    repetition scores (q_text_repetition, within one doc) cannot see
+    and whole-doc dedup (q_dedup_exact/_near) misses because the docs
+    differ outside the boilerplate.
+
+    Scale design: the classic two-pass inverted-unit shape — explode
+    to (doc, unit), aggregate unit document-frequencies (word-count
+    shuffle with map-side partials; the df table is unit-vocabulary
+    sized and joins back by unit key as a SHUFFLE join, never a
+    broadcast — the q_rank_bm25 lesson), then one groupBy back on
+    doc_id. Short units (<10 chars: '', 'Yes') are dropped before
+    counting so the df table isn't dominated by stopword fragments —
+    the same stop-shingle guard q_dedup_ngram_jaccard documents."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = docs.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("s")
+    ).filter(F.length("s") >= 10)
+    freq = norm.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        norm.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.count_if(F.col("df") >= 3).alias("n_dup"),
+        )
+    )
+    share = F.col("n_dup").cast("double") / F.col("n_sents")
+    return scored.select(
+        "doc_id",
+        F.col("n_sents").cast("bigint").alias("n_sents"),
+        F.col("n_dup").cast("bigint").alias("n_dup_sents"),
+        (F.floor(share * 10000 + 0.5) / 10000).alias("dup_share"),
+        (share > 0.3).alias("drop_doc"),
+    )

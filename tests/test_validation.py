@@ -847,3 +847,71 @@ def test_udtf_python_matches_python(spark, duck, sf_dir):
         for r in registry.QUERIES["q_udtf_python"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 9: paragraph dedup, power analysis
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraph_matches_python(spark, duck, sf_dir):
+    texts = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    units = defaultdict(set)  # sentence -> set of docs
+    per_doc = {}
+    for did, t in texts:
+        sents = [s for s in t.split(". ") if len(s) >= 10]
+        per_doc[did] = sents
+        for s in sents:
+            units[s].add(did)
+    got = {
+        r.doc_id: (r.n_sents, r.n_dup_sents, r.dup_share, r.drop_doc)
+        for r in registry.QUERIES["q_text_dedup_paragraph"](
+            spark, sf_dir
+        ).collect()
+    }
+    expected_docs = {d for d, sents in per_doc.items() if sents}
+    assert set(got) == expected_docs
+    for did, sents in per_doc.items():
+        if not sents:
+            continue
+        n_dup = sum(1 for s in sents if len(units[s]) >= 3)
+        share = n_dup / len(sents)
+        assert got[did][0] == len(sents), did
+        assert got[did][1] == n_dup, did
+        assert math.isclose(
+            got[did][2], math.floor(share * 10000 + 0.5) / 10000,
+            abs_tol=1e-9,
+        )
+        assert got[did][3] == (share > 0.3), did
+
+
+def test_stats_power_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT event_type, value FROM events"
+    ).fetchall()
+    groups = defaultdict(list)
+    for et, v in rows:
+        groups[et].append(Decimal(str(round(v, 4))))
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["q_stats_power"](spark, sf_dir).collect()
+    }
+    for et, vals in groups.items():
+        n = len(vals)
+        s, q = sum(vals), sum(v * v for v in vals)
+        mean = float(s) / n
+        var = float(n * q - s * s) / n / (n - 1)
+        delta = mean * 0.05
+        n_req = math.ceil(2.0 * (1.96 + 0.8416) ** 2 * var / delta**2)
+        r = got[et]
+        assert r.n_observed == n
+        assert math.isclose(r.mean, math.floor(mean * 10000 + 0.5) / 10000,
+                            abs_tol=2e-4)
+        assert math.isclose(r.variance,
+                            math.floor(var * 10000 + 0.5) / 10000,
+                            abs_tol=2e-4)
+        assert abs(r.n_required_per_arm - n_req) <= 1  # ceil ulp guard
+        # sanity: detecting a smaller effect needs more samples
+        assert r.n_required_per_arm > 0
