@@ -200,7 +200,7 @@ def main() -> int:
     print(json.dumps({
         "n": len(out),
         "suspects": {n: out[n].get("ratio_r3", out[n].get("ratio"))
-                     for n in suspects},
+                     for n in confirmed},
     }))
     return 0
 
