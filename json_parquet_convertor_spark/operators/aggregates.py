@@ -552,8 +552,11 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact NDV via Expand is the oracle-able choice here; at 100 TB
     swap COUNT(DISTINCT) for approx_count_distinct and the same plan drops
     the Expand for a single pass of HLL partials (q_agg_approx_distinct /
-    q_agg_hll_union are that path)."""
-    o = load_table(spark, sf_dir, "orders")
+    q_agg_hll_union are that path). The scan is spread() first: the
+    Expand multiplies every input row x|columns| INSIDE the scan stage,
+    so a single-file fixture would run the whole x5 blow-up in one
+    task."""
+    o = spread(load_table(spark, sf_dir, "orders"))
     aggs = [F.count("*").alias("n_rows")]
     for c, num in _PROFILE_COLS:
         aggs += [
