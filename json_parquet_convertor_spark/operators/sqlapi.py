@@ -284,3 +284,48 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL (named parameters, Spark 3.4+)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-parameter API): the query
+    text carries ``:min_price`` / ``:status`` placeholders and values
+    arrive via ``spark.sql(..., args={...})`` — the injection-safe way
+    to template SQL that string interpolation is not (a user-supplied
+    ``'F' OR 1=1`` stays a VALUE here, never syntax). The oracle is the
+    same query with the two literals inlined, proving the binding
+    changes nothing semantically.
+
+    Scale posture: parameters bind in the parser, so Catalyst sees
+    ordinary literals — the price predicate still reaches the parquet
+    scan as a pushed filter, constant folding still applies; zero plan
+    difference vs the literal form."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY 1
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )

@@ -310,3 +310,12 @@ def test_composite_q5_single_big_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in joins, plan
     assert "CartesianProduct" not in joins, plan
     assert sum(1 for j in joins if j != "BroadcastHashJoin") <= 1, joins
+
+
+def test_sql_params_bind_as_pushable_literals(spark, sf_dir):
+    """Named parameters must bind in the parser as ordinary literals —
+    the price predicate still reaches the parquet scan as a pushed
+    filter (the injection-safe form costs no plan quality)."""
+    plan = _plan(spark, sf_dir, "q_sql_params")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,50000.0)" in plan, plan
