@@ -2178,3 +2178,142 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("value_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# open-order backlog aging (snapshot report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_backlog",
+    oracle="""
+    WITH snap AS (
+        SELECT MAX(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))
+                              / 86400) AS BIGINT)) AS today
+        FROM orders
+    ),
+    open_o AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+               s.today - CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))
+                                    / 86400) AS BIGINT) AS age
+        FROM orders CROSS JOIN snap s
+        WHERE o_orderstatus IN ('O', 'P')
+    )
+    SELECT o_orderpriority,
+           CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS open_value
+    FROM open_o
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still open or partially filled
+    ('O'/'P'), bucketed by age at the snapshot date (the newest order
+    date in the data — a deterministic stand-in for NOW(), which the
+    oracle contract forbids), counted and valued per priority — the
+    operations dashboard that tells fulfillment where the oldest money
+    is stuck.
+
+    Scale design: the snapshot date is a 1-row broadcast (the
+    scale-safe global-constant attach); the status filter pushes to the
+    scan; bucketing is integer arithmetic inside the scan stage; the
+    rollup keys are 5 priorities x 4 buckets with map-side partials.
+    Value sums ride the exact decimal path."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    snap = o.agg(F.max(day).alias("today"))
+    open_o = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+            day.alias("d"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .withColumn("age", F.col("today") - F.col("d"))
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return open_o.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("open_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# step-indexed transition counts (Sankey / funnel-flow input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seq_transitions",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    steps AS (
+        SELECT user_id, event_type, rn,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS next_type
+        FROM ranked WHERE rn <= 6
+    )
+    SELECT CAST(rn AS INT) AS step,
+           event_type AS from_type,
+           next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM steps
+    WHERE next_type IS NOT NULL AND rn <= 5
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-indexed transition counts over each user's first six
+    events: how many users moved from type A to type B at step 1, at
+    step 2, ... — the Sankey-diagram / funnel-flow input, which is
+    strictly richer than q_seq_markov's global transition matrix
+    (step-conditioned: 'click→purchase' at step 1 and at step 4 are
+    different behaviors) and than q_seq_paths' whole trajectories
+    (transitions aggregate across path prefixes).
+
+    Scale design: the rn <= 6 cut happens inside the one user-keyed
+    window sort, so per-user state is 6 rows before the lead() (which
+    shares the same sort — one exchange total); the transition rollup
+    keys are step x |types|^2, a constant grid with map-side
+    partials."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 6)
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    steps = ranked.withColumn(
+        "next_type", F.lead("event_type").over(w2)
+    )
+    return (
+        steps.filter(F.col("next_type").isNotNull() & (F.col("rn") <= 5))
+        .groupBy(
+            F.col("rn").cast("int").alias("step"),
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -666,3 +666,96 @@ def q_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_len",
         (F.floor(F.col("rrf") * 1000000 + 0.5) / 1000000).alias("rrf"),
     ).orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (top-k TF-IDF terms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_keywords",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS doc_len,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, doc_len, COUNT(*) AS tf
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM terms),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               (CAST(t.tf AS DOUBLE) / t.doc_len)
+                   * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+        FROM tf t JOIN df d USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           floor(score * 10000 + 0.5) / 10000 AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each document's top-3 terms by
+    TF-IDF — the tagging/snippet/routing primitive built on
+    q_text_tfidf's corpus-level score table (that query emits the
+    table; this one consumes it per document), equivalent to the
+    'most distinctive words' column every document browser shows.
+
+    Scale design: same two-aggregation shape as q_text_tfidf (tf per
+    (doc, term); df per term — the df join stays a SHUFFLE join
+    because vocabulary-sized tables never broadcast; n_docs is the
+    1-row constant attach). The per-doc top-3 is a window rank
+    partitioned by doc_id — per-doc state is that doc's distinct
+    terms, and the rank ordering uses the raw double score (identical
+    in both engines: pure counts through identical op order) with the
+    term string as the deterministic tiebreak."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("doc_len"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"),
+        )
+    )

@@ -123,6 +123,8 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_qc_expectations",  # crossJoin of two 1-row audit-count aggs
             "q_text_collocations",  # 1-row bigram-total broadcast onto PMI
             "q_user_features",  # 1-row corpus-horizon broadcast onto users
+            "q_orders_backlog",  # 1-row snapshot-date broadcast onto orders
+            "q_text_keywords",  # 1-row n_docs broadcast onto tf table
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

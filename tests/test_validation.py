@@ -915,3 +915,94 @@ def test_stats_power_matches_python(spark, duck, sf_dir):
         assert abs(r.n_required_per_arm - n_req) <= 1  # ceil ulp guard
         # sanity: detecting a smaller effect needs more samples
         assert r.n_required_per_arm > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 11: backlog aging, step transitions, keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def test_orders_backlog_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT o_orderpriority, o_orderstatus,"
+        " CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))/86400) AS BIGINT),"
+        " o_totalprice FROM orders"
+    ).fetchall()
+    from decimal import Decimal
+
+    today = max(d for _p, _s, d, _v in rows)
+    cells = defaultdict(lambda: [0, Decimal(0)])
+    for prio, status, d, v in rows:
+        if status not in ("O", "P"):
+            continue
+        age = today - d
+        b = "0-30" if age <= 30 else "31-60" if age <= 60 else \
+            "61-90" if age <= 90 else "90+"
+        cells[(prio, b)][0] += 1
+        cells[(prio, b)][1] += Decimal(str(round(v, 4)))
+    got = {
+        (r.o_orderpriority, r.age_bucket): (r.n_orders, r.open_value)
+        for r in registry.QUERIES["q_orders_backlog"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, v) in cells.items():
+        assert got[k][0] == n, k
+        assert math.isclose(got[k][1], float(v), abs_tol=1e-6), k
+
+
+def test_seq_transitions_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT user_id, event_type,"
+        " epoch_us(CAST(ts AS TIMESTAMP)), event_id FROM events"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for uid, et, us, eid in rows:
+        per_user[uid].append((us, eid, et))
+    counts = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort()
+        first6 = [et for _u, _e, et in evs[:6]]
+        for i in range(min(len(first6) - 1, 5)):
+            counts[(i + 1, first6[i], first6[i + 1])] += 1
+    got = {
+        (r.step, r.from_type, r.to_type): r.n_users
+        for r in registry.QUERIES["q_seq_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == dict(counts)
+
+
+def test_text_keywords_matches_python(spark, duck, sf_dir):
+    texts = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    tf = defaultdict(lambda: defaultdict(int))
+    doc_len = {}
+    docs_with = defaultdict(set)
+    for did, t in texts:
+        toks = t.split(" ")
+        doc_len[did] = len(toks)
+        for tok in toks:
+            tf[did][tok] += 1
+            docs_with[tok].add(did)
+    n_docs = len(doc_len)
+    got = defaultdict(dict)
+    for r in registry.QUERIES["q_text_keywords"](spark, sf_dir).collect():
+        got[r.doc_id][r.rank] = (r.term, r.score)
+    assert set(got) == set(doc_len)
+    for did, terms in tf.items():
+        scored = sorted(
+            (
+                -(c / doc_len[did]) * math.log(n_docs / len(docs_with[t])),
+                t,
+            )
+            for t, c in terms.items()
+        )[:3]
+        for rank, (neg, term) in enumerate(scored, 1):
+            g_term, g_score = got[did][rank]
+            assert g_term == term, (did, rank)
+            assert math.isclose(
+                g_score, math.floor(-neg * 10000 + 0.5) / 10000,
+                abs_tol=2e-4,
+            ), (did, rank)
