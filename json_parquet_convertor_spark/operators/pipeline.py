@@ -2026,3 +2026,96 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("price_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path levels (level-synchronous frontier expansion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE
+    basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS w
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb, pa FROM pairs
+    ),
+    reach(node, lvl) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, r.lvl + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.lvl < 3
+    )
+    SELECT node AS p_partkey, CAST(MIN(lvl) AS INT) AS level
+    FROM reach GROUP BY 1
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-path levels from a seed product over the
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders): every part within 3 hops of part 0 with its hop distance —
+    the "related products" / blast-radius expansion that completes the
+    graph family (q_graph_pagerank ranks, q_dedup_cluster components,
+    q_graph_triangles clusters, q_graph_degree_dist profiles; this one
+    MEASURES DISTANCE).
+
+    Scale design: level-synchronous frontier BFS — each round joins the
+    CURRENT FRONTIER (never the visited set) against the edge list, so
+    round cost tracks frontier-adjacent edges; visited nodes are
+    anti-joined out before the next round and the frontier is
+    localCheckpoint'ed (flat lineage, the q_dedup_cluster discipline).
+    Rounds = hop limit (3), a fixed constant — unlike the
+    converge-until-stable components loop. Edge build is the bounded
+    per-order basket self-join (q_pairs_copurchase's economics) with a
+    min-support filter that keeps the graph sparse. DuckDB twins it
+    with a recursive CTE capped at the same depth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .persist()
+    )
+    visited = (
+        li.sparkSession.createDataFrame([(0, 0)], "node long, level int")
+        .localCheckpoint()
+    )
+    frontier = visited
+    for lvl in range(1, 4):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        F.col("node").alias("p_partkey"), F.col("level").cast("int")
+    )

@@ -916,3 +916,97 @@ def q_win_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         growth("v_d1", "day_d1", 1).alias("growth_dod"),
         growth("v_d7", "day_d7", 7).alias("growth_wow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# additive time-series decomposition (trend + day-of-week seasonal + residual)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, day, v, (day + 4) % 7 AS dow,
+               SUM(v) OVER w7 AS tsum,
+               COUNT(*) OVER w7 AS tn
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_t AS (SELECT * FROM t WHERE tn = 7),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(7 * v - tsum) AS DOUBLE)
+                   / (7.0 * COUNT(*)) AS s
+        FROM full_t GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.day, CAST(f.dow AS INT) AS dow,
+           floor(CAST(f.v AS DOUBLE) * 10000 + 0.5) / 10000 AS value,
+           floor(CAST(f.tsum AS DOUBLE) / 7 * 10000 + 0.5) / 10000
+               AS trend,
+           floor(s.s * 10000 + 0.5) / 10000 AS seasonal,
+           floor((CAST(f.v AS DOUBLE) - CAST(f.tsum AS DOUBLE) / 7 - s.s)
+                 * 10000 + 0.5) / 10000 AS residual
+    FROM full_t f JOIN seas s USING (event_type, dow)
+    """,
+)
+def q_time_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive time-series decomposition (STL-lite) of each type's
+    daily revenue: trend = centered 7-day moving average (full windows
+    only — edges have no honest trend), seasonal = day-of-week mean of
+    the detrended series, residual = value - trend - seasonal — the
+    decomposition that q_season_profile's index and q_anomaly_seasonal's
+    cohort medians both approximate from one side, here produced as
+    three explicit components per day (forecast inputs, what-changed
+    dashboards).
+
+    Cross-engine determinism: the moving sum accumulates DECIMALS over
+    the ordered frame (exact), and the seasonal mean is computed from
+    the scaled form sum(7v - tsum) — still all-decimal, order-free —
+    with exactly one decimal→double cast per component before
+    identically-ordered double arithmetic and the 4-dp quantize.
+
+    Scale design: facts collapse to per-(type, day) decimal sums first;
+    the centered window and the dow rollup both run over series-length
+    rows (the window shares the one (type, day) sort; the seasonal
+    table is 7 rows per type and joins back on (type, dow))."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "event_type",
+        "day",
+        "v",
+        ((F.col("day") + 4) % 7).alias("dow"),
+        F.sum("v").over(w7).alias("tsum"),
+        F.count(F.lit(1)).over(w7).alias("tn"),
+    ).filter(F.col("tn") == 7)
+    seas = t.groupBy("event_type", "dow").agg(
+        (
+            F.sum(7 * F.col("v") - F.col("tsum")).cast("double")
+            / (7.0 * F.count(F.lit(1)))
+        ).alias("s")
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    vd = F.col("v").cast("double")
+    td = F.col("tsum").cast("double") / 7
+    return t.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        q4(vd).alias("value"),
+        q4(td).alias("trend"),
+        q4(F.col("s")).alias("seasonal"),
+        q4(vd - td - F.col("s")).alias("residual"),
+    )

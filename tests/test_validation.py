@@ -1006,3 +1006,79 @@ def test_text_keywords_matches_python(spark, duck, sf_dir):
                 g_score, math.floor(-neg * 10000 + 0.5) / 10000,
                 abs_tol=2e-4,
             ), (did, rank)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 12: BFS levels, time-series decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_graph_bfs_matches_python(spark, duck, sf_dir):
+    pairs = duck.execute(
+        """
+        WITH basket AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        )
+        SELECT a.p, b.p FROM basket a JOIN basket b
+          ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """
+    ).fetchall()
+    adj = defaultdict(set)
+    for x, y in pairs:
+        adj[x].add(y)
+        adj[y].add(x)
+    level = {0: 0}
+    frontier = {0}
+    for lvl in range(1, 4):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj[n]
+        nxt -= set(level)
+        for n in nxt:
+            level[n] = lvl
+        frontier = nxt
+    got = {
+        r.p_partkey: r.level
+        for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()
+    }
+    assert got == level
+
+
+def test_time_decompose_components_reconstruct(spark, duck, sf_dir):
+    """value ≈ trend + seasonal + residual on every emitted row, trend is
+    the true centered 7-day mean, and per-(type,dow) residual means are
+    ~0 by construction of the seasonal component."""
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT event_type,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT), value"
+        " FROM events"
+    ).fetchall()
+    daily = defaultdict(Decimal)
+    for et, d, v in rows:
+        daily[(et, d)] += Decimal(str(round(v, 4)))
+    series = defaultdict(dict)
+    for (et, d), v in daily.items():
+        series[et][d] = v
+    got = {
+        (r.event_type, r.day): r
+        for r in registry.QUERIES["q_time_decompose"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_expected = 0
+    for et, by_day in series.items():
+        days = sorted(by_day)
+        for i, d in enumerate(days):
+            win = days[max(0, i - 3) : i + 4]
+            if len(win) != 7:
+                continue
+            n_expected += 1
+            r = got[(et, d)]
+            trend = float(sum(by_day[x] for x in win)) / 7
+            assert math.isclose(r.trend, math.floor(trend * 1e4 + 0.5) / 1e4,
+                                abs_tol=2e-4), (et, d)
+            assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 5e-4
+    assert n_expected == len(got)
