@@ -2114,7 +2114,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("level", F.lit(lvl))
             .localCheckpoint()
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # nxt is already materialized; visited stays a cheap union
+        # lineage over the checkpointed frontiers (re-checkpointing the
+        # growing union would re-materialize all prior levels each round)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         F.col("node").alias("p_partkey"), F.col("level").cast("int")
