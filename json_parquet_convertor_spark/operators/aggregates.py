@@ -1909,3 +1909,96 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median (exact, cumulative-weight order statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, price_c, SUM(w) AS w
+        FROM b GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price_c, w,
+               SUM(w) OVER (
+                   PARTITION BY l_returnflag ORDER BY price_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           floor(CAST(MIN(price_c) FILTER (WHERE 2 * cw >= tw) AS DOUBLE)
+                 / 100 * 10000 + 0.5) / 10000 AS weighted_median_price
+    FROM c
+    GROUP BY 1
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the price at which half the total QUANTITY
+    (not half the rows) sits on each side, per return flag — the
+    volume-weighted central price behind fair-value and price-index
+    reporting, where the unweighted median (q_agg_mode_median) is wrong
+    whenever cheap items ship in bulk. Defined as the smallest price
+    whose cumulative weight reaches half the total (the lower weighted
+    median — a pure order statistic, no interpolation).
+
+    Cross-engine determinism: prices land on the integer cent grid and
+    weights are integer quantities, so every cumulative sum is exact
+    and the selection (2cw >= tw on integers) cannot sit on a float
+    boundary.
+
+    Scale design: rows first collapse to one row per (group, distinct
+    price) — the cumulative window then runs over price-cardinality
+    rows, not data rows, sharing one (group, price) sort for both the
+    running and total sums. At 100 TB with adversarial price
+    cardinality the same statistic falls out of a fixed-width integer
+    histogram (the q_agg_histogram machinery) with zero plan change
+    upstream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = b.groupBy("l_returnflag", "price_c").agg(F.sum("w").alias("w"))
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(whole).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        (
+            F.floor(
+                F.min(
+                    F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+                ).cast("double")
+                / 100
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("weighted_median_price"),
+    )

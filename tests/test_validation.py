@@ -1082,3 +1082,37 @@ def test_time_decompose_components_reconstruct(spark, duck, sf_dir):
                                 abs_tol=2e-4), (et, d)
             assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 5e-4
     assert n_expected == len(got)
+
+
+def test_weighted_median_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT l_returnflag,"
+        " CAST(round(l_extendedprice * 100, 0) AS BIGINT),"
+        " CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups = defaultdict(list)
+    for flag, pc, w in rows:
+        groups[flag].append((pc, w))
+    got = {
+        r.l_returnflag: (r.total_weight, r.weighted_median_price)
+        for r in registry.QUERIES["q_agg_weighted_median"](
+            spark, sf_dir
+        ).collect()
+    }
+    for flag, pts in groups.items():
+        pts.sort()
+        tw = sum(w for _p, w in pts)
+        cw = 0
+        for p, w in pts:
+            cw += w
+            if 2 * cw >= tw:
+                med = p
+                break
+        assert got[flag][0] == tw
+        assert math.isclose(
+            got[flag][1], math.floor(p / 100 * 10000 + 0.5) / 10000,
+            abs_tol=1e-9,
+        ), flag
+        # the defining property: weight strictly below the median < half
+        below = sum(w for q, w in pts if q < med)
+        assert 2 * below < tw
