@@ -1184,3 +1184,181 @@ def q_text_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(share * 10000 + 0.5) / 10000).alias("dup_share"),
         (share > 0.3).alias("drop_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supervised-label construction: did-convert-within-horizon per event
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_label_future_window",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+        FROM events
+    ),
+    merged AS (
+        SELECT user_id, ts_s, event_id,
+               CASE WHEN event_type = 'purchase' THEN ts_s END AS p_ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        FROM ev WHERE event_type IN ('click', 'purchase')
+    ),
+    scanned AS (
+        SELECT user_id, ts_s, event_id, is_click,
+               MIN(p_ts) OVER (
+                   PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_p_ts
+        FROM merged
+    )
+    SELECT event_id AS click_id, user_id,
+           next_p_ts IS NOT NULL
+               AND next_p_ts - ts_s <= 604800 AS label,
+           CASE WHEN next_p_ts IS NOT NULL
+                 AND next_p_ts - ts_s <= 604800
+                THEN next_p_ts - ts_s END AS secs_to_purchase
+    FROM scanned WHERE is_click = 1
+    """,
+)
+def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label construction: for every click, did the same
+    user purchase within the next 7 days (label) and how long it took
+    (secs_to_purchase, NULL outside the horizon) — the
+    conversion-prediction training-label builder, the other half of
+    the dataset q_user_features provides the features for (and the
+    future-looking mirror of q_join_point_in_time's no-future-leakage
+    feature rule: labels may look forward, features may not).
+
+    Scale design: the naive form is a per-click range join against
+    purchases. This is the reverse-as-of rewrite: clicks and purchases
+    merge into ONE stream per user, sorted DESCENDING by time, and a
+    running MIN over purchase timestamps gives each click its next
+    purchase at O(1) state — one shuffle on user_id, no join, no
+    pairing blowup (same union-window family as q_join_asof and
+    q_join_point_in_time, mirrored in time). A purchase at the same
+    instant as the click counts (the tie sorts the purchase after the
+    click in the descending scan), matching the >= 0 horizon
+    convention."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    merged = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.unix_timestamp("ts").cast("bigint"),
+        ).alias("p_ts"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_s"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = merged.withColumn("next_p_ts", F.min("p_ts").over(w))
+    horizon = F.col("next_p_ts").isNotNull() & (
+        F.col("next_p_ts") - F.col("ts_s") <= 604800
+    )
+    return scanned.filter(F.col("is_click") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        horizon.alias("label"),
+        F.when(horizon, F.col("next_p_ts") - F.col("ts_s")).alias(
+            "secs_to_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick feature encoding (fixed-width sparse vectors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+    WITH feats AS (
+        SELECT o_orderkey,
+               unnest([
+                   'status=' || o_orderstatus,
+                   'prio=' || o_orderpriority,
+                   'cust_band=' || CAST(o_custkey % 100 AS VARCHAR)
+               ]) AS feat
+        FROM orders
+    ),
+    hashed AS (
+        SELECT o_orderkey,
+               CAST(md5_number_lower(feat) % 16 AS BIGINT) AS bucket
+        FROM feats
+    ),
+    cells AS (
+        SELECT o_orderkey, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2
+    )
+    SELECT o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)
+               AS feature_vec
+    FROM cells GROUP BY 1
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature encoding: each order's categorical fields
+    (status, priority, and a customer band standing in for the
+    high-cardinality id feature hashing exists for) hash into a fixed
+    16-bucket index space, emitted as a sorted sparse 'idx:count'
+    vector per row — the feature-vectorization that needs NO fitted
+    vocabulary (new category values at inference time hash to a valid
+    bucket instead of crashing an encoder), the standard trade of
+    Weinberger et al.'s feature hashing: bounded dimensionality for
+    tolerated collisions (visible here as buckets with count > 1).
+
+    Scale design: hashing is the per-row JVM md5 twin (the
+    q_checksum_table digest convention, shared via md5_low64) — a pure
+    projection, no vocabulary table, no join, no shuffle before the
+    per-row re-aggregation which is itself row-local (explode +
+    groupBy on (row, bucket) shuffles only (8B, 8B, count) triples;
+    at 100 TB swap the explode for a JVM higher-order fold over the
+    feature array to stay fully shuffle-free). The vector serializes
+    sorted (the registry's array-determinism rule)."""
+    from json_parquet_convertor_spark.operators.validation import md5_low64
+
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.concat(F.lit("status="), F.col("o_orderstatus")),
+                F.concat(F.lit("prio="), F.col("o_orderpriority")),
+                F.concat(
+                    F.lit("cust_band="),
+                    (F.col("o_custkey") % 100).cast("string"),
+                ),
+            )
+        ).alias("feat"),
+    )
+    hashed = feats.select(
+        "o_orderkey",
+        (md5_low64(F.col("feat")) % 16).cast("bigint").alias("bucket"),
+    )
+    cells = hashed.groupBy("o_orderkey", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cells.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "cnt"))
+                ),
+                lambda s: F.concat_ws(":", s.bucket, s.cnt),
+            ),
+        ).alias("feature_vec"),
+    )

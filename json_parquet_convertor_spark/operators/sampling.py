@@ -468,3 +468,83 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
         F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal train/test split with embargo (leakage-safe time-series eval)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_temporal_split",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e
+    ),
+    cut AS (
+        SELECT d0 + CAST(floor((d1 - d0) * 0.8) AS BIGINT) AS t_cut
+        FROM bounds
+    )
+    SELECT CASE WHEN e.day < c.t_cut - 2 THEN 'train'
+                WHEN e.day >= c.t_cut THEN 'test'
+                ELSE 'embargo' END AS split,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(e.day) AS BIGINT) AS first_day,
+           CAST(MAX(e.day) AS BIGINT) AS last_day,
+           CAST(SUM(e.v) AS DOUBLE) AS total_value
+    FROM e CROSS JOIN cut c
+    GROUP BY 1, 2
+    """,
+)
+def q_sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap: train is
+    everything before 80% of the time range MINUS a 2-day embargo,
+    test is everything after the cut, and the embargo rows between are
+    EXCLUDED from both — the leakage-safe evaluation split for
+    anything with temporal autocorrelation (a hash split like
+    q_sample_split puts tomorrow in train and today in test, which
+    silently inflates every time-series model's eval; the embargo
+    additionally keeps labels whose windows straddle the cut out of
+    train — the purged split of financial ML, cf. López de Prado's
+    combinatorial purged CV).
+
+    Scale design: the cut date derives from a 1-row min/max aggregate
+    (broadcast constant attach); split assignment is a pure projection
+    — no shuffle, no sort, the same row lands in the same split on
+    every engine and at every scale. Summary rollup keys are
+    3 splits x |types|."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    cut = e.agg(
+        (
+            F.min("day")
+            + F.floor((F.max("day") - F.min("day")) * 0.8).cast("bigint")
+        ).alias("t_cut")
+    )
+    split = (
+        F.when(F.col("day") < F.col("t_cut") - 2, "train")
+        .when(F.col("day") >= F.col("t_cut"), "test")
+        .otherwise("embargo")
+    )
+    return (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy(split.alias("split"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("day").cast("bigint").alias("first_day"),
+            F.max("day").cast("bigint").alias("last_day"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )

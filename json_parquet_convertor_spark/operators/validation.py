@@ -377,3 +377,13 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("reid_collision_rate"),
     )
+
+
+def md5_low64(col: F.Column) -> F.Column:
+    """Lower 64 bits of md5 as an unsigned decimal — the Spark twin of
+    DuckDB's ``md5_number_lower`` (little-endian digest bytes 8..15;
+    byte-reverse the hex tail, then base-16 conv). Shared by the
+    checksum and feature-hashing operators."""
+    h = F.md5(col)
+    rev = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(rev, 16, 10).cast("decimal(20,0)")

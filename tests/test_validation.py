@@ -1116,3 +1116,90 @@ def test_weighted_median_matches_python(spark, duck, sf_dir):
         # the defining property: weight strictly below the median < half
         below = sum(w for q, w in pts if q < med)
         assert 2 * below < tw
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 13: ML dataset construction
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_split_partitions_and_embargo(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    days = [d for (d,) in rows]
+    d0, d1 = min(days), max(days)
+    t_cut = d0 + math.floor((d1 - d0) * 0.8)
+    got = registry.QUERIES["q_sample_temporal_split"](
+        spark, sf_dir
+    ).collect()
+    n_total = sum(r.n_events for r in got)
+    assert n_total == len(days)
+    for r in got:
+        if r.split == "train":
+            assert r.last_day < t_cut - 2
+        elif r.split == "test":
+            assert r.first_day >= t_cut
+        else:
+            assert r.first_day >= t_cut - 2 and r.last_day < t_cut
+    # every train day strictly precedes every test day with a real gap
+    train_max = max(r.last_day for r in got if r.split == "train")
+    test_min = min(r.first_day for r in got if r.split == "test")
+    assert test_min - train_max > 2
+
+
+def test_label_future_window_matches_bruteforce(spark, duck, sf_dir):
+    import bisect
+
+    rows = duck.execute(
+        "SELECT event_id, user_id, event_type,"
+        " CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) FROM events"
+        " WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    purchases = defaultdict(list)
+    clicks = []
+    for eid, uid, et, ts in rows:
+        if et == "purchase":
+            purchases[uid].append(ts)
+        else:
+            clicks.append((eid, uid, ts))
+    for v in purchases.values():
+        v.sort()
+    got = {
+        r.click_id: (r.user_id, r.label, r.secs_to_purchase)
+        for r in registry.QUERIES["q_label_future_window"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) == len(clicks)
+    for eid, uid, ts in clicks:
+        ps = purchases.get(uid, [])
+        i = bisect.bisect_left(ps, ts)  # same-instant purchase counts
+        if i < len(ps) and ps[i] - ts <= 604800:
+            expect = (uid, True, ps[i] - ts)
+        else:
+            expect = (uid, False, None)
+        assert got[eid] == expect, eid
+
+
+def test_feature_hash_matches_hashlib(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey"
+        " FROM orders"
+    ).fetchall()
+    got = {
+        r.o_orderkey: (r.n_buckets, r.feature_vec)
+        for r in registry.QUERIES["q_feature_hash"](spark, sf_dir).collect()
+    }
+    assert set(got) == {k for k, *_r in rows}
+    for ok, status, prio, ck in rows:
+        feats = [f"status={status}", f"prio={prio}", f"cust_band={ck % 100}"]
+        cells = defaultdict(int)
+        for f in feats:
+            cells[_md5_low64_le(f) % 16] += 1
+        vec = ",".join(f"{b}:{c}" for b, c in sorted(cells.items()))
+        assert got[ok] == (len(cells), vec), ok
+    # collisions must actually occur somewhere at 16 buckets (sanity
+    # that the test would catch a wrong modulus)
+    assert any(n < 3 for n, _v in got.values())
