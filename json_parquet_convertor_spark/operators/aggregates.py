@@ -2002,3 +2002,67 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-calibration reliability bins (predicted probability vs outcome rate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT (event_id * 2654435761) % 1000000 / 1000000.0 AS score,
+               CAST((event_id * 2654435761) % 1000000 AS BIGINT)
+                   AS score_ppm,
+               CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
+        FROM events
+    )
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(CAST(SUM(score_ppm) AS DOUBLE) / COUNT(*) / 1000000
+                 * 10000 + 0.5) / 10000 AS mean_score,
+           floor(CAST(SUM(label) AS DOUBLE) / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS event_rate
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability table: scores bucketed into 10
+    bins, each reporting mean predicted score vs empirical event rate
+    — the reliability-diagram input behind every 'is this model's 0.8
+    really an 80%?' check (and the ECE numerator). The 'model' here is
+    the deterministic hash uniform (the repo's Knuth-mix convention)
+    standing in for a score column, which makes the whole evaluation
+    oracle-able; a real pipeline points the same query at its
+    prediction table. Labels are the high-value-event indicator
+    q_stats_wilson rates.
+
+    Cross-engine determinism: scores are exact millionths (integer
+    ppm); bin assignment, score sums and label counts are all integer
+    arithmetic, with one division per output column. Scale: one scan,
+    10 groups, map-side partials — the evaluation costs one pass over
+    the prediction table however large."""
+    ev = load_table(spark, sf_dir, "events")
+    ppm = F.pmod(F.col("event_id") * 2654435761, F.lit(1000000))
+    scored = ev.select(
+        (ppm / 1000000.0).alias("score"),
+        ppm.cast("bigint").alias("score_ppm"),
+        F.when(F.col("value") > 100.0, 1).otherwise(0).alias("label"),
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return scored.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        q4(
+            F.sum("score_ppm").cast("double") / F.count(F.lit(1)) / 1000000
+        ).alias("mean_score"),
+        q4(F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+            "event_rate"
+        ),
+    )

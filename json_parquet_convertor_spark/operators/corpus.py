@@ -1319,46 +1319,122 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weinberger et al.'s feature hashing: bounded dimensionality for
     tolerated collisions (visible here as buckets with count > 1).
 
-    Scale design: hashing is the per-row JVM md5 twin (the
-    q_checksum_table digest convention, shared via md5_low64) — a pure
-    projection, no vocabulary table, no join, no shuffle before the
-    per-row re-aggregation which is itself row-local (explode +
-    groupBy on (row, bucket) shuffles only (8B, 8B, count) triples;
-    at 100 TB swap the explode for a JVM higher-order fold over the
-    feature array to stay fully shuffle-free). The vector serializes
-    sorted (the registry's array-determinism rule)."""
+    Scale design: ENTIRELY row-local — hashing is the per-row JVM md5
+    twin (the q_checksum_table digest convention, shared via
+    md5_low64), and the per-row bucket/count assembly is a JVM
+    higher-order fold over the in-row bucket array (array_distinct +
+    filter-count inside codegen): a pure projection with NO explode,
+    NO join and NO shuffle at all; the scan is spread() so the
+    hashing CPU uses every slot on single-file fixtures. The vector
+    serializes sorted (the registry's array-determinism rule)."""
     from json_parquet_convertor_spark.operators.validation import md5_low64
+    from json_parquet_convertor_spark.sources.io import spread
 
-    o = load_table(spark, sf_dir, "orders")
-    feats = o.select(
-        "o_orderkey",
-        F.explode(
-            F.array(
-                F.concat(F.lit("status="), F.col("o_orderstatus")),
-                F.concat(F.lit("prio="), F.col("o_orderpriority")),
-                F.concat(
-                    F.lit("cust_band="),
-                    (F.col("o_custkey") % 100).cast("string"),
-                ),
+    o = spread(load_table(spark, sf_dir, "orders"))
+    bucket = lambda c: (md5_low64(c) % 16).cast("bigint")  # noqa: E731
+    buckets = F.array(
+        bucket(F.concat(F.lit("status="), F.col("o_orderstatus"))),
+        bucket(F.concat(F.lit("prio="), F.col("o_orderpriority"))),
+        bucket(
+            F.concat(
+                F.lit("cust_band="),
+                (F.col("o_custkey") % 100).cast("string"),
             )
-        ).alias("feat"),
+        ),
     )
-    hashed = feats.select(
+    rows = o.select("o_orderkey", buckets.alias("a"))
+    distinct = F.array_sort(F.array_distinct(F.col("a")))
+    return rows.select(
         "o_orderkey",
-        (md5_low64(F.col("feat")) % 16).cast("bigint").alias("bucket"),
-    )
-    cells = hashed.groupBy("o_orderkey", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return cells.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
+        F.size(distinct).cast("bigint").alias("n_buckets"),
         F.concat_ws(
             ",",
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("bucket", "cnt"))
+                distinct,
+                lambda x: F.concat_ws(
+                    ":",
+                    x,
+                    F.size(F.filter(F.col("a"), lambda y: y == x)),
                 ),
-                lambda s: F.concat_ws(":", s.bucket, s.cnt),
             ),
         ).alias("feature_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (smoothed categorical encoder)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+               CAST(l.l_extendedprice AS DECIMAL(18,4)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    cat AS (
+        SELECT p_brand, SUM(y) AS sum_y, COUNT(*) AS n
+        FROM base GROUP BY 1
+    ),
+    g_tot AS (
+        SELECT SUM(y) AS g_sum, COUNT(*) AS g_n FROM base
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.p_brand,
+           floor((CAST(c.sum_y - b.y AS DOUBLE)
+                  + 10.0 * (CAST(g.g_sum AS DOUBLE) / g.g_n))
+                 / (c.n - 1 + 10)
+                 * 10000 + 0.5) / 10000 AS brand_encoding
+    FROM base b
+    JOIN cat c USING (p_brand)
+    CROSS JOIN g_tot g
+    """,
+)
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of part brand against
+    line revenue: each row's encoding is the mean target of its
+    category EXCLUDING ITSELF, shrunk toward the global mean with a
+    pseudo-count prior of 10 — (sum_cat − y_i + m·ȳ)/(n_cat − 1 + m).
+    The other classic categorical encoder next to q_feature_hash:
+    hashing needs no target but wastes signal; target encoding is the
+    strongest single feature for high-cardinality categoricals and the
+    easiest to LEAK, which is exactly what leave-one-out (own row
+    excluded) and the prior (rare categories collapse to the global
+    mean instead of memorizing their one row) are for.
+
+    Scale design: one category table (|brands| rows, decimal-exact
+    sums) joined back onto the fact stream — at real cardinalities a
+    shuffle join on the category key; the global mean is the 1-row
+    constant attach. The LOO subtraction is per-row arithmetic on
+    exact decimals; the single double division happens identically on
+    both engines right before the quantize. Fits q_sample_temporal_
+    split: compute the category table on train, apply to test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    base = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("y"),
+    )
+    cat = base.groupBy("p_brand").agg(
+        F.sum("y").alias("sum_y"), F.count(F.lit(1)).alias("n")
+    )
+    glob = base.agg(
+        F.sum("y").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    enc = (
+        (F.col("sum_y") - F.col("y")).cast("double")
+        + 10.0 * (F.col("g_sum").cast("double") / F.col("g_n"))
+    ) / (F.col("n") - 1 + 10)
+    return (
+        base.join(cat, "p_brand")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            (F.floor(enc * 10000 + 0.5) / 10000).alias("brand_encoding"),
+        )
     )

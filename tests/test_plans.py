@@ -126,6 +126,7 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_orders_backlog",  # 1-row snapshot-date broadcast onto orders
             "q_text_keywords",  # 1-row n_docs broadcast onto tf table
             "q_sample_temporal_split",  # 1-row cut-date broadcast
+            "q_feature_target_encode",  # 1-row global-mean broadcast
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

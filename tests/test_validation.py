@@ -1203,3 +1203,81 @@ def test_feature_hash_matches_hashlib(spark, duck, sf_dir):
     # collisions must actually occur somewhere at 16 buckets (sanity
     # that the test would catch a wrong modulus)
     assert any(n < 3 for n, _v in got.values())
+
+
+def test_target_encode_matches_python(spark, duck, sf_dir):
+    from decimal import Decimal
+
+    rows = duck.execute(
+        "SELECT l.l_orderkey, l.l_linenumber, p.p_brand, l.l_extendedprice"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    ).fetchall()
+    cat_sum = defaultdict(Decimal)
+    cat_n = defaultdict(int)
+    g_sum, g_n = Decimal(0), 0
+    for _ok, _ln, brand, y in rows:
+        yd = Decimal(str(round(y, 4)))
+        cat_sum[brand] += yd
+        cat_n[brand] += 1
+        g_sum += yd
+        g_n += 1
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.p_brand, r.brand_encoding)
+        for r in registry.QUERIES["q_feature_target_encode"](
+            spark, sf_dir
+        ).collect()
+    )
+    g_mean = float(g_sum) / g_n
+    expected = sorted(
+        (
+            ok,
+            ln,
+            b,
+            math.floor(
+                (float(cat_sum[b] - Decimal(str(round(y, 4))))
+                 + 10.0 * g_mean)
+                / (cat_n[b] - 1 + 10)
+                * 10000
+                + 0.5
+            )
+            / 10000,
+        )
+        for ok, ln, b, y in rows
+    )
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:3] == e[:3]
+        assert math.isclose(g[3], e[3], abs_tol=2e-4), g[:3]
+
+
+def test_eval_calibration_matches_python(spark, duck, sf_dir):
+    rows = duck.execute("SELECT event_id, value FROM events").fetchall()
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_ppm, n_label
+    for eid, v in rows:
+        ppm = (eid * 2654435761) % 1000000
+        b = min(ppm * 10 // 1000000, 9)
+        bins[b][0] += 1
+        bins[b][1] += ppm
+        bins[b][2] += 1 if v > 100.0 else 0
+    got = {
+        r.bin: (r.n, r.mean_score, r.event_rate)
+        for r in registry.QUERIES["q_eval_calibration"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (n, sp, nl) in bins.items():
+        assert got[b][0] == n
+        assert math.isclose(
+            got[b][1],
+            math.floor(sp / n / 1000000 * 10000 + 0.5) / 10000,
+            abs_tol=2e-4,
+        )
+        assert math.isclose(
+            got[b][2], math.floor(nl / n * 10000 + 0.5) / 10000,
+            abs_tol=1e-9,
+        )
+    # calibration sanity on a uniform-hash "model": scores are uniform,
+    # so each bin holds roughly a tenth of the data
+    total = sum(v[0] for v in bins.values())
+    assert all(abs(v[0] - total / 10) < total * 0.05 for v in bins.values())
