@@ -2066,3 +2066,108 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA (k-group mean comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_anova",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(round(value * 10000, 0) AS BIGINT) AS yc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(yc) AS s,
+               SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS q
+        FROM b GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss FROM g
+    ),
+    parts AS (
+        SELECT t.k, t.nn,
+               SUM(CAST(g.s AS DOUBLE) * g.s / g.n)
+                   - MAX(CAST(t.ss AS DOUBLE) * t.ss / t.nn) AS ssb,
+               SUM(CAST(g.q AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                   AS ssw
+        FROM g CROSS JOIN tot t
+        GROUP BY 1, 2
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           floor(ssb / 1e8 / (k - 1) * 10000 + 0.5) / 10000
+               AS ms_between,
+           floor(ssw / 1e8 / (nn - k) * 10000 + 0.5) / 10000
+               AS ms_within,
+           floor((ssb / (k - 1)) / (ssw / (nn - k)) * 10000 + 0.5) / 10000
+               AS f_stat
+    FROM parts
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: does mean event value differ
+    between ANY of the k groups — the k-group generalization of
+    q_stats_ttest's pairwise comparison (running t-tests over all
+    pairs inflates false positives; ANOVA is the single gatekeeping
+    F = MS_between / MS_within test run first).
+
+    Determinism: values land on the integer 1e-4 grid, so every
+    per-group sufficient statistic (n, Σy, Σy²) is EXACT (bigint /
+    decimal); the between/within sums of squares come from the
+    S²/n closed forms with one double conversion per group term and
+    k=|event types| terms summed — the only float accumulation, over a
+    handful of values, quantized at 4 dp (mean squares reported on the
+    original value scale via the 1e8 unscale).
+
+    Scale design: one scan → k-row group table → 1-row totals
+    broadcast → arithmetic on k rows. The F-statistic of 100 TB costs
+    one pass and a kilobyte of state."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("yc"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yc").alias("s"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc")).alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+    )
+    sd = F.col("s").cast("double")
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn")
+        .agg(
+            (
+                F.sum(sd * F.col("s") / F.col("n"))
+                - F.max(
+                    F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+                )
+            ).alias("ssb"),
+            F.sum(
+                F.col("q").cast("double") - sd * F.col("s") / F.col("n")
+            ).alias("ssw"),
+        )
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    k, nn = F.col("k"), F.col("nn")
+    return parts.select(
+        k.cast("bigint").alias("k_groups"),
+        nn.cast("bigint").alias("n_total"),
+        q4(F.col("ssb") / 1e8 / (k - 1)).alias("ms_between"),
+        q4(F.col("ssw") / 1e8 / (nn - k)).alias("ms_within"),
+        q4((F.col("ssb") / (k - 1)) / (F.col("ssw") / (nn - k))).alias(
+            "f_stat"
+        ),
+    )

@@ -1438,3 +1438,115 @@ def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(enc * 10000 + 0.5) / 10000).alias("brand_encoding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini-impurity feature screening (split-quality ranking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_gini",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o_totalprice > 50000.0 THEN 1 ELSE 0 END AS label,
+               o_orderstatus, o_orderpriority,
+               CAST(o_custkey % 10 AS VARCHAR) AS cust_decade
+        FROM orders
+    ),
+    long AS (
+        SELECT 'o_orderstatus' AS feature, o_orderstatus AS v, label
+        FROM base
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority, label FROM base
+        UNION ALL
+        SELECT 'cust_decade', cust_decade, label FROM base
+    ),
+    cells AS (
+        SELECT feature, v,
+               COUNT(*) AS n,
+               SUM(label) AS pos
+        FROM long GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS nn FROM base)
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           floor(SUM(
+               CAST(n AS DOUBLE)
+               * (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                      - (CAST(n - pos AS DOUBLE) / n)
+                        * (CAST(n - pos AS DOUBLE) / n))
+           ) / MAX(t.nn) * 10000 + 0.5) / 10000 AS weighted_gini
+    FROM cells CROSS JOIN tot t
+    GROUP BY 1
+    """,
+)
+def q_feature_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature screening: for each candidate categorical
+    feature, the weighted Gini impurity of the high-value-order label
+    after splitting on that feature (Σ_v (n_v/N)(1 − p_v² − q_v²)) —
+    lower = the feature separates the label better, i.e. the
+    decision-tree split criterion run as a feature-ranking pass before
+    any model training (CART's impurity decrease, log-free unlike
+    information gain, hence exactly reproducible cross-engine from
+    pure counts).
+
+    Scale design: the three features unpivot into one (feature, value,
+    label) stream — a single scan feeding one groupBy whose key space
+    is Σ|feature domains| (bounded by vocabulary); the impurity
+    formula is then arithmetic over those few rows with the 1-row
+    total broadcast. Counts are exact integers; each cell contributes
+    one identically-ordered double term."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_totalprice") > 50000.0, 1)
+        .otherwise(0)
+        .alias("label"),
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_custkey") % 10).cast("string").alias("cust_decade"),
+    )
+    long = (
+        base.select(
+            F.lit("o_orderstatus").alias("feature"),
+            F.col("o_orderstatus").alias("v"),
+            "label",
+        )
+        .unionByName(
+            base.select(
+                F.lit("o_orderpriority").alias("feature"),
+                F.col("o_orderpriority").alias("v"),
+                "label",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("cust_decade").alias("feature"),
+                F.col("cust_decade").alias("v"),
+                "label",
+            )
+        )
+    )
+    cells = long.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("nn"))
+    nd = F.col("n").cast("double")
+    p = F.col("pos").cast("double") / F.col("n")
+    q = (F.col("n") - F.col("pos")).cast("double") / F.col("n")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            (
+                F.floor(
+                    F.sum(nd * (F.lit(1.0) - p * p - q * q))
+                    / F.max("nn")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("weighted_gini"),
+        )
+    )

@@ -127,6 +127,8 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_text_keywords",  # 1-row n_docs broadcast onto tf table
             "q_sample_temporal_split",  # 1-row cut-date broadcast
             "q_feature_target_encode",  # 1-row global-mean broadcast
+            "q_stats_anova",  # 1-row (k, N, ΣY) totals broadcast
+            "q_feature_gini",  # 1-row total-count broadcast onto cells
         }, f"unexpected BNLJ in {name}:\n{plan}"
 
 

@@ -1281,3 +1281,71 @@ def test_eval_calibration_matches_python(spark, duck, sf_dir):
     # so each bin holds roughly a tenth of the data
     total = sum(v[0] for v in bins.values())
     assert all(abs(v[0] - total / 10) < total * 0.05 for v in bins.values())
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 15: ANOVA, Gini feature screening
+# ---------------------------------------------------------------------------
+
+
+def test_stats_anova_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT)"
+        " FROM events"
+    ).fetchall()
+    groups = defaultdict(list)
+    for et, yc in rows:
+        groups[et].append(yc)
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    ss = sum(sum(v) for v in groups.values())
+    ssb = sum(sum(v) ** 2 / len(v) for v in groups.values()) - ss**2 / nn
+    ssw = sum(
+        sum(y * y for y in v) - sum(v) ** 2 / len(v)
+        for v in groups.values()
+    )
+    r = registry.QUERIES["q_stats_anova"](spark, sf_dir).collect()[0]
+    assert (r.k_groups, r.n_total) == (k, nn)
+    q4 = lambda x: math.floor(x * 10000 + 0.5) / 10000  # noqa: E731
+    assert math.isclose(r.ms_between, q4(ssb / 1e8 / (k - 1)), abs_tol=2e-4)
+    assert math.isclose(r.ms_within, q4(ssw / 1e8 / (nn - k)), abs_tol=2e-4)
+    assert math.isclose(
+        r.f_stat, q4((ssb / (k - 1)) / (ssw / (nn - k))), abs_tol=2e-4
+    )
+
+
+def test_feature_gini_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT o_orderstatus, o_orderpriority,"
+        " CAST(o_custkey % 10 AS VARCHAR),"
+        " CASE WHEN o_totalprice > 50000.0 THEN 1 ELSE 0 END FROM orders"
+    ).fetchall()
+    feats = {
+        "o_orderstatus": lambda r: r[0],
+        "o_orderpriority": lambda r: r[1],
+        "cust_decade": lambda r: r[2],
+    }
+    got = {
+        r.feature: (r.n_values, r.weighted_gini)
+        for r in registry.QUERIES["q_feature_gini"](spark, sf_dir).collect()
+    }
+    nn = len(rows)
+    for fname, fget in feats.items():
+        cells = defaultdict(lambda: [0, 0])
+        for r in rows:
+            cells[fget(r)][0] += 1
+            cells[fget(r)][1] += r[3]
+        gini = sum(
+            n * (1.0 - (pos / n) ** 2 - ((n - pos) / n) ** 2)
+            for n, pos in cells.values()
+        ) / nn
+        assert got[fname][0] == len(cells), fname
+        assert math.isclose(
+            got[fname][1], math.floor(gini * 10000 + 0.5) / 10000,
+            abs_tol=2e-4,
+        ), fname
+    # a label defined FROM o_totalprice must make every feature's split
+    # impurity at most the no-split Gini of the label itself
+    pos = sum(r[3] for r in rows)
+    g0 = 1.0 - (pos / nn) ** 2 - ((nn - pos) / nn) ** 2
+    assert all(v[1] <= g0 + 1e-9 for v in got.values())
