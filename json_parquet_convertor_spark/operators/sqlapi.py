@@ -329,3 +329,43 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+
+
+# ---------------------------------------------------------------------------
+# IDENTIFIER() templated object names (Spark 3.4+)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_identifier",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated object names via the IDENTIFIER() clause (Spark 3.4+):
+    the table AND the grouping column arrive as string parameters but
+    bind as catalog identifiers, not values — the injection-safe way to
+    write one query over many tables/columns (per-tenant tables, metric
+    configs) where string-formatted SQL invites both injection and
+    quoting bugs. Companion to q_sql_params, which templates VALUES;
+    this templates NAMES — the two halves of safe dynamic SQL.
+
+    Scale posture: identifiers resolve during analysis, so the plan is
+    byte-identical to the hard-coded query — same pushdown, same
+    pruning, zero overhead."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY 1
+        """,
+        args={"tbl": "lineitem", "grp_col": "l_linestatus"},
+    )

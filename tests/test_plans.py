@@ -325,3 +325,14 @@ def test_sql_params_bind_as_pushable_literals(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sql_params")
     assert "PushedFilters: [" in plan
     assert "GreaterThan(o_totalprice,50000.0)" in plan, plan
+
+
+def test_sql_identifier_resolves_to_plain_scan(spark, sf_dir):
+    """IDENTIFIER() binds during analysis — the plan must look exactly
+    like the hard-coded query: a pruned lineitem scan feeding a
+    partial-agg groupBy, no extra nodes."""
+    plan = _plan(spark, sf_dir, "q_sql_identifier")
+    assert "FileScan" in plan or "Scan parquet" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_linestatus" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
