@@ -50,7 +50,7 @@ _VERIFY_PRIORITY = [
     "q_graph_bfs", "q_time_decompose", "q_agg_weighted_median",
     "q_sample_temporal_split", "q_label_future_window", "q_feature_hash",
     "q_feature_target_encode", "q_eval_calibration", "q_stats_anova",
-    "q_feature_gini", "q_sql_identifier",
+    "q_feature_gini", "q_sql_identifier", "q_rank_mrr",
     "q_s3_event_parse", "q_composite_q5", "q_stream_s3_events", "q_composite_q18",
     "q_stats_psi", "q_rank_rrf", "q_text_bigram_lm", "q_join_nearest",
     "q_win_rolling_median", "q_time_interpolate", "q_seq_markov",

@@ -2171,3 +2171,102 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking evaluation: MRR and hit-rate@k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rank_mrr",
+    oracle="""
+    WITH scored AS (
+        SELECT user_id, event_id,
+               event_type = 'purchase' AS relevant,
+               (event_id * 2654435761) % 1000000 AS score
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, relevant,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY score DESC, event_id
+               ) AS rk
+        FROM scored
+    ),
+    firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN relevant THEN rk END) AS first_rk
+        FROM ranked GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(first_rk) AS BIGINT) AS n_with_relevant,
+           CAST(COUNT(*) FILTER (WHERE first_rk <= 1) AS BIGINT) AS hits_at_1,
+           CAST(COUNT(*) FILTER (WHERE first_rk <= 3) AS BIGINT) AS hits_at_3,
+           CAST(COUNT(*) FILTER (WHERE first_rk <= 10) AS BIGINT)
+               AS hits_at_10,
+           floor(CAST(SUM(coalesce(
+                     CAST(round(1000000.0 / first_rk, 0) AS BIGINT), 0))
+                 AS DOUBLE) / COUNT(*) / 1000000 * 10000 + 0.5) / 10000
+               AS mrr
+    FROM firsts
+    """,
+)
+def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-evaluation metrics: treating each user as a query, their
+    events ranked by the deterministic hash 'model' score, and
+    purchases as the relevant items — Mean Reciprocal Rank plus
+    hit-rate@1/3/10, the retrieval/recommender eval row that completes
+    the evaluation family (q_stats_auc classifies, q_eval_calibration
+    calibrates, this RANKS). A real pipeline points the same query at
+    its (query, item, score, relevant) table.
+
+    Determinism: ranks are exact integers from one per-user window;
+    each reciprocal quantizes to integer millionths BEFORE summing
+    (round(1e6/rank)), so the MRR numerator is an exact integer sum —
+    no float accumulation across users — at a bounded 5e-7 per-query
+    quantization error, far under the 4-dp reporting grain. Hit rates
+    are pure counts. Users with no purchase contribute 0 (the
+    standard full-population MRR convention).
+
+    Scale design: one user-keyed window sort (score ranking), a
+    per-user min, and a 1-row global rollup — two shuffles, the second
+    over |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("relevant"),
+        F.pmod(F.col("event_id") * 2654435761, F.lit(1000000)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), "event_id"
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    firsts = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("relevant"), F.col("rk"))).alias("first_rk")
+    )
+    rec_ppm = F.round(1000000.0 / F.col("first_rk"), 0).cast("bigint")
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count("first_rk").cast("bigint").alias("n_with_relevant"),
+        F.count_if(F.col("first_rk") <= 1).cast("bigint").alias("hits_at_1"),
+        F.count_if(F.col("first_rk") <= 3).cast("bigint").alias("hits_at_3"),
+        F.count_if(F.col("first_rk") <= 10)
+        .cast("bigint")
+        .alias("hits_at_10"),
+        (
+            F.floor(
+                F.sum(F.coalesce(rec_ppm, F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("mrr"),
+    )

@@ -1349,3 +1349,35 @@ def test_feature_gini_matches_python(spark, duck, sf_dir):
     pos = sum(r[3] for r in rows)
     g0 = 1.0 - (pos / nn) ** 2 - ((nn - pos) / nn) ** 2
     assert all(v[1] <= g0 + 1e-9 for v in got.values())
+
+
+def test_rank_mrr_matches_python(spark, duck, sf_dir):
+    rows = duck.execute(
+        "SELECT user_id, event_id, event_type = 'purchase',"
+        " (event_id * 2654435761) % 1000000 FROM events"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for uid, eid, rel, score in rows:
+        per_user[uid].append((-score, eid, rel))
+    firsts = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        firsts[uid] = next(
+            (i + 1 for i, (_s, _e, rel) in enumerate(evs) if rel), None
+        )
+    r = registry.QUERIES["q_rank_mrr"](spark, sf_dir).collect()[0]
+    assert r.n_queries == len(per_user)
+    assert r.n_with_relevant == sum(1 for v in firsts.values() if v)
+    for k, col in ((1, r.hits_at_1), (3, r.hits_at_3), (10, r.hits_at_10)):
+        assert col == sum(1 for v in firsts.values() if v and v <= k), k
+    mrr_ppm = sum(round(1e6 / v) for v in firsts.values() if v)
+    expect = math.floor(mrr_ppm / len(per_user) / 1e6 * 1e4 + 0.5) / 1e4
+    assert math.isclose(r.mrr, expect, abs_tol=1e-9)
+    # metric sanity: hit@1 <= hit@3 <= hit@10 <= with_relevant, and the
+    # MRR lies between hit@1/n and with_relevant/n
+    assert r.hits_at_1 <= r.hits_at_3 <= r.hits_at_10 <= r.n_with_relevant
+    assert (
+        r.hits_at_1 / r.n_queries - 1e-4
+        <= r.mrr
+        <= r.n_with_relevant / r.n_queries + 1e-4
+    )
