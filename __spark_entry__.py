@@ -36,96 +36,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # implementation changed after their last driver check, then the rest
 # (cheapest first so a partial sweep still maximizes coverage).
 _VERIFY_PRIORITY = [
-    # -- new this round (never driver-checked) --
-    "q_qc_expectations", "q_checksum_table", "q_seq_gaps",
-    "q_interval_merge", "q_win_peaks", "q_survival_km",
-    "q_sample_bootstrap", "q_join_point_in_time", "q_id_dense",
-    "q_stats_rolling_corr", "q_text_collocations", "q_anomaly_seasonal",
-    "q_agg_hist2d", "q_er_pipeline", "q_cohort_ltv", "q_win_growth",
-    "q_seq_paths", "q_skyline_pareto", "q_agg_percentile_daily",
-    "q_privacy_kanon", "q_stats_wilson", "q_stream_quality_gate",
-    "q_composite_q7", "q_user_features", "q_udtf_python",
-    "q_text_dedup_paragraph", "q_stats_power", "q_sql_params",
-    "q_orders_backlog", "q_seq_transitions", "q_text_keywords",
-    "q_graph_bfs", "q_time_decompose", "q_agg_weighted_median",
-    "q_sample_temporal_split", "q_label_future_window", "q_feature_hash",
-    "q_feature_target_encode", "q_eval_calibration", "q_stats_anova",
-    "q_feature_gini", "q_sql_identifier", "q_rank_mrr",
-    "q_s3_event_parse", "q_composite_q5", "q_stream_s3_events", "q_composite_q18",
-    "q_stats_psi", "q_rank_rrf", "q_text_bigram_lm", "q_join_nearest",
-    "q_win_rolling_median", "q_time_interpolate", "q_seq_markov",
-    "q_win_cusum", "q_season_profile", "q_stats_mannwhitney",
-    "q_join_array_membership", "q_win_drawdown", "q_time_downsample_m4",
-    "q_stats_benford", "q_graph_degree_dist", "q_rfm_segment",
-    "q_win_rank_delta", "q_text_zipf", "q_convert_parquet_json",
-    "q_stats_autocorr", "q_text_hapax",
-    # -- never driver-checked as of r3 (driver checks first 50) --
-    "q_graph_triangles", "q_win_concurrency", "q_bpe_merge",
-    "q_scan_csv_corrupt", "q_join_null_safe", "q_join_asof_tolerance",
-    "q_union_evolution", "q_agg_bitmap_distinct", "q_scan_xml",
-    "q_fn_variant", "q_fn_collation", "q_win_pattern", "q_udf_cogroup",
-    "q_observe_qc", "q_cache_reuse", "q_fn_string", "q_fn_math",
-    "q_fn_date", "q_fn_array", "q_fn_map", "q_fn_json", "q_fn_conditional",
-    "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_explode",
-    "q_udf_grouped_map", "q_sample_split", "q_sample_stratified",
-    "q_corpus_shard", "q_sink_compacted", "q_merge_upsert", "q_scan_orc",
-    "q_scan_text", "q_sql_cte", "q_sql_subquery_scalar", "q_sql_exists",
-    "q_sql_view", "q_win_distribution", "q_scd2_history", "q_fn_bitwise",
-    "q_fn_url", "q_text_decontaminate", "q_corpus_mix", "q_unpivot",
-    "q_scan_jsonlines", "q_agg_freq_items", "q_agg_time_rollup",
-    "q_agg_hll_union", "q_dedup_cluster", "q_text_scrub_pii",
-    "q_pack_sequences", "q_text_dedup_prefix", "q_sample_reservoir",
-    "q_agg_mode_median", "q_embed_quantize", "q_composite_q3",
-    "q_fn_struct", "q_udtf_lateral", "q_sink_sorted", "q_text_chunk",
-    "q_text_lm_score", "q_sample_weighted", "q_agg_histogram",
-    "q_sql_not_in", "q_scan_binary", "q_knn_graph", "q_fn_try",
-    "q_win_time_range", "q_graph_pagerank", "q_join_range_binned",
-    "q_profile_stats", "q_fn_encode", "q_win_sessionize", "q_win_funnel",
-    "q_json_normalize", "q_rank_bm25", "q_scan_pruned", "q_setop_all",
-    "q_scan_merge_schema", "q_agg_modern", "q_agg_corr",
-    "q_text_containment", "q_anomaly_zscore", "q_join_fuzzy",
-    "q_time_spine", "q_sql_recursive", "q_join_spatial_grid", "q_gen_range",
-    "q_agg_weighted", "q_stream_foreachbatch", "q_stream_tumbling",
-    "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_join", "q_stream_stateful",
-    "q_stream_convert", "q_stream_watermark",
+    # -- never driver-checked through r4 (118 queries; cheapest first so a
+    # partial sweep still maximizes coverage) --
+    "q_scan_binary", "q_scan_jsonlines", "q_unpivot", "q_fn_encode",
+    "q_sample_stratified", "q_scan_text", "q_fn_conditional",
+    "q_corpus_shard", "q_sample_weighted", "q_fn_url", "q_fn_struct",
+    "q_win_distribution", "q_fn_math", "q_text_dedup_prefix",
+    "q_union_evolution", "q_fn_map", "q_gen_range", "q_corpus_mix",
+    "q_fn_string", "q_sample_reservoir", "q_embed_quantize", "q_fn_bitwise",
+    "q_fn_try", "q_join_fuzzy", "q_fn_date", "q_text_scrub_pii",
+    "q_agg_time_rollup", "q_scan_merge_schema", "q_pack_sequences",
+    "q_stats_benford", "q_sample_split", "q_scan_pruned",
+    "q_win_rolling_median", "q_agg_hll_union", "q_fn_collation",
+    "q_fn_array", "q_sql_not_in", "q_win_pattern", "q_udtf_explode",
+    "q_scan_orc", "q_agg_modern", "q_agg_freq_items", "q_udf_python",
+    "q_json_normalize", "q_win_drawdown", "q_text_chunk",
+    "q_convert_parquet_json", "q_setop_all", "q_time_spine",
+    "q_agg_histogram", "q_win_cusum", "q_stats_mannwhitney", "q_sql_exists",
+    "q_cache_reuse", "q_agg_mode_median", "q_scan_xml", "q_scan_csv_corrupt",
+    "q_udtf_lateral", "q_season_profile", "q_win_sessionize", "q_fn_json",
+    "q_stream_sliding", "q_fn_variant", "q_stream_dedup", "q_merge_upsert",
+    "q_text_hapax", "q_stats_autocorr", "q_win_time_range",
+    "q_stream_tumbling", "q_scd2_history", "q_stream_session",
+    "q_win_funnel", "q_seq_markov", "q_text_zipf", "q_agg_weighted",
+    "q_anomaly_zscore", "q_sql_subquery_scalar", "q_sql_cte", "q_bpe_merge",
+    "q_agg_bitmap_distinct", "q_time_downsample_m4", "q_observe_qc",
+    "q_udaf_pandas", "q_time_interpolate", "q_join_nearest",
+    "q_join_asof_tolerance", "q_composite_q3", "q_join_spatial_grid",
+    "q_stream_foreachbatch", "q_rfm_segment", "q_text_lm_score",
+    "q_graph_degree_dist", "q_stream_convert", "q_udf_grouped_map",
+    "q_win_rank_delta", "q_win_concurrency", "q_join_array_membership",
+    "q_udf_pandas", "q_sink_sorted", "q_knn_graph", "q_stream_enrich",
+    "q_agg_corr", "q_udf_cogroup", "q_rank_bm25", "q_graph_triangles",
+    "q_join_range_binned", "q_text_decontaminate", "q_stream_watermark",
+    "q_sql_view", "q_sink_compacted", "q_dedup_cluster", "q_sql_recursive",
+    "q_text_containment", "q_stream_stateful", "q_graph_pagerank",
+    "q_profile_stats", "q_stream_join", "q_join_null_safe",
     # -- last driver-checked round 1 --
-    "q_sort_multi", "q_filter_simple", "q_filter_compound",
-    "q_filter_null_semantics", "q_filter_like", "q_case_when",
-    "q_zero_fill", "q_limit", "q_topk", "q_union_all", "q_union_distinct",
-    "q_intersect", "q_except", "q_win_rank", "q_win_analytic",
-    "q_win_frame_rows", "q_win_frame_range", "q_win_topk_per_group",
+    "q_zero_fill", "q_filter_like", "q_limit", "q_filter_simple",
+    "q_union_all", "q_win_rank", "q_filter_compound", "q_union_distinct",
+    "q_topk", "q_filter_null_semantics", "q_win_analytic", "q_except",
+    "q_intersect", "q_win_frame_rows", "q_win_frame_range",
+    "q_win_topk_per_group", "q_case_when", "q_sort_multi",
     # -- last driver-checked round 2 --
-    "q_scan_parquet", "q_scan_json", "q_scan_csv", "q_convert_json_parquet",
-    "q_sink_partitioned", "q_project_rename_cast", "q_join_inner",
-    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
-    "q_join_anti", "q_join_broadcast", "q_join_theta", "q_join_range",
-    "q_join_asof", "q_join_cross", "q_join_multiway", "q_agg_global",
-    "q_agg_groupby", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets", "q_agg_having",
-    "q_agg_stats", "q_agg_collect", "q_pivot", "q_agg_sketch_quantiles",
-    "q_dedup_exact", "q_text_stats", "q_text_langid", "q_text_quality",
-    "q_text_tokens", "q_text_vocab", "q_sim_cosine_topk", "q_sim_ann_ivf",
-    "q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
-    "q_join_bucketed", "q_join_salted", "q_text_tfidf",
-    "q_text_fingerprint", "q_sim_pairs_lsh", "q_dedup_near",
-    "q_dedup_embed", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_scan_json", "q_project_rename_cast", "q_text_stats", "q_text_langid",
+    "q_dedup_exact", "q_join_anti", "q_pivot", "q_multimodal_decode",
+    "q_join_cross", "q_text_quality", "q_multimodal_frames", "q_text_tokens",
+    "q_join_broadcast", "q_multimodal_join", "q_convert_json_parquet",
+    "q_agg_groupingsets", "q_agg_having", "q_join_semi", "q_scan_csv",
+    "q_join_right", "q_agg_collect", "q_agg_cube", "q_sim_cosine_topk",
+    "q_text_vocab", "q_join_inner", "q_scan_parquet", "q_join_left",
+    "q_join_theta", "q_join_asof", "q_join_full", "q_agg_stats",
+    "q_text_fingerprint", "q_agg_approx_distinct", "q_dedup_near",
+    "q_agg_global", "q_dedup_simhash", "q_agg_distinct", "q_join_range",
+    "q_agg_rollup", "q_sim_ann_ivf", "q_sink_partitioned", "q_sim_pairs_lsh",
+    "q_join_multiway", "q_text_tfidf", "q_agg_groupby",
+    "q_agg_sketch_quantiles", "q_join_bucketed", "q_join_salted",
+    "q_dedup_embed", "q_dedup_ngram_jaccard",
     # -- last driver-checked round 3 --
-    "q_join_bloom_prefilter", "q_anomaly_mad", "q_stats_linreg",
-    "q_fn_regex", "q_embed_pca", "q_scan_metadata", "q_fn_timezone",
-    "q_win_moving_distinct", "q_agg_sketch_cms", "q_udf_arrow",
-    "q_corpus_pipeline", "q_text_dedup_url", "q_embed_whiten",
-    "q_stats_chi2", "q_join_hinted", "q_source_custom",
-    "q_dedup_incremental", "q_agg_ohlc", "q_win_streaks",
-    "q_multimodal_dedup", "q_sql_lateral", "q_scan_json_corrupt",
-    "q_stats_ks", "q_bpe_apply", "q_win_ewma", "q_join_interval_overlap",
-    "q_win_conversion_lag", "q_stats_auc", "q_text_entropy", "q_stats_gini",
-    "q_stats_pareto", "q_pairs_lift", "q_embed_kmeans", "q_win_attribution",
-    "q_sample_balanced", "q_fn_format", "q_win_cumulative_share",
-    "q_corpus_qc", "q_cohort_retention", "q_cdc_diff", "q_agg_incremental",
-    "q_stats_ttest", "q_agg_diversity", "q_sort_zorder",
-    "q_text_repetition", "q_embed_pool", "q_sample_temperature",
-    "q_skew_diagnose", "q_pairs_copurchase", "q_join_prune_dynamic",
+    "q_fn_format", "q_fn_timezone", "q_fn_regex", "q_text_dedup_url",
+    "q_scan_json_corrupt", "q_multimodal_dedup", "q_agg_diversity",
+    "q_stats_gini", "q_sample_balanced", "q_corpus_pipeline",
+    "q_stats_ttest", "q_win_conversion_lag", "q_win_streaks", "q_corpus_qc",
+    "q_win_cumulative_share", "q_udf_arrow", "q_win_ewma", "q_agg_ohlc",
+    "q_cohort_retention", "q_stats_pareto", "q_agg_incremental",
+    "q_stats_auc", "q_sql_lateral", "q_sample_temperature", "q_stats_ks",
+    "q_win_attribution", "q_embed_pool", "q_sort_zorder", "q_cdc_diff",
+    "q_skew_diagnose", "q_win_moving_distinct", "q_join_interval_overlap",
+    "q_agg_sketch_cms", "q_stats_chi2", "q_text_repetition", "q_embed_pca",
+    "q_join_prune_dynamic", "q_anomaly_mad", "q_scan_metadata",
+    "q_source_custom", "q_bpe_apply", "q_join_hinted",
+    "q_join_bloom_prefilter", "q_text_entropy", "q_embed_whiten",
+    "q_stats_linreg", "q_pairs_copurchase", "q_dedup_incremental",
+    "q_pairs_lift", "q_embed_kmeans",
+    # -- last driver-checked round 4 --
+    "q_sql_identifier", "q_sql_params", "q_eval_calibration",
+    "q_stats_wilson", "q_stats_psi", "q_skyline_pareto", "q_privacy_kanon",
+    "q_rank_rrf", "q_stats_power", "q_label_future_window", "q_udtf_python",
+    "q_win_growth", "q_win_peaks", "q_seq_gaps", "q_stats_rolling_corr",
+    "q_seq_transitions", "q_rank_mrr", "q_orders_backlog",
+    "q_time_decompose", "q_sample_temporal_split", "q_seq_paths",
+    "q_stats_anova", "q_feature_gini", "q_cohort_ltv", "q_interval_merge",
+    "q_agg_percentile_daily", "q_user_features", "q_anomaly_seasonal",
+    "q_id_dense", "q_composite_q18", "q_qc_expectations", "q_s3_event_parse",
+    "q_feature_hash", "q_agg_hist2d", "q_composite_q5", "q_er_pipeline",
+    "q_composite_q7", "q_text_collocations", "q_stream_s3_events",
+    "q_text_keywords", "q_text_dedup_paragraph", "q_graph_bfs",
+    "q_survival_km", "q_checksum_table", "q_text_bigram_lm",
+    "q_feature_target_encode", "q_agg_weighted_median",
+    "q_stream_quality_gate", "q_join_point_in_time", "q_sample_bootstrap",
 ]
 
 

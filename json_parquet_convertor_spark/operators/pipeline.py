@@ -714,10 +714,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     involvement, peak memory = one batch.
 
     The decode itself STUBS the media library (none installed in this
-    environment): if PIL were importable it would decode real images; the
-    fallback computes deterministic fake features (byte count, md5
-    checksum, dims derived from length) so the pipeline stays testable
-    end-to-end."""
+    environment): it UNCONDITIONALLY computes deterministic fake features
+    (byte count, md5 checksum, dims derived from length) so the result
+    never depends on which libraries happen to be importable on the
+    executors. A real deployment swaps ``decode_stub`` for a PIL/ffmpeg
+    body with the same signature — the batch shape, schema, and
+    partitioning (the parts this query exists to prove) are unchanged."""
     import hashlib
 
     import pandas as pd
@@ -727,19 +729,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode_stub(batches):
-        try:  # pragma: no cover - media libs absent in this environment
-            from PIL import Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-
+        # deterministic fake decode, unconditional: installing a real media
+        # lib must never change this query's result (a real deployment
+        # replaces this whole function body, e.g. Image.open(io.BytesIO(p)))
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            if have_pil:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode path: Image.open(io.BytesIO(p))"
-                )
             n_bytes = [len(p) for p in payloads]
             yield pd.DataFrame(
                 {
@@ -1928,7 +1922,7 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over the part dimension — the
     classic MDM / record-linkage composite: (1) BLOCK on a cheap key
     (the name's last word) so candidate pairs are generated only inside
-    blocks, (2) MATCH candidates with edit distance <= 4 on the full
+    blocks, (2) MATCH candidates with edit distance <= 2 on the full
     name, (3) CLUSTER matches into entities via connected components —
     and because blocking GUARANTEES no edge crosses a block, global CC
     equals per-block CC, so the clustering is ONE cogrouped
@@ -1936,8 +1930,9 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     group) instead of the iterative min-label rounds q_dedup_cluster
     needs for unconfined edge sets — note the
     fixture exercises true transitivity: 'cold X'~'old X'~'red X'~
-    'new X' chain into one entity even though cold-vs-new alone is
-    distance 4, past the pairwise threshold — and (4) emit
+    'new X' chain into one entity via adjacent links of distance
+    1/2/2, even though cold-vs-new alone is distance 4, far past the
+    pairwise threshold — and (4) emit
     one GOLDEN RECORD per entity: canonical id/name from the lowest
     surviving key and the retail-price spread across its duplicates —
     exactly the dedupe-then-survivorship pass a product catalog fed by

@@ -1658,7 +1658,9 @@ def q_id_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .distinct()
         .withColumn(
-            "b", (F.col("c_custkey") / bucket_size).cast("bigint")
+            # integer division: float `/` rounds above 2^53 and can
+            # misplace a boundary key across buckets
+            "b", F.expr(f"c_custkey div {bucket_size}")
         )
     )
     in_bucket = Window.partitionBy("b").orderBy("c_custkey")

@@ -274,9 +274,11 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     global gap set because buckets partition the key line in order."""
     o = load_table(spark, sf_dir, "orders")
     bucket_size = 4096
+    # integer division: float `/` rounds above 2^53 and can misplace a
+    # boundary key, breaking the buckets-tile-the-key-line invariant
     keys = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k"),
-        (F.col("o_orderkey") / bucket_size).cast("bigint").alias("b"),
+        F.expr(f"o_orderkey div {bucket_size}").alias("b"),
     )
     in_bucket = Window.partitionBy("b").orderBy("k")
     within = (

@@ -665,11 +665,14 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the check covers the round trip, not the in-memory split.
 
     Scale posture: the rule evaluates inside the stream's scan stage
-    (no shuffle before the split); each sink write is an append of
-    that batch's partitions. Exactly-once: AvailableNow runs each
-    batch once per checkpoint; under redelivery the batchId-keyed
-    idempotent-overwrite pattern of q_stream_foreachbatch
-    (batch.py:517) applies unchanged to both sinks."""
+    (no shuffle before the split); each sink write lands that batch's
+    partitions under ``<sink>/batch_id=N``. Exactly-once: both sinks
+    use the batchId-keyed idempotent overwrite of q_stream_foreachbatch
+    (batch.py:517) — a replayed batch (restart after crash, before the
+    checkpoint commit) rewrites the SAME ``batch_id=N`` directory
+    instead of appending dupes. The read-back supplies the expected
+    schema explicitly so an all-good run (empty quarantine sink, no
+    part files to infer from) still audits cleanly."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -680,9 +683,15 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     good_rule = F.col("l_quantity") <= 45
 
-    def route(batch, _batch_id):
-        batch.filter(good_rule).write.mode("append").parquet(good_dir)
-        batch.filter(~good_rule).write.mode("append").parquet(quar_dir)
+    def route(batch, batch_id):
+        # batchId-keyed overwrite = idempotent under redelivery: a retried
+        # batch rewrites its own batch_id=N dir in BOTH sinks, never appends
+        batch.filter(good_rule).write.mode("overwrite").parquet(
+            f"{good_dir}/batch_id={batch_id}"
+        )
+        batch.filter(~good_rule).write.mode("overwrite").parquet(
+            f"{quar_dir}/batch_id={batch_id}"
+        )
 
     stream = spark.readStream.schema(li.schema).parquet(src)
     with _stream_shuffle(spark):
@@ -694,8 +703,13 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    good = spark.read.parquet(good_dir).withColumn("sink", F.lit("good"))
-    quar = spark.read.parquet(quar_dir).withColumn(
+    # explicit schema: an all-good (or all-bad) run leaves one sink with
+    # batch_id=N dirs but zero part files, where inference would fail;
+    # the user schema excludes batch_id so the partition column is dropped
+    good = spark.read.schema(li.schema).parquet(good_dir).withColumn(
+        "sink", F.lit("good")
+    )
+    quar = spark.read.schema(li.schema).parquet(quar_dir).withColumn(
         "sink", F.lit("quarantine")
     )
     return (
