@@ -4,6 +4,9 @@ Usage (matches the driver contract):
     python bench.py                       # sf dir from $SPARK_GRAFT_SF_DIR
                                           # (default /root/testdata/sf0.1),
                                           # local[$SPARK_GRAFT_CPUS]
+    python bench.py --out BENCH_FULL_r05.json   # pick the durable-copy name
+                                          # (every run also appends to
+                                          # BENCH_HISTORY.jsonl, append-only)
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_query_sec", "value": <sum of per-query medians>,
@@ -67,6 +70,13 @@ def _make_split_dir(spark, sf_dir: str) -> str:
 
 
 def main() -> int:
+    # --out PATH redirects the durable JSON copy (default BENCH_FULL.json);
+    # every run ALSO appends to BENCH_HISTORY.jsonl so concurrent
+    # builder/driver/judge runs never destroy each other's records
+    out_path = None
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -149,15 +159,21 @@ def main() -> int:
     line = json.dumps(out)
     # the durable copy: BENCH_r0N stdout captures have been truncated mid-
     # JSON three rounds running, so always persist the full parseable JSON
-    # beside the repo for the judge (overwritten per run)
+    # beside the repo for the judge. `--out` picks the filename (latest-run
+    # copy, overwritten); the history file is append-only so every run —
+    # builder, driver, judge — survives in order with a wall-clock stamp.
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"), "w"
-        ) as fh:
+        with open(out_path or os.path.join(here, "BENCH_FULL.json"), "w") as fh:
             fh.write(line + "\n")
+        stamped = dict(out)
+        stamped["wall_clock_utc"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(stamped) + "\n")
     except OSError as exc:
-        print(f"BENCH WARN could not write BENCH_FULL.json: {exc}",
+        print(f"BENCH WARN could not persist bench artifact: {exc}",
               file=sys.stderr)
     print(line)
     return 0

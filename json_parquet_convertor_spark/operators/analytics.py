@@ -1465,7 +1465,7 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rfm AS (
         SELECT o_custkey,
-               CAST(max(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400)
+               CAST(max(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400))
                     AS BIGINT) AS last_day,
                CAST(COUNT(*) AS BIGINT) AS frequency,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -1503,7 +1503,12 @@ def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE(5) with a custkey tiebreak gives identical quintile boundaries
     in both engines (NTILE's front-loaded bucket-size rule is standard);
     monetary stays decimal through the segment rollup so revenue is
-    exact.
+    exact. Cross-engine gotcha (caught by the generated-fixture sweep,
+    round 5): the day number must be floor(epoch/86400) spelled with an
+    explicit floor() — DuckDB's `//` on a DOUBLE is plain division and
+    the BIGINT cast then ROUNDS, so intra-day order times drifted the
+    recency day +1 for afternoon timestamps; the driver fixture's
+    midnight-only dates never exposed it.
 
     Scale design: the per-customer rollup is the only pass over orders.
     The global NTILEs run over |customers| rows in one sort — fine to

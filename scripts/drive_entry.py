@@ -37,10 +37,16 @@ assert set(oracles) <= set(qs)
 import duckdb
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+# JPC_SF_DIR: point the whole differential check at any fixture dir (e.g.
+# scripts/gen_fixtures.py output) — proves spark/duckdb agreement isn't an
+# artifact of the one driver-generated dataset
+SF = os.environ.get("JPC_SF_DIR", "/root/testdata/sf0.01")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    p = f"{SF}/{t}.parquet"
+    if os.path.isdir(p):  # Spark-written table = directory of part files
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 from tests.oracle_utils import compare_query
 
@@ -61,5 +67,5 @@ for name in sample:
     print(f"{status} {name}: {detail[:200]}")
     if not ok:
         fails.append(name)
-print(f"\n{len(sample)-len(fails)}/{len(sample)} matched at sf0.01")
+print(f"\n{len(sample)-len(fails)}/{len(sample)} matched at {SF}")
 sys.exit(1 if fails else 0)

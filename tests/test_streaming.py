@@ -418,3 +418,123 @@ def test_redelivered_message_new_file_is_deduped_across_restart(
     # and a genuinely new message still lands exactly once
     deliver("m3", "!", "d3")
     assert run_once() == ["m1", "m2", "m3"]
+
+
+def test_processing_time_trigger_runs_continuously_then_stops(
+    spark, tmp_path
+):
+    """Continuous-trigger smoke: every other streaming test drains with
+    Trigger.AvailableNow (right for oracling, but it terminates by
+    construction). The reference runs FOREVER (convertor.go:74 `for {}`);
+    this proves the equivalent long-running mode — processingTime trigger,
+    maxFilesPerTrigger back-pressure — executes >= 2 non-empty micro-batches
+    against a pre-populated source and then stops cleanly on demand."""
+    import time
+
+    src = str(tmp_path / "pt_src")
+    os.makedirs(src)
+    rows_per_file, n_files = 5, 3
+    for i in range(n_files):
+        spark.range(i * rows_per_file, (i + 1) * rows_per_file).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.parquet(f"{src}/f{i}", mode="overwrite")
+        for f in os.listdir(f"{src}/f{i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/f{i}/{f}", f"{src}/file_{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+
+    sink = f"jpc_pt_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")  # forces one file per batch
+        .parquet(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        total = rows_per_file * n_files
+        while time.time() < deadline:
+            if spark.table(sink).count() >= total:
+                break
+            time.sleep(0.5)
+        assert spark.table(sink).count() == total
+        nonempty = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(nonempty) >= 2, [
+            p["numInputRows"] for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert not q.isActive
+    assert q.exception() is None
+
+
+def test_quality_gate_routing_is_idempotent_on_replay(spark, tmp_path):
+    """q_stream_quality_gate's dead-letter fan-out must stay exactly-once
+    under redelivery (r4 ADVICE: the old mode('append') demo would have
+    doubled BOTH sinks on a replayed batch). Mirrors the foreachBatch
+    replay proof: re-running the routing body for an already-committed
+    batchId must leave both sinks byte-identical, and an all-good batch
+    must leave the quarantine sink readable (explicit-schema read-back)."""
+    src = str(tmp_path / "src")
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "l_orderkey bigint, l_quantity double"
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 20.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    good_rule = F.col("l_quantity") <= 45
+
+    def route(batch, batch_id):
+        batch.filter(good_rule).write.mode("overwrite").parquet(
+            f"{good_dir}/batch_id={batch_id}"
+        )
+        batch.filter(~good_rule).write.mode("overwrite").parquet(
+            f"{quar_dir}/batch_id={batch_id}"
+        )
+
+    def counts():
+        return (
+            spark.read.schema(schema).parquet(good_dir).count(),
+            spark.read.schema(schema).parquet(quar_dir).count(),
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert counts() == (2, 1)
+
+    # crash-replay analogue: redeliver batch 0 -> same bytes, no dupes
+    route(spark.read.parquet(src), 0)
+    assert counts() == (2, 1)
+
+    # all-good second batch: quarantine's batch_id=1 dir has NO part
+    # files; the explicit-schema read-back must still work
+    spark.createDataFrame([(4, 5.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert counts() == (3, 1)
