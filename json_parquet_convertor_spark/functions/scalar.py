@@ -108,7 +108,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31') AS INT)
                AS days_to_eoy,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders
     """,
 )

@@ -181,7 +181,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.lang,
            CAST(d.n_docs AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 1000003
-                              < CAST(frac * 1000003 AS BIGINT)
+                              < CAST(floor(frac * 1000003) AS BIGINT)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(MIN(frac), 4) AS keep_frac
     FROM documents JOIN d USING (lang)
@@ -225,9 +225,13 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("frac"),
     )
+    # explicit floor on BOTH sides: Spark's bigint cast truncates but
+    # DuckDB's ROUNDS, so a doc whose hash lands exactly on the rounded-up
+    # threshold would flip membership (same latent class as the
+    # q_rfm_segment day-number fix; frac >= 0 so floor == truncate here)
     kept = (
         F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003))
-        < (F.col("frac") * 1000003).cast("bigint")
+        < F.floor(F.col("frac") * 1000003).cast("bigint")
     ).cast("bigint")
     return (
         docs.join(F.broadcast(d), "lang")

@@ -150,9 +150,11 @@ def build(spark, dst: str, sf: float) -> None:
         F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
         F.round(u("", 1000.0, 500000.0, 15), 2).alias("o_totalprice"),
+        # fractional seconds on purpose: stresses oracle truncate-vs-round
+        # drift (unix_timestamp truncates; DuckDB's BIGINT cast rounds)
         F.timestamp_seconds(
             F.lit(788918400)  # 1995-01-01 UTC
-            + F.floor(u("", 0, 6.6 * 365 * 86400, 16)).cast("long")
+            + u("", 0, 6.6 * 365 * 86400, 16)
         ).alias("o_orderdate"),
         pick(prios, 17, power=1.5).alias("o_orderpriority"),
     )
@@ -177,8 +179,7 @@ def build(spark, dst: str, sf: float) -> None:
             pick(["R", "A", "N"], 26, power=1.2).alias("l_returnflag"),
             pick(["O", "F"], 27).alias("l_linestatus"),
             F.timestamp_seconds(
-                F.lit(788918400)
-                + F.floor(u("", 86400, 6.9 * 365 * 86400, 28)).cast("long")
+                F.lit(788918400) + u("", 86400, 6.9 * 365 * 86400, 28)
             ).alias("l_shipdate"),
         ),
         "lineitem", max(1, int(32 * sf / 0.1)),
