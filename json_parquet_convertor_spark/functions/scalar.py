@@ -225,8 +225,10 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            json_extract_string(props, '$.missing') AS k_missing,
-           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER)))
-               AS roundtrip
+           CASE WHEN props IS NULL THEN NULL
+                ELSE to_json(struct_pack(k := CAST(
+                         json_extract_string(props, '$.k') AS INTEGER)))
+           END AS roundtrip
     FROM events
     """,
 )
@@ -363,11 +365,16 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_url",
     oracle="""
     SELECT doc_id,
-           source || '.example.com' AS host,
-           '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
-           'v=2&lang=' || lang AS query_string,
-           lang AS q_lang,
-           'https' AS protocol
+           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+                ELSE source || '.example.com' END AS host,
+           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+                ELSE '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR)
+           END AS path,
+           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+                ELSE 'v=2&lang=' || lang END AS query_string,
+           CASE WHEN source IS NULL THEN NULL ELSE lang END AS q_lang,
+           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+                ELSE 'https' END AS protocol
     FROM documents
     """,
 )
@@ -377,9 +384,13 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-site quality weighting. URLs are constructed deterministically
     from the documents table, then round-tripped through Spark's parse_url;
     the oracle states the expected components directly, so any parse drift
-    is a hard mismatch. parse_url is JVM-side (no Python in the path); at
-    100 TB the host column feeds a groupBy for per-domain stats with an
-    ordinary map-side-combined aggregation."""
+    is a hard mismatch. A NULL component (e.g. missing lang) nulls the
+    WHOLE url under Spark's concat, so every parsed field is NULL; the
+    oracle mirrors that with explicit CASE guards rather than DuckDB's
+    per-expression || propagation (--nulls sweep find). parse_url is
+    JVM-side (no Python in the path); at 100 TB the host column feeds a
+    groupBy for per-domain stats with an ordinary map-side-combined
+    aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),

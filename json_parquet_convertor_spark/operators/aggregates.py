@@ -1178,6 +1178,7 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))
                    * 1000000000000 + event_id AS okey
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type, bar_start,
            round(arg_min(value, okey), 4) AS open,
@@ -1206,7 +1207,12 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same aggregate rolls 15-min bars into hourly/daily ones without
     touching raw events again (q_agg_incremental's pattern), and the
     streaming twin is just this groupBy under a window()."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # NULL values excluded on both sides: a NULL tick has no price, and
+    # the engines disagree on it anyway (Spark min_by returns the NULL at
+    # the min key, DuckDB arg_min skips NULL values — --nulls sweep find)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         (F.floor(F.unix_timestamp("ts") / 900) * 900)
         .cast("bigint")
@@ -1235,7 +1241,7 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1,
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in2
         FROM events
-        WHERE event_type IN ('click', 'view')
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
     pv AS (
         SELECT v, CAST(SUM(in1) AS BIGINT) AS n1v,
@@ -1275,8 +1281,12 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid → groupBy, fully parallel, D within one bin width) or sample;
     both keep this exact query shape. The 1-row totals frame
     broadcasts."""
+    # NULL observations are excluded on BOTH sides: a rank/ECDF statistic
+    # is defined over observed values, and engines disagree on where NULL
+    # sorts (Spark NULLS FIRST vs DuckDB NULLS LAST) — --nulls sweep find
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     s = ev.select(
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
@@ -1316,7 +1326,7 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(round(value * 10000, 0) AS BIGINT) AS v,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         FROM events
-        WHERE event_type IN ('purchase', 'view')
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
     ),
     pv AS (
         SELECT v, CAST(SUM(y) AS BIGINT) AS n_pos,
@@ -1358,8 +1368,10 @@ def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over that reduced set is the only global step — same
     binned-at-100 TB note as the KS query. Everything after is a 1-row
     aggregate."""
+    # NULL scores excluded on both sides (rank statistic; see q_stats_ks)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     s = ev.select(
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
@@ -1416,7 +1428,7 @@ def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT event_type, value FROM events
-        WHERE event_type IN ('click', 'view')
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
     r AS (
         SELECT event_type,
@@ -1466,9 +1478,12 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "event_type", "value"
-    )
+    # NULL observations excluded on both sides (rank statistic; see
+    # q_stats_ks — engines disagree on NULL sort placement)
+    s = ev.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    ).select("event_type", "value")
     rk = (
         F.row_number()
         .over(Window.orderBy("value"))

@@ -336,7 +336,8 @@ def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, seg_nulled, c_acctbal,
            CAST(ROW_NUMBER() OVER (
-               ORDER BY seg_nulled DESC NULLS LAST, c_acctbal ASC, c_custkey
+               ORDER BY seg_nulled DESC NULLS LAST,
+                        c_acctbal ASC NULLS FIRST, c_custkey
            ) AS BIGINT) AS sort_pos
     FROM (
         SELECT c_custkey, NULLIF(c_mktsegment, 'AUTOMOBILE') AS seg_nulled, c_acctbal
@@ -361,9 +362,12 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # every key pins its null placement explicitly: Spark ASC defaults to
+    # NULLS FIRST but DuckDB to NULLS LAST, so an implicit asc() diverges
+    # the moment the column carries NULLs (caught by the --nulls sweep)
     sort_keys = [
         F.col("seg_nulled").desc_nulls_last(),
-        F.col("c_acctbal").asc(),
+        F.col("c_acctbal").asc_nulls_first(),
         F.col("c_custkey").asc(),
     ]
     cust = load_table(spark, sf_dir, "customer").select(

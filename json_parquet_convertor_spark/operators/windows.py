@@ -190,7 +190,8 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cum_dist
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,10 +200,15 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs to bin a numeric column. The ORDER BY carries c_custkey as a
     tiebreaker so tile boundaries are total-ordered and deterministic
     across engines; both ratio functions divide two small exact integers,
-    which is bit-identical IEEE math in both engines. One shuffle on the
-    partition key, sort within — same cost shape as any rank window."""
+    which is bit-identical IEEE math in both engines. NULL placement is
+    pinned (NULLS FIRST, Spark's ASC default) because DuckDB defaults to
+    NULLS LAST — implicit ordering diverges on NULL-bearing columns. One
+    shuffle on the partition key, sort within — same cost shape as any
+    rank window."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return cust.select(
         "c_custkey",
         "c_mktsegment",

@@ -23,7 +23,12 @@ Everything is generated distributedly (spark.range + column expressions,
 seeded F.rand/F.randn) — no driver-side loops, so the same script produces
 sf 10 on a cluster.
 
-Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR]
+With --nulls, a deterministic ~2-3% of several nullable, non-key columns
+(acctbals, event value/props, doc lang, part type) are NULLed — stressing
+the oracle pair's NULL semantics (aggregate skipping, null-group handling,
+COALESCE paths) the all-populated driver fixtures never exercise.
+
+Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
 Default out: $TMPDIR/jpc_genfix_sf<sf>.
 """
 
@@ -47,10 +52,18 @@ ADJ = ("large hot blue old cold new red small dark pale").split()
 NOUN = ("ring bolt plate cap washer gear spring valve").split()
 
 
-def build(spark, dst: str, sf: float) -> None:
+def build(spark, dst: str, sf: float, nulls: bool = False) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
+
+    def maybe_null(col, salt, frac=0.025):
+        """With --nulls, NULL out a deterministic ~frac of values."""
+        if not nulls:
+            return col
+        return F.when(F.rand(SEED + 9000 + salt) < frac, F.lit(None)).otherwise(
+            col
+        )
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
@@ -109,7 +122,7 @@ def build(spark, dst: str, sf: float) -> None:
             F.col("id").alias("c_custkey"),
             F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
             ui("", 0, 24, 1).alias("c_nationkey"),
-            F.round(u("", -999.99, 9999.99, 2), 2).alias("c_acctbal"),
+            maybe_null(F.round(u("", -999.99, 9999.99, 2), 2), 2).alias("c_acctbal"),
             pick(segs, 3, power=1.6).alias("c_mktsegment"),  # skewed mix
         ),
         "customer", max(1, int(32 * sf / 0.3)),
@@ -119,7 +132,7 @@ def build(spark, dst: str, sf: float) -> None:
             F.col("id").alias("s_suppkey"),
             F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
             ui("", 0, 24, 4).alias("s_nationkey"),
-            F.round(u("", -999.99, 9999.99, 5), 2).alias("s_acctbal"),
+            maybe_null(F.round(u("", -999.99, 9999.99, 5), 2), 5).alias("s_acctbal"),
         ),
         "supplier", 4,
     )
@@ -133,7 +146,7 @@ def build(spark, dst: str, sf: float) -> None:
             F.concat(
                 F.lit("Brand#"), ui("", 1, 5, 8), ui("", 1, 5, 9)
             ).alias("p_brand"),
-            pick(types, 10, power=1.4).alias("p_type"),
+            maybe_null(pick(types, 10, power=1.4), 10).alias("p_type"),
             ui("", 1, 50, 11).alias("p_size"),
             F.round(u("", 900.0, 2100.0, 12), 2).alias("p_retailprice"),
         ),
@@ -199,11 +212,11 @@ def build(spark, dst: str, sf: float) -> None:
                 "user_id"
             ),
             pick(etypes, 31, power=2.2).alias("event_type"),
-            F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2).alias(
-                "value"
-            ),
-            F.format_string(
-                '{"k": %d}', ui("", 0, 99, 33)
+            maybe_null(
+                F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2), 32
+            ).alias("value"),
+            maybe_null(
+                F.format_string('{"k": %d}', ui("", 0, 99, 33)), 33
             ).alias("props"),
         ),
         "events", max(1, int(32 * sf / 0.1)),
@@ -215,7 +228,7 @@ def build(spark, dst: str, sf: float) -> None:
     word_arr = F.array(*[F.lit(w) for w in WORDS])
     docs = spark.range(n_doc).select(
         F.col("id").alias("doc_id"),
-        pick(langs, 35, power=2.0).alias("lang"),
+        maybe_null(pick(langs, 35, power=2.0), 35).alias("lang"),
         F.concat(
             F.lit("src"), F.floor(F.pow(F.rand(SEED + 36), 1.7) * 20)
         ).alias("source"),
@@ -277,6 +290,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--nulls", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -285,7 +299,7 @@ def main() -> int:
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}"
     )
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=32)
-    build(spark, dst, args.sf)
+    build(spark, dst, args.sf, nulls=args.nulls)
     print(dst)
     return 0
 
