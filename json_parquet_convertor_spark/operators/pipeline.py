@@ -497,18 +497,29 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_chars_actual, n_tokens,
-           round(n_uniq / n_tokens, 4) AS uniq_ratio,
-           round(n_stop / n_tokens, 4) AS stop_ratio,
-           round(0.4 * (n_uniq / n_tokens)
-                 + 0.3 * (1 - n_stop / n_tokens)
-                 + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality_score
+           floor((20000 * n_uniq + n_tokens) / (2.0 * n_tokens)) / 10000.0
+               AS uniq_ratio,
+           floor((20000 * n_stop + n_tokens) / (2.0 * n_tokens)) / 10000.0
+               AS stop_ratio,
+           floor((2000 * (4 * n_uniq + 3 * (n_tokens - n_stop))
+                  + n_tokens * (60 * least(n_tokens, 100) + 1))
+                 / (2.0 * n_tokens)) / 10000.0 AS quality_score
     FROM t
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, type-token (uniqueness) ratio,
     stopword ratio, combined into one bounded score — the cheap
-    pre-training filter pass. All higher-order array functions, no UDF."""
+    pre-training filter pass. All higher-order array functions, no UDF.
+
+    The 4-dp quantization is EXACT-integer on both sides:
+    round(x, 4) over a chained double expression is 1-ulp fragile (the
+    --unicode sweep caught a doc whose score*10⁴ straddled .5 across
+    engines), so each ratio is emitted as
+    floor((2·10⁴·num + den) / (2·den)) / 10⁴ — half-up rounding of the
+    exact rational num/den, integer numerators throughout, and the one
+    double division sits far (≥1/(2·n_tokens)) from any integer
+    boundary."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words).cast("int")
@@ -516,20 +527,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(
         F.filter(words, lambda w: w.isin("a", "the"))
     ).cast("int")
-    uniq_ratio = n_uniq / n_tokens
-    stop_ratio = n_stop / n_tokens
-    score = (
-        0.4 * uniq_ratio
-        + 0.3 * (1 - stop_ratio)
-        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+
+    def q4(num, den):  # exact half-up of the rational num/den at 4 dp
+        return F.floor((20000 * num + den) / (2.0 * den)) / 10000.0
+
+    score_num = 2000 * (4 * n_uniq + 3 * (n_tokens - n_stop)) + n_tokens * (
+        60 * F.least(n_tokens, F.lit(100)) + 1
     )
     return docs.select(
         "doc_id",
         F.length("text").cast("int").alias("n_chars_actual"),
         n_tokens.alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        q4(n_uniq, n_tokens).alias("uniq_ratio"),
+        q4(n_stop, n_tokens).alias("stop_ratio"),
+        (F.floor(score_num / (2.0 * n_tokens)) / 10000.0).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -764,7 +777,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k AS INT) AS frame_idx,
            CAST(k * 200 AS INT) AS frame_off,
            CAST(least(200, octet_length(encode(text)) - k * 200) AS INT) AS frame_len,
-           md5(substring(text, CAST(k * 200 + 1 AS INT), 200)) AS frame_sig
+           md5(substring(hex(encode(text)), CAST(k * 400 + 1 AS INT), 400))
+               AS frame_sig
     FROM documents,
          unnest(generate_series(
              0, least(3, octet_length(encode(text)) // 200 + 1) - 1)) AS t(k)
@@ -775,9 +789,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly-spaced frame rows out (index, byte offset, length, content
     signature), the video-preprocessing shape of a multimodal pipeline.
     Decode is stubbed like q_multimodal_decode (payload = utf-8 bytes, a
-    frame = a 200-byte slice, signature = md5 of the slice) so the whole
-    fan-out — including the per-frame checksums — is oracle-checkable
-    (the corpus is ASCII, so byte slices == char slices for DuckDB).
+    frame = a 200-BYTE slice — byte-exact even when the slice splits a
+    multibyte character, as real binary frames would) so the whole
+    fan-out — including per-frame checksums — is oracle-checkable. The
+    signature is md5 over the slice's HEX encoding on both sides:
+    DuckDB's md5 is VARCHAR-only and a mid-character byte slice is not
+    valid utf-8, so hex is the lingua franca (--unicode sweep find;
+    the old char-based oracle silently assumed an ASCII corpus).
 
     The fan-out happens inside mapInPandas over Arrow batches: no driver
     involvement, no explode of materialized frame arrays — at 100 TB the
@@ -803,7 +821,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idxs.append(k)
                     offs.append(off)
                     lens.append(len(chunk))
-                    sigs.append(hashlib.md5(chunk).hexdigest())
+                    # md5 over the slice's hex (uppercase, DuckDB's hex()
+                    # convention) — see docstring
+                    sigs.append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -11,11 +11,15 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 # deliberately NOT the engine's get_spark(): simulate the driver's own session
-# with a non-UTC timezone as the adversarial probe.
+# with a non-UTC timezone as the adversarial probe. JPC_TZ overrides (e.g.
+# Asia/Kolkata — a half-hour offset catches whole-hour-safe assumptions).
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
-    .config("spark.sql.session.timeZone", "America/New_York")
+    .config(
+        "spark.sql.session.timeZone",
+        os.environ.get("JPC_TZ", "America/New_York"),
+    )
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )

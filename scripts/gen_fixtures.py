@@ -28,7 +28,12 @@ With --nulls, a deterministic ~2-3% of several nullable, non-key columns
 the oracle pair's NULL semantics (aggregate skipping, null-group handling,
 COALESCE paths) the all-populated driver fixtures never exercise.
 
+With --unicode, the document vocabulary gains GNARLY tokens (accents, CJK,
+Cyrillic, emoji, quotes, CSV/JSON/regex metacharacters, a literal tab) —
+stressing every text operator's escaping, tokenization, and round-trips.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
+       [--unicode]
 Default out: $TMPDIR/jpc_genfix_sf<sf>.
 """
 
@@ -51,8 +56,21 @@ WORDS = (
 ADJ = ("large hot blue old cold new red small dark pale").split()
 NOUN = ("ring bolt plate cap washer gear spring valve").split()
 
+# --unicode: tokens a real web corpus carries and naive string handling
+# chokes on — combining accents, CJK/Cyrillic, quotes, CSV/JSON/regex
+# metacharacters, a literal tab, an emoji
+GNARLY = [
+    "café", "naïve", "Übung", "模型训练", "данные", "🦆",
+    "don't", 'say"this"', "comma,word", "semi;colon", "tab\tchar",
+    "back\\slash", "a+b*", "[bracket]", "(paren)", "per%cent",
+    "{brace}", "pipe|char", "question?", "dollar$sign",
+]
 
-def build(spark, dst: str, sf: float, nulls: bool = False) -> None:
+
+def build(
+    spark, dst: str, sf: float, nulls: bool = False,
+    unicode_text: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
@@ -225,7 +243,8 @@ def build(spark, dst: str, sf: float, nulls: bool = False) -> None:
     # documents: long-tail lengths (rand^2 * 120 + 5 words), skewed lang
     # and source mix; ~2% exact duplicates via doc_id collapsing
     langs = ["en", "zh", "es", "fr", "de"]
-    word_arr = F.array(*[F.lit(w) for w in WORDS])
+    vocab = WORDS + GNARLY if unicode_text else WORDS
+    word_arr = F.array(*[F.lit(w) for w in vocab])
     docs = spark.range(n_doc).select(
         F.col("id").alias("doc_id"),
         maybe_null(pick(langs, 35, power=2.0), 35).alias("lang"),
@@ -252,7 +271,7 @@ def build(spark, dst: str, sf: float, nulls: bool = False) -> None:
                     word_arr,
                     (
                         (F.col("base") + i * 31 + (i * i) % 17)
-                        % len(WORDS)
+                        % len(vocab)
                     ).cast("int") + 1,
                 ),
             ),
@@ -291,6 +310,7 @@ def main() -> int:
     ap.add_argument("--sf", type=float, default=0.3)
     ap.add_argument("--out", default=None)
     ap.add_argument("--nulls", action="store_true")
+    ap.add_argument("--unicode", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -299,7 +319,8 @@ def main() -> int:
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}"
     )
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=32)
-    build(spark, dst, args.sf, nulls=args.nulls)
+    build(spark, dst, args.sf, nulls=args.nulls,
+          unicode_text=args.unicode)
     print(dst)
     return 0
 
