@@ -14,7 +14,9 @@ from pyspark.sql import SparkSession
 # with a non-UTC timezone as the adversarial probe. JPC_TZ overrides (e.g.
 # Asia/Kolkata — a half-hour offset catches whole-hour-safe assumptions).
 spark = (
-    SparkSession.builder.master("local[8]")
+    SparkSession.builder.master(
+        f"local[{os.environ.get('JPC_CPUS', '8')}]"
+    )
     .appName("driver-sim")
     .config(
         "spark.sql.session.timeZone",
