@@ -1,0 +1,90 @@
+"""Regression pin for the round-5 adversarial-fixture findings.
+
+Six full 286-query sweeps on generated data (scripts/gen_fixtures.py:
+new seed/skew/NDVs, fractional-second timestamps, --nulls, --unicode,
+tiny scale, alternate timezones/parallelism) exposed 11 oracle pairs whose
+Spark/DuckDB agreement silently depended on the driver fixtures' shape:
+day-number flooring, NULL sort placement, min_by-vs-arg_min NULL handling,
+concat-vs-|| propagation, to_json null-field emission, character-vs-byte
+slicing, and 1-ulp round(x, 4) boundaries.
+
+This module regenerates a TINY (sf0.001) nulls+unicode fixture set in tmp
+and re-runs the DuckDB differential for exactly those historically-affected
+queries, so none of the fixes can silently regress in CI without waiting
+for the next manual sweep. Full-registry generated sweeps remain the
+out-of-band job: JPC_SF_DIR=<gen dir> python scripts/drive_entry.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from json_parquet_convertor_spark import registry
+
+registry.load_all()
+
+# every query a generated-fixture sweep has ever caught, plus its family
+# neighbors that share the fixed idiom
+AFFECTED = [
+    "q_rfm_segment",          # floor(epoch/86400) vs //-on-double rounding
+    "q_fn_date",              # floor(epoch) vs rounding BIGINT cast
+    "q_sample_temperature",   # floored hash threshold
+    "q_sort_multi",           # pinned NULLS FIRST on ASC key
+    "q_win_distribution",     # pinned NULLS FIRST in window order
+    "q_stats_auc",            # NULL observations excluded from ranks
+    "q_stats_ks",
+    "q_stats_mannwhitney",
+    "q_agg_ohlc",             # NULL ticks excluded (min_by vs arg_min)
+    "q_fn_json",              # to_json null-field emission guard
+    "q_fn_url",               # whole-URL NULL propagation mirror
+    "q_multimodal_frames",    # byte-exact hex-based frame signatures
+    "q_text_quality",         # exact integer-rational 4-dp quantization
+]
+
+
+@pytest.fixture(scope="module")
+def gen_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_gnarly")
+    build(spark, dst, 0.001, nulls=True, unicode_text=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def gen_duck(gen_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(gen_dir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark-written table = dir of part files
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", AFFECTED)
+def test_affected_queries_match_on_adversarial_fixtures(
+    spark, gen_duck, gen_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, gen_duck, registry.QUERIES[name], registry.ORACLES[name],
+        gen_dir,
+    )
+    assert ok, f"{name}: {detail}"
