@@ -857,10 +857,18 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: Spark plans `<=>` as an ordinary hash join — NULL
     hashes like any value, so the join stays a shuffled equi-join (NO
-    fallback to nested-loop, asserted in tests/test_plans.py). Caveat at
-    100 TB: the NULL bucket is a single key and can be the biggest skew
-    hot spot in the table — exactly what q_skew_diagnose surfaces and
-    q_join_salted fixes."""
+    fallback to nested-loop, asserted in tests/test_plans.py). The key
+    here has FIXED NDV (50 buckets + NULL), so materializing the raw
+    join is Θ(|orders|·|customer|/NDV) — quadratic in scale, which the
+    round-5 10x generated probe measured at 38x for 10x data. The
+    per-group aggregate only needs per-key COUNTS, so the aggregation is
+    PUSHED THROUGH the join: each side collapses to ≤51 rows first
+    (n_pairs = n_orders·n_rows_c per key, exactly the join's group
+    cardinality), and the null-safe join runs over the two aggregate
+    frames — same result, same `<=>` operator, linear cost. Caveat at
+    100 TB stands for joins that must materialize pairs: the NULL bucket
+    is a single key and the biggest skew hot spot — q_skew_diagnose
+    surfaces it, q_join_salted fixes it."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     o = orders.select(
@@ -875,13 +883,20 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_custkey") % 50)
         .alias("k"),
     )
+    o_agg = o.groupBy("k").agg(F.count("*").alias("n_orders"))
+    c_agg = c.groupBy("k").agg(
+        F.count("*").alias("n_rows_c"),
+        F.countDistinct("c_custkey").alias("n_cust"),
+    )
     return (
-        o.alias("o")
-        .join(c.alias("c"), F.col("o.k").eqNullSafe(F.col("c.k")))
-        .groupBy(F.col("o.k").alias("k"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.countDistinct("c.c_custkey").alias("n_cust"),
+        o_agg.alias("o")
+        .join(c_agg.alias("c"), F.col("o.k").eqNullSafe(F.col("c.k")))
+        .select(
+            F.col("o.k").alias("k"),
+            (F.col("n_orders") * F.col("n_rows_c"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.col("n_cust").cast("bigint").alias("n_cust"),
         )
     )
 

@@ -51,6 +51,9 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=6.0)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--sf-small", type=float, default=0.1)
+    ap.add_argument("--sf-big", type=float, default=0.3)
+    ap.add_argument("--out", default="SCALING_GEN.json")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -65,9 +68,9 @@ def main() -> int:
 
     spark = get_spark(app_name="jpc-scale-probe-gen", cpus=32)
     tmp = os.environ.get("TMPDIR", "/tmp")
-    gen01 = os.path.join(tmp, "jpc_genfix_sf0.1")
-    gen03 = os.path.join(tmp, "jpc_genfix_sf0.3")
-    for sf, dst in ((0.1, gen01), (0.3, gen03)):
+    gen01 = os.path.join(tmp, f"jpc_genfix_sf{args.sf_small}")
+    gen03 = os.path.join(tmp, f"jpc_genfix_sf{args.sf_big}")
+    for sf, dst in ((args.sf_small, gen01), (args.sf_big, gen03)):
         if not os.path.exists(os.path.join(dst, "embeddings.parquet")):
             build(spark, dst, sf)
 
@@ -85,9 +88,9 @@ def main() -> int:
             out[name] = {"error": repr(exc)[:200]}
             continue
         out[name] = {
-            "t_driver_sf0.1": round(t_drv, 3),
-            "t_gen_sf0.1": round(t_g1, 3),
-            "t_gen_sf0.3": round(t_g3, 3),
+            "t_driver_base": round(t_drv, 3),
+            f"t_gen_sf{args.sf_small}": round(t_g1, 3),
+            f"t_gen_sf{args.sf_big}": round(t_g3, 3),
             "ratio_3x": round(t_g3 / t_g1, 2) if t_g1 > 0 else None,
             "ratio_dist": round(t_g1 / t_drv, 2) if t_drv > 0 else None,
         }
@@ -114,11 +117,13 @@ def main() -> int:
 
     result = {
         "generator": "scripts/gen_fixtures.py seed=777",
+        "sf_small": args.sf_small,
+        "sf_big": args.sf_big,
         "threshold": args.threshold,
         "suspects": {n: out[n] for n in confirmed},
         "queries": out,
     }
-    with open(os.path.join(here, "SCALING_GEN.json"), "w") as fh:
+    with open(os.path.join(here, args.out), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({
         "n": len(out),
