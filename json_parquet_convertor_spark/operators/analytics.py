@@ -512,8 +512,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, CAST(pos AS INT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
-               / COUNT(*) AS mean_val
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000000)
+                         AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1000000000.0) AS mean_val
     FROM e GROUP BY 1, 2
     """,
 )
@@ -521,9 +522,15 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-pooled embedding (class centroids — the build step
     for q_sim_ann_ivf-style coarse quantizers and for prototype/nearest-
     centroid classifiers), emitted in exploded (label, pos, mean) form so
-    the oracle needs no array reassembly. Sums run in DECIMAL(20,9) —
-    float32 inputs widen exactly, the sum is order-insensitive, and both
-    engines divide the identical exact sum by the count.
+    the oracle needs no array reassembly. Each component is quantized by
+    TRUNCATION to an integer nano-unit (floor(val·10⁹) — one IEEE
+    multiply then floor, no tie-breaking, deterministic in both engines)
+    and summed as exact BIGINTs; the single final division is the only
+    double op. Truncation, not rounding or a decimal cast: a float is a
+    dyadic rational that CAN land exactly on the half-way digit, where
+    Spark's decimal cast rounds HALF_UP and DuckDB's rounds half-even —
+    the r5 generated-sf0.1 sweep caught exactly one such component
+    flipping a pooled mean by 1e-9/n.
 
     Scale design: posexplode is a stateless row-expander (no shuffle);
     the single aggregation shuffles (label, pos) — labels × dim keys,
@@ -541,9 +548,10 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_vecs"),
         (
-            F.sum(F.col("val").cast("double").cast("decimal(20,9)"))
-            .cast("double")
-            / F.count("*")
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1e9).cast("bigint")
+            ).cast("double")
+            / (F.count("*") * F.lit(1e9))
         ).alias("mean_val"),
     )
 
