@@ -73,10 +73,11 @@ def main() -> int:
     # --out PATH redirects the durable JSON copy (default BENCH_FULL.json);
     # every run ALSO appends to BENCH_HISTORY.jsonl so concurrent
     # builder/driver/judge runs never destroy each other's records
-    out_path = None
-    argv = sys.argv[1:]
-    if "--out" in argv:
-        out_path = argv[argv.index("--out") + 1]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    out_path = ap.parse_args().out
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -226,6 +226,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
            json_extract_string(props, '$.missing') AS k_missing,
            CASE WHEN props IS NULL THEN NULL
+                WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
                 ELSE to_json(struct_pack(k := CAST(
                          json_extract_string(props, '$.k') AS INTEGER)))
            END AS roundtrip
@@ -236,6 +237,10 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar family on events.props — the reference's own domain
     (JSON field access, convertor/convertor.go:137-141) generalized to column
     level: get_json_object / from_json(schema) / to_json / missing-path null.
+    The oracle mirrors Spark's to_json conventions explicitly: NULL input →
+    NULL output, and null struct fields are OMITTED ('{}') where DuckDB's
+    to_json would emit "k":null (--nulls sweep find + review follow-up for
+    the present-but-null-k case).
 
     JSON parsing is CPU-heavy per row, so the single-row-group benchmark
     file is spread() across cores first (no-op on split inputs)."""

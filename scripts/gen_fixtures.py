@@ -34,7 +34,9 @@ stressing every text operator's escaping, tokenization, and round-trips.
 
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode]
-Default out: $TMPDIR/jpc_genfix_sf<sf>.
+Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode] — the variant
+suffix keeps adversarial sets from being mistaken for the plain one by
+consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
 
 from __future__ import annotations
@@ -92,11 +94,11 @@ def build(
     n_emb = int(20_000 * sf)
     n_users = int(15_000 * sf)
 
-    def u(c, lo, hi, salt):  # uniform double in [lo, hi)
+    def u(lo, hi, salt):  # uniform double in [lo, hi)
         return F.rand(SEED + salt) * (hi - lo) + lo
 
-    def ui(c, lo, hi, salt):  # uniform int in [lo, hi]
-        return F.floor(u(c, lo, hi + 1, salt)).cast("int")
+    def ui(lo, hi, salt):  # uniform int in [lo, hi]
+        return F.floor(u(lo, hi + 1, salt)).cast("int")
 
     def pick(arr, salt, power=1.0):
         """Pick from a literal array; power>1 skews toward index 0."""
@@ -139,8 +141,8 @@ def build(
         spark.range(n_cust).select(
             F.col("id").alias("c_custkey"),
             F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
-            ui("", 0, 24, 1).alias("c_nationkey"),
-            maybe_null(F.round(u("", -999.99, 9999.99, 2), 2), 2).alias("c_acctbal"),
+            ui(0, 24, 1).alias("c_nationkey"),
+            maybe_null(F.round(u(-999.99, 9999.99, 2), 2), 2).alias("c_acctbal"),
             pick(segs, 3, power=1.6).alias("c_mktsegment"),  # skewed mix
         ),
         "customer", max(1, int(32 * sf / 0.3)),
@@ -149,8 +151,8 @@ def build(
         spark.range(n_supp).select(
             F.col("id").alias("s_suppkey"),
             F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
-            ui("", 0, 24, 4).alias("s_nationkey"),
-            maybe_null(F.round(u("", -999.99, 9999.99, 5), 2), 5).alias("s_acctbal"),
+            ui(0, 24, 4).alias("s_nationkey"),
+            maybe_null(F.round(u(-999.99, 9999.99, 5), 2), 5).alias("s_acctbal"),
         ),
         "supplier", 4,
     )
@@ -162,11 +164,11 @@ def build(
                 pick(ADJ, 6), F.lit(" "), pick(NOUN, 7)
             ).alias("p_name"),
             F.concat(
-                F.lit("Brand#"), ui("", 1, 5, 8), ui("", 1, 5, 9)
+                F.lit("Brand#"), ui(1, 5, 8), ui(1, 5, 9)
             ).alias("p_brand"),
             maybe_null(pick(types, 10, power=1.4), 10).alias("p_type"),
-            ui("", 1, 50, 11).alias("p_size"),
-            F.round(u("", 900.0, 2100.0, 12), 2).alias("p_retailprice"),
+            ui(1, 50, 11).alias("p_size"),
+            F.round(u(900.0, 2100.0, 12), 2).alias("p_retailprice"),
         ),
         "part", max(1, int(32 * sf / 0.3)),
     )
@@ -180,12 +182,12 @@ def build(
         F.col("id").alias("o_orderkey"),
         F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
-        F.round(u("", 1000.0, 500000.0, 15), 2).alias("o_totalprice"),
+        F.round(u(1000.0, 500000.0, 15), 2).alias("o_totalprice"),
         # fractional seconds on purpose: stresses oracle truncate-vs-round
         # drift (unix_timestamp truncates; DuckDB's BIGINT cast rounds)
         F.timestamp_seconds(
             F.lit(788918400)  # 1995-01-01 UTC
-            + u("", 0, 6.6 * 365 * 86400, 16)
+            + u(0, 6.6 * 365 * 86400, 16)
         ).alias("o_orderdate"),
         pick(prios, 17, power=1.5).alias("o_orderpriority"),
     )
@@ -202,15 +204,15 @@ def build(
                 "l_partkey"
             ),
             F.floor(F.rand(SEED + 20) * n_supp).alias("l_suppkey"),
-            ui("", 1, 7, 21).alias("l_linenumber"),
-            F.floor(u("", 1, 51, 22)).cast("double").alias("l_quantity"),
-            F.round(u("", 900.0, 105000.0, 23), 2).alias("l_extendedprice"),
-            (F.floor(u("", 0, 11, 24)) / 100.0).alias("l_discount"),
-            (F.floor(u("", 0, 9, 25)) / 100.0).alias("l_tax"),
+            ui(1, 7, 21).alias("l_linenumber"),
+            F.floor(u(1, 51, 22)).cast("double").alias("l_quantity"),
+            F.round(u(900.0, 105000.0, 23), 2).alias("l_extendedprice"),
+            (F.floor(u(0, 11, 24)) / 100.0).alias("l_discount"),
+            (F.floor(u(0, 9, 25)) / 100.0).alias("l_tax"),
             pick(["R", "A", "N"], 26, power=1.2).alias("l_returnflag"),
             pick(["O", "F"], 27).alias("l_linestatus"),
             F.timestamp_seconds(
-                F.lit(788918400) + u("", 86400, 6.9 * 365 * 86400, 28)
+                F.lit(788918400) + u(86400, 6.9 * 365 * 86400, 28)
             ).alias("l_shipdate"),
         ),
         "lineitem", max(1, int(32 * sf / 0.1)),
@@ -224,7 +226,7 @@ def build(
             F.col("id").alias("event_id"),
             F.timestamp_seconds(
                 F.lit(1704067200)  # 2024-01-01 UTC
-                + u("", 0, 30 * 86400, 29)
+                + u(0, 30 * 86400, 29)
             ).alias("ts"),
             F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users).alias(
                 "user_id"
@@ -234,7 +236,7 @@ def build(
                 F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2), 32
             ).alias("value"),
             maybe_null(
-                F.format_string('{"k": %d}', ui("", 0, 99, 33)), 33
+                F.format_string('{"k": %d}', ui(0, 99, 33)), 33
             ).alias("props"),
         ),
         "events", max(1, int(32 * sf / 0.1)),
@@ -315,10 +317,16 @@ def main() -> int:
 
     from json_parquet_convertor_spark.session import get_spark
 
-    dst = args.out or os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}"
+    # variant-suffixed default dir: a --nulls/--unicode set must never be
+    # mistaken for the plain one by a consumer's exists-check (probe reuse)
+    suffix = ("_nulls" if args.nulls else "") + (
+        "_unicode" if args.unicode else ""
     )
-    spark = get_spark(app_name="jpc-gen-fixtures", cpus=32)
+    dst = args.out or os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
+    spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode)
     print(dst)

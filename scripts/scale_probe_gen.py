@@ -62,11 +62,22 @@ def main() -> int:
     from json_parquet_convertor_spark.session import get_spark
 
     registry.load_all()
-    bench = json.load(open(os.path.join(here, "BENCH_FULL.json")))
+    import glob
+
+    bench_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_FULL*.json")),
+        key=os.path.getmtime,
+    )
+    if not bench_files:
+        print("no BENCH_FULL*.json found — run bench.py first",
+              file=sys.stderr)
+        return 1
+    bench = json.load(open(bench_files[-1]))  # newest round's costs
     # bench["queries"] is sorted descending by cost already
     top = [n for n in bench["queries"] if n in registry.QUERIES][: args.top]
 
-    spark = get_spark(app_name="jpc-scale-probe-gen", cpus=32)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
+    spark = get_spark(app_name="jpc-scale-probe-gen", cpus=cpus)
     tmp = os.environ.get("TMPDIR", "/tmp")
     gen01 = os.path.join(tmp, f"jpc_genfix_sf{args.sf_small}")
     gen03 = os.path.join(tmp, f"jpc_genfix_sf{args.sf_big}")

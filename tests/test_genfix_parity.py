@@ -42,6 +42,10 @@ AFFECTED = [
     "q_fn_url",               # whole-URL NULL propagation mirror
     "q_multimodal_frames",    # byte-exact hex-based frame signatures
     "q_text_quality",         # exact integer-rational 4-dp quantization
+    # truncation-not-decimal-cast component quantization; the tie component
+    # that exposed it lives at a vec_id only present at sf>=0.1, so this
+    # tiny-sf run pins the formula's cross-engine equivalence, not the tie
+    "q_embed_pool",
 ]
 
 
