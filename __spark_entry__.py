@@ -72,59 +72,59 @@ _VERIFY_PRIORITY = [
     "q_sql_view", "q_sink_compacted", "q_dedup_cluster", "q_sql_recursive",
     "q_text_containment", "q_stream_stateful", "q_graph_pagerank",
     "q_profile_stats", "q_stream_join", "q_join_null_safe",
-    # -- last driver-checked round 1 --
-    "q_zero_fill", "q_filter_like", "q_limit", "q_filter_simple",
-    "q_union_all", "q_win_rank", "q_filter_compound", "q_union_distinct",
-    "q_topk", "q_filter_null_semantics", "q_win_analytic", "q_except",
-    "q_intersect", "q_win_frame_rows", "q_win_frame_range",
-    "q_win_topk_per_group", "q_case_when", "q_sort_multi",
-    # -- last driver-checked round 2 --
-    "q_scan_json", "q_project_rename_cast", "q_text_stats", "q_text_langid",
-    "q_dedup_exact", "q_join_anti", "q_pivot", "q_multimodal_decode",
-    "q_join_cross", "q_text_quality", "q_multimodal_frames", "q_text_tokens",
-    "q_join_broadcast", "q_multimodal_join", "q_convert_json_parquet",
-    "q_agg_groupingsets", "q_agg_having", "q_join_semi", "q_scan_csv",
-    "q_join_right", "q_agg_collect", "q_agg_cube", "q_sim_cosine_topk",
-    "q_text_vocab", "q_join_inner", "q_scan_parquet", "q_join_left",
-    "q_join_theta", "q_join_asof", "q_join_full", "q_agg_stats",
-    "q_text_fingerprint", "q_agg_approx_distinct", "q_dedup_near",
-    "q_agg_global", "q_dedup_simhash", "q_agg_distinct", "q_join_range",
-    "q_agg_rollup", "q_sim_ann_ivf", "q_sink_partitioned", "q_sim_pairs_lsh",
-    "q_join_multiway", "q_text_tfidf", "q_agg_groupby",
-    "q_agg_sketch_quantiles", "q_join_bucketed", "q_join_salted",
-    "q_dedup_embed", "q_dedup_ngram_jaccard",
-    # -- last driver-checked round 3 --
-    "q_fn_format", "q_fn_timezone", "q_fn_regex", "q_text_dedup_url",
-    "q_scan_json_corrupt", "q_multimodal_dedup", "q_agg_diversity",
-    "q_stats_gini", "q_sample_balanced", "q_corpus_pipeline",
-    "q_stats_ttest", "q_win_conversion_lag", "q_win_streaks", "q_corpus_qc",
-    "q_win_cumulative_share", "q_udf_arrow", "q_win_ewma", "q_agg_ohlc",
-    "q_cohort_retention", "q_stats_pareto", "q_agg_incremental",
-    "q_stats_auc", "q_sql_lateral", "q_sample_temperature", "q_stats_ks",
-    "q_win_attribution", "q_embed_pool", "q_sort_zorder", "q_cdc_diff",
-    "q_skew_diagnose", "q_win_moving_distinct", "q_join_interval_overlap",
-    "q_agg_sketch_cms", "q_stats_chi2", "q_text_repetition", "q_embed_pca",
-    "q_join_prune_dynamic", "q_anomaly_mad", "q_scan_metadata",
-    "q_source_custom", "q_bpe_apply", "q_join_hinted",
-    "q_join_bloom_prefilter", "q_text_entropy", "q_embed_whiten",
-    "q_stats_linreg", "q_pairs_copurchase", "q_dedup_incremental",
-    "q_pairs_lift", "q_embed_kmeans",
-    # -- last driver-checked round 4 --
-    "q_sql_identifier", "q_sql_params", "q_eval_calibration",
-    "q_stats_wilson", "q_stats_psi", "q_skyline_pareto", "q_privacy_kanon",
-    "q_rank_rrf", "q_stats_power", "q_label_future_window", "q_udtf_python",
-    "q_win_growth", "q_win_peaks", "q_seq_gaps", "q_stats_rolling_corr",
-    "q_seq_transitions", "q_rank_mrr", "q_orders_backlog",
-    "q_time_decompose", "q_sample_temporal_split", "q_seq_paths",
-    "q_stats_anova", "q_feature_gini", "q_cohort_ltv", "q_interval_merge",
-    "q_agg_percentile_daily", "q_user_features", "q_anomaly_seasonal",
-    "q_id_dense", "q_composite_q18", "q_qc_expectations", "q_s3_event_parse",
-    "q_feature_hash", "q_agg_hist2d", "q_composite_q5", "q_er_pipeline",
-    "q_composite_q7", "q_text_collocations", "q_stream_s3_events",
-    "q_text_keywords", "q_text_dedup_paragraph", "q_graph_bfs",
-    "q_survival_km", "q_checksum_table", "q_text_bigram_lm",
-    "q_feature_target_encode", "q_agg_weighted_median",
-    "q_stream_quality_gate", "q_join_point_in_time", "q_sample_bootstrap",
+    # -- implementation changed in round 5 AFTER their last driver check
+    # (exact bucketing, NULL pinning, quantization, pushdown rewrites) --
+    "q_multimodal_frames", "q_multimodal_decode", "q_text_quality",
+    "q_agg_ohlc", "q_stats_auc", "q_seq_gaps", "q_sort_multi",
+    "q_embed_pool", "q_id_dense", "q_stats_ks", "q_sample_temperature",
+    "q_stream_quality_gate",
+    # -- previously driver-checked, unchanged since (oldest check first) --
+    "q_zero_fill", "q_filter_like", "q_limit", "q_union_all",
+    "q_filter_simple", "q_win_rank", "q_filter_compound", "q_topk",
+    "q_win_analytic", "q_union_distinct", "q_filter_null_semantics",
+    "q_except", "q_intersect", "q_win_frame_rows", "q_win_frame_range",
+    "q_win_topk_per_group", "q_case_when", "q_project_rename_cast",
+    "q_scan_json", "q_text_stats", "q_pivot", "q_join_cross", "q_join_anti",
+    "q_dedup_exact", "q_join_semi", "q_text_langid", "q_join_broadcast",
+    "q_join_right", "q_join_inner", "q_text_tokens",
+    "q_convert_json_parquet", "q_multimodal_join", "q_agg_groupingsets",
+    "q_join_left", "q_agg_having", "q_join_theta", "q_scan_csv",
+    "q_agg_cube", "q_sim_cosine_topk", "q_agg_collect", "q_scan_parquet",
+    "q_text_vocab", "q_join_asof", "q_join_full", "q_agg_approx_distinct",
+    "q_agg_stats", "q_dedup_near", "q_join_range", "q_sink_partitioned",
+    "q_join_multiway", "q_dedup_simhash", "q_agg_distinct",
+    "q_text_fingerprint", "q_agg_global", "q_agg_rollup", "q_sim_ann_ivf",
+    "q_join_bucketed", "q_sim_pairs_lsh", "q_join_salted", "q_text_tfidf",
+    "q_agg_groupby", "q_dedup_embed", "q_dedup_ngram_jaccard",
+    "q_agg_sketch_quantiles", "q_fn_format", "q_fn_timezone", "q_fn_regex",
+    "q_sample_balanced", "q_text_dedup_url", "q_sort_zorder",
+    "q_multimodal_dedup", "q_agg_diversity", "q_skew_diagnose",
+    "q_corpus_qc", "q_win_streaks", "q_win_cumulative_share", "q_udf_arrow",
+    "q_win_conversion_lag", "q_win_ewma", "q_win_attribution",
+    "q_corpus_pipeline", "q_join_interval_overlap", "q_agg_incremental",
+    "q_sql_lateral", "q_stats_gini", "q_cohort_retention",
+    "q_scan_json_corrupt", "q_win_moving_distinct", "q_source_custom",
+    "q_join_prune_dynamic", "q_cdc_diff", "q_stats_chi2", "q_embed_pca",
+    "q_stats_ttest", "q_text_repetition", "q_agg_sketch_cms",
+    "q_join_hinted", "q_stats_pareto", "q_join_bloom_prefilter",
+    "q_anomaly_mad", "q_scan_metadata", "q_text_entropy", "q_embed_whiten",
+    "q_stats_linreg", "q_bpe_apply", "q_dedup_incremental",
+    "q_pairs_copurchase", "q_pairs_lift", "q_embed_kmeans", "q_sql_params",
+    "q_eval_calibration", "q_sql_identifier", "q_skyline_pareto",
+    "q_label_future_window", "q_rank_rrf", "q_udtf_python",
+    "q_privacy_kanon", "q_win_peaks", "q_orders_backlog", "q_stats_psi",
+    "q_win_growth", "q_time_decompose", "q_stats_wilson", "q_feature_gini",
+    "q_interval_merge", "q_seq_paths", "q_user_features", "q_cohort_ltv",
+    "q_sample_temporal_split", "q_seq_transitions", "q_stats_anova",
+    "q_stats_power", "q_rank_mrr", "q_agg_percentile_daily",
+    "q_stats_rolling_corr", "q_text_collocations", "q_qc_expectations",
+    "q_s3_event_parse", "q_composite_q18", "q_agg_hist2d",
+    "q_anomaly_seasonal", "q_feature_hash", "q_er_pipeline",
+    "q_composite_q7", "q_survival_km", "q_composite_q5",
+    "q_text_dedup_paragraph", "q_text_bigram_lm", "q_graph_bfs",
+    "q_stream_s3_events", "q_feature_target_encode", "q_checksum_table",
+    "q_join_point_in_time", "q_text_keywords", "q_agg_weighted_median",
+    "q_sample_bootstrap",
 ]
 
 
