@@ -60,7 +60,9 @@ _VERIFY_PRIORITY = [
     "q_dedup_cluster", "q_sql_recursive", "q_text_containment",
     "q_graph_pagerank", "q_profile_stats", "q_stream_join",
     # -- implementation changed in round 6 AFTER their last driver check --
-    # (filled in as round-6 hardening lands)
+    # (pairs_lift: support-table broadcast hints dropped; quality_gate:
+    # null-closed dead-letter routing)
+    "q_pairs_lift", "q_stream_quality_gate",
     # -- previously driver-checked, unchanged since (r5-changed block first,
     # then oldest check first) --
     "q_scan_binary", "q_scan_jsonlines", "q_unpivot", "q_fn_encode",
@@ -80,7 +82,7 @@ _VERIFY_PRIORITY = [
     "q_agg_histogram", "q_multimodal_frames", "q_multimodal_decode",
     "q_text_quality", "q_agg_ohlc", "q_stats_auc", "q_seq_gaps",
     "q_sort_multi", "q_embed_pool", "q_id_dense", "q_stats_ks",
-    "q_sample_temperature", "q_stream_quality_gate", "q_zero_fill",
+    "q_sample_temperature", "q_zero_fill",
     "q_filter_like", "q_limit", "q_union_all", "q_filter_simple",
     "q_win_rank", "q_filter_compound", "q_topk", "q_win_analytic",
     "q_union_distinct", "q_filter_null_semantics", "q_except", "q_intersect",
@@ -111,7 +113,7 @@ _VERIFY_PRIORITY = [
     "q_stats_pareto", "q_join_bloom_prefilter", "q_anomaly_mad",
     "q_scan_metadata", "q_text_entropy", "q_embed_whiten", "q_stats_linreg",
     "q_bpe_apply", "q_dedup_incremental", "q_pairs_copurchase",
-    "q_pairs_lift", "q_embed_kmeans", "q_sql_params", "q_eval_calibration",
+    "q_embed_kmeans", "q_sql_params", "q_eval_calibration",
     "q_sql_identifier", "q_skyline_pareto", "q_label_future_window",
     "q_rank_rrf", "q_udtf_python", "q_privacy_kanon", "q_win_peaks",
     "q_orders_backlog", "q_stats_psi", "q_win_growth", "q_time_decompose",

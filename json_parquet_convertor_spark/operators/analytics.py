@@ -1046,10 +1046,13 @@ def q_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive identical doubles.
 
     Scale design: same basket self-join as the pair miner (bounded by
-    per-order basket size), plus two broadcast-sized joins against the
-    per-part support table and a 1-row order-count frame. Supports are
-    computed from the SAME distinct projection the pairs use — one
-    scan, no second pass over lineitem."""
+    per-order basket size); the per-part support table is joined back
+    by SHUFFLE, not broadcast — |parts| grows with the data (1e8+ rows
+    at 100 TB would OOM a broadcast build side), and the pair table is
+    already hash-partitioned on the part keys so AQE picks the cheap
+    side at runtime. Only the 1-row order-count frame is broadcast.
+    Supports are computed from the SAME distinct projection the pairs
+    use — one scan, no second pass over lineitem."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1079,8 +1082,8 @@ def q_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("s").alias("sb")
     )
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",

@@ -517,9 +517,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     --unicode sweep caught a doc whose score*10⁴ straddled .5 across
     engines), so each ratio is emitted as
     floor((2·10⁴·num + den) / (2·den)) / 10⁴ — half-up rounding of the
-    exact rational num/den, integer numerators throughout, and the one
-    double division sits far (≥1/(2·n_tokens)) from any integer
-    boundary."""
+    exact rational num/den with integer numerators throughout. The
+    cross-engine guarantee is not boundary distance (the quotient CAN
+    land exactly on an integer, e.g. power-of-two denominators where the
+    division is exact): it is that both engines perform the SAME single
+    correctly-rounded IEEE division of identical exactly-representable
+    integers, so floor of the identical double agrees bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words).cast("int")

@@ -681,7 +681,12 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     good_dir = os.path.join(base, "good")
     quar_dir = os.path.join(base, "quarantine")
     ckpt = os.path.join(base, "ckpt")
-    good_rule = F.col("l_quantity") <= 45
+    # null-closed routing: a NULL quantity makes `l_quantity <= 45` NULL,
+    # which a bare filter would drop from BOTH sinks — the dead-letter
+    # contract is that every row lands in exactly one, so the rule
+    # coalesces to False and NULLs fall into quarantine (as the oracle's
+    # CASE ... ELSE 'quarantine' already does)
+    good_rule = F.coalesce(F.col("l_quantity") <= 45, F.lit(False))
 
     def route(batch, batch_id):
         # batchId-keyed overwrite = idempotent under redelivery: a retried

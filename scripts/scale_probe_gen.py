@@ -26,7 +26,10 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root (package import)
+sys.path.insert(0, _HERE)  # scripts/ itself, so `python -m` / external
+# importers resolve the sibling module too (not just direct invocation)
 
 from gen_fixtures import build  # noqa: E402  (scripts/ sibling)
 

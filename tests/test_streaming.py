@@ -538,3 +538,38 @@ def test_quality_gate_routing_is_idempotent_on_replay(spark, tmp_path):
     )
     q.awaitTermination()
     assert counts() == (3, 1)
+
+
+def test_quality_gate_null_quantity_routes_to_quarantine(spark, tmp_path):
+    """Dead-letter contract: EVERY row lands in exactly one sink. A NULL
+    l_quantity makes `l_quantity <= 45` evaluate to NULL, so a bare
+    filter pair (rule / ~rule) drops the row from BOTH sinks (r5 ADVICE).
+    Drive the REGISTERED operator on a fixture containing a NULL-quantity
+    row and assert it surfaces in the quarantine sink — matching the
+    oracle's CASE ... ELSE 'quarantine' — with total row accounting
+    intact."""
+    fix = tmp_path / "fix"
+    fix.mkdir()
+    spark.createDataFrame(
+        [
+            (1, 10.0, "N"),
+            (2, 50.0, "N"),
+            (3, None, "R"),  # the row a null-open rule would lose
+            (4, 45.0, "A"),
+        ],
+        "l_orderkey bigint, l_quantity double, l_returnflag string",
+    ).coalesce(1).write.parquet(str(fix / "lineitem.parquet"))
+
+    from json_parquet_convertor_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q_stream_quality_gate"](spark, str(fix))
+    rows = {
+        (r["sink"], r["l_returnflag"]): (r["n_rows"], r["total_qty"])
+        for r in out.collect()
+    }
+    assert rows[("quarantine", "R")] == (1, None)  # NULL row routed, kept
+    assert rows[("quarantine", "N")] == (1, 50)
+    assert rows[("good", "N")] == (1, 10)
+    assert rows[("good", "A")] == (1, 45)
+    assert sum(n for n, _ in rows.values()) == 4  # nothing dropped
