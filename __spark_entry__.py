@@ -61,8 +61,10 @@ _VERIFY_PRIORITY = [
     "q_graph_pagerank", "q_profile_stats", "q_stream_join",
     # -- implementation changed in round 6 AFTER their last driver check --
     # (pairs_lift: support-table broadcast hints dropped; quality_gate:
-    # null-closed dead-letter routing)
-    "q_pairs_lift", "q_stream_quality_gate",
+    # null-closed dead-letter routing; cube/rollup/groupingsets: HAVING
+    # cnt>0 pins empty-input semantics both engines agree on)
+    "q_pairs_lift", "q_stream_quality_gate", "q_agg_cube", "q_agg_rollup",
+    "q_agg_groupingsets",
     # -- previously driver-checked, unchanged since (r5-changed block first,
     # then oldest check first) --
     "q_scan_binary", "q_scan_jsonlines", "q_unpivot", "q_fn_encode",
@@ -91,12 +93,12 @@ _VERIFY_PRIORITY = [
     "q_pivot", "q_join_cross", "q_join_anti", "q_dedup_exact", "q_join_semi",
     "q_text_langid", "q_join_broadcast", "q_join_right", "q_join_inner",
     "q_text_tokens", "q_convert_json_parquet", "q_multimodal_join",
-    "q_agg_groupingsets", "q_join_left", "q_agg_having", "q_join_theta",
-    "q_scan_csv", "q_agg_cube", "q_sim_cosine_topk", "q_agg_collect",
+    "q_join_left", "q_agg_having", "q_join_theta",
+    "q_scan_csv", "q_sim_cosine_topk", "q_agg_collect",
     "q_scan_parquet", "q_text_vocab", "q_join_asof", "q_join_full",
     "q_agg_approx_distinct", "q_agg_stats", "q_dedup_near", "q_join_range",
     "q_sink_partitioned", "q_join_multiway", "q_dedup_simhash",
-    "q_agg_distinct", "q_text_fingerprint", "q_agg_global", "q_agg_rollup",
+    "q_agg_distinct", "q_text_fingerprint", "q_agg_global", 
     "q_sim_ann_ivf", "q_join_bucketed", "q_sim_pairs_lsh", "q_join_salted",
     "q_text_tfidf", "q_agg_groupby", "q_dedup_embed",
     "q_dedup_ngram_jaccard", "q_agg_sketch_quantiles", "q_fn_format",

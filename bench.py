@@ -4,8 +4,14 @@ Usage (matches the driver contract):
     python bench.py                       # sf dir from $SPARK_GRAFT_SF_DIR
                                           # (default /root/testdata/sf0.1),
                                           # local[$SPARK_GRAFT_CPUS]
-    python bench.py --out BENCH_FULL_r05.json   # pick the durable-copy name
-                                          # (every run also appends to
+    python bench.py --out FILE [--force]  # pick the durable-copy name
+                                          # (default: BENCH_FULL_r{N}.json,
+                                          # N = current round inferred from
+                                          # CORRECTNESS_r*.json; an existing
+                                          # file is never overwritten without
+                                          # --force — the run diverts to a
+                                          # unique suffixed name. Every run
+                                          # also appends to
                                           # BENCH_HISTORY.jsonl, append-only)
 
 Prints exactly ONE JSON line on stdout:
@@ -69,15 +75,54 @@ def _make_split_dir(spark, sf_dir: str) -> str:
     return split
 
 
+def _current_round(here: str) -> int:
+    """Repo marker for the in-progress round: the driver writes
+    CORRECTNESS_r{N}.json at the END of round N, so the highest one on
+    disk + 1 is the round currently being built."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _canary(spark, sf_dir: str, reps: int) -> float:
+    """Fixed host-state probe: median time of the flagship scan+agg.
+
+    The five recorded r1-r5 full runs differ 163.7-198.3 s purely by host
+    state (warm JVMs, concurrent judges), uniformly across untouched
+    queries. Timing the SAME query at run start and run end turns that
+    folklore band into a measurement: quote totals deflated by
+    (canary_ref / measured canary) per BASELINE.md methodology."""
+    from json_parquet_convertor_spark import registry
+
+    samples = []
+    for _ in range(max(reps, 3)):
+        t0 = time.perf_counter()
+        _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def main() -> int:
-    # --out PATH redirects the durable JSON copy (default BENCH_FULL.json);
-    # every run ALSO appends to BENCH_HISTORY.jsonl so concurrent
+    # --out PATH redirects the durable JSON copy (default: round-stamped
+    # BENCH_FULL_r{N}.json, never clobbering an existing file without
+    # --force); every run ALSO appends to BENCH_HISTORY.jsonl so concurrent
     # builder/driver/judge runs never destroy each other's records
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    out_path = ap.parse_args().out
+    ap.add_argument(
+        "--force", action="store_true",
+        help="allow overwriting an existing default-named durable copy",
+    )
+    args = ap.parse_args()
+    out_path = args.out
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -90,6 +135,11 @@ def main() -> int:
 
     # warmup: spin up executors, JIT the scan/agg path
     _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
+
+    loadavg_start = list(os.getloadavg())
+    canary_start = _canary(spark, sf_dir, reps)
+    print(f"canary@start: {canary_start}s load={loadavg_start}",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
@@ -129,6 +179,10 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"BENCH ERROR split variant: {exc!r}", file=sys.stderr)
 
+    canary_end = _canary(spark, sf_dir, reps)
+    loadavg_end = list(os.getloadavg())
+    print(f"canary@end: {canary_end}s load={loadavg_end}", file=sys.stderr)
+
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))
     if tail.startswith("sf"):
@@ -151,6 +205,15 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "reps": reps,
+        # host-state canary (BASELINE.md "Bench methodology"): fixed query
+        # timed before and after the sweep + 1/5/15-min loadavg; readers
+        # deflate totals by (canary_ref / mean canary) to compare runs
+        # taken under different host load
+        "canary_query": "q_agg_groupby",
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         # repeated at the END of the line: the driver's stdout capture has
         # historically truncated the HEAD of long lines, destroying the
         # totals above — a tail-surviving copy keeps the headline readable
@@ -164,8 +227,28 @@ def main() -> int:
     # copy, overwritten); the history file is append-only so every run —
     # builder, driver, judge — survives in order with a wall-clock stamp.
     here = os.path.dirname(os.path.abspath(__file__))
+    explicit_out = out_path is not None
+    if not explicit_out:
+        out_path = os.path.join(
+            here, f"BENCH_FULL_r{_current_round(here):02d}.json"
+        )
+    # an EXPLICIT --out honors the caller verbatim (the driver depends on
+    # its chosen filename); only the default name is clobber-protected
+    if not explicit_out and os.path.exists(out_path) and not args.force:
+        # never silently clobber a committed artifact (it happened to
+        # BENCH_FULL.json three rounds running): divert to a unique name
+        base = out_path
+        n = 1
+        while os.path.exists(out_path):
+            out_path = f"{base}.{n}"
+            n += 1
+        print(
+            f"BENCH WARN {base} exists; writing {out_path} instead "
+            "(pass --force to overwrite)",
+            file=sys.stderr,
+        )
     try:
-        with open(out_path or os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write(line + "\n")
         stamped = dict(out)
         stamped["wall_clock_utc"] = time.strftime(

@@ -149,16 +149,25 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals. Empty-input semantics are pinned to
+    "materialized groups only": standard SQL (and DuckDB) emits the ()
+    grand-total row with cnt=0 over an empty table, while Spark's Expand
+    plan groups on the grouping-id and so emits nothing — the
+    HAVING cnt > 0 (a no-op on any populated input, since every
+    materialized group has >=1 row) makes both engines return 0 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
         F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
         F.count("*").alias("cnt"),
         dsum("l_quantity").alias("sum_qty"),
-    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "cnt", "sum_qty")
+    ).filter(F.col("cnt") > 0).select(
+        "l_returnflag", "l_linestatus", "g_rf", "g_ls", "cnt", "sum_qty"
+    )
 
 
 @query(
@@ -168,13 +177,17 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dims. HAVING cnt > 0 pins materialized-groups-only
+    empty-input semantics (see q_agg_rollup); no-op when any row exists."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0)
         .select("l_returnflag", "l_linestatus", "cnt")
     )
 
@@ -186,9 +199,13 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL. HAVING cnt > 0 pins
+    materialized-groups-only empty-input semantics (see q_agg_rollup);
+    no-op when any row exists."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("jpc_li_gs")
     return spark.sql(
@@ -196,6 +213,7 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM jpc_li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING COUNT(*) > 0
         """
     )
 

@@ -32,9 +32,15 @@ With --unicode, the document vocabulary gains GNARLY tokens (accents, CJK,
 Cyrillic, emoji, quotes, CSV/JSON/regex metacharacters, a literal tab) —
 stressing every text operator's escaping, tokenization, and round-trips.
 
+With --empty, every table is written with ZERO rows but its exact schema
+(r5 verdict #5): at 100 TB an empty partition/day/source is routine, and
+medians, window frames, k-means seeds, and first()-style aggregates are
+the classic empty-input breakers. The full differential sweep must come
+back clean (0 rows or the query's defined scalar) on such a fixture.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
-       [--unicode]
-Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode] — the variant
+       [--unicode] [--empty]
+Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -71,7 +77,7 @@ GNARLY = [
 
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
-    unicode_text: bool = False,
+    unicode_text: bool = False, empty: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -109,6 +115,10 @@ def build(
         return F.element_at(lit, idx + 1)
 
     def write(df, name, parts):
+        if empty:
+            # zero rows, exact schema — limit(0) preserves every column
+            # type the populated variant would have written
+            df, parts = df.limit(0), 1
         df.repartition(parts).write.mode("overwrite").parquet(
             os.path.join(dst, f"{name}.parquet")
         )
@@ -205,7 +215,11 @@ def build(
             ),
             F.floor(F.rand(SEED + 20) * n_supp).alias("l_suppkey"),
             ui(1, 7, 21).alias("l_linenumber"),
-            F.floor(u(1, 51, 22)).cast("double").alias("l_quantity"),
+            # nullable: the quality-gate dead-letter contract (and every
+            # SUM/AVG/median over quantity) must survive NULL quantities
+            maybe_null(
+                F.floor(u(1, 51, 22)).cast("double"), 22
+            ).alias("l_quantity"),
             F.round(u(900.0, 105000.0, 23), 2).alias("l_extendedprice"),
             (F.floor(u(0, 11, 24)) / 100.0).alias("l_discount"),
             (F.floor(u(0, 9, 25)) / 100.0).alias("l_tax"),
@@ -313,6 +327,7 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--nulls", action="store_true")
     ap.add_argument("--unicode", action="store_true")
+    ap.add_argument("--empty", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -321,14 +336,14 @@ def main() -> int:
     # mistaken for the plain one by a consumer's exists-check (probe reuse)
     suffix = ("_nulls" if args.nulls else "") + (
         "_unicode" if args.unicode else ""
-    )
+    ) + ("_empty" if args.empty else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
-          unicode_text=args.unicode)
+          unicode_text=args.unicode, empty=args.empty)
     print(dst)
     return 0
 
