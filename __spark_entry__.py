@@ -62,9 +62,14 @@ _VERIFY_PRIORITY = [
     # -- implementation changed in round 6 AFTER their last driver check --
     # (pairs_lift: support-table broadcast hints dropped; quality_gate:
     # null-closed dead-letter routing; cube/rollup/groupingsets: HAVING
-    # cnt>0 pins empty-input semantics both engines agree on)
+    # cnt>0 pins empty-input semantics; the rest: empty-input hardening —
+    # declared read-back schemas, NULL-vs-0 empty aggregates, guarded
+    # iterative seeds — from the r6 zero-row fixture sweep)
     "q_pairs_lift", "q_stream_quality_gate", "q_agg_cube", "q_agg_rollup",
-    "q_agg_groupingsets",
+    "q_agg_groupingsets", "q_convert_parquet_json", "q_sink_partitioned",
+    "q_scan_pruned", "q_scan_metadata", "q_join_prune_dynamic",
+    "q_privacy_kanon",
+    "q_embed_kmeans",
     # -- previously driver-checked, unchanged since (r5-changed block first,
     # then oldest check first) --
     "q_scan_binary", "q_scan_jsonlines", "q_unpivot", "q_fn_encode",
@@ -76,11 +81,11 @@ _VERIFY_PRIORITY = [
     "q_embed_quantize", "q_fn_bitwise", "q_fn_try", "q_join_fuzzy",
     "q_fn_date", "q_text_scrub_pii", "q_agg_time_rollup",
     "q_scan_merge_schema", "q_pack_sequences", "q_stats_benford",
-    "q_sample_split", "q_scan_pruned", "q_win_rolling_median",
+    "q_sample_split", "q_win_rolling_median",
     "q_agg_hll_union", "q_fn_collation", "q_fn_array", "q_sql_not_in",
     "q_win_pattern", "q_udtf_explode", "q_scan_orc", "q_agg_modern",
     "q_agg_freq_items", "q_udf_python", "q_json_normalize", "q_win_drawdown",
-    "q_text_chunk", "q_convert_parquet_json", "q_setop_all", "q_time_spine",
+    "q_text_chunk", "q_setop_all", "q_time_spine",
     "q_agg_histogram", "q_multimodal_frames", "q_multimodal_decode",
     "q_text_quality", "q_agg_ohlc", "q_stats_auc", "q_seq_gaps",
     "q_sort_multi", "q_embed_pool", "q_id_dense", "q_stats_ks",
@@ -97,7 +102,7 @@ _VERIFY_PRIORITY = [
     "q_scan_csv", "q_sim_cosine_topk", "q_agg_collect",
     "q_scan_parquet", "q_text_vocab", "q_join_asof", "q_join_full",
     "q_agg_approx_distinct", "q_agg_stats", "q_dedup_near", "q_join_range",
-    "q_sink_partitioned", "q_join_multiway", "q_dedup_simhash",
+    "q_join_multiway", "q_dedup_simhash",
     "q_agg_distinct", "q_text_fingerprint", "q_agg_global", 
     "q_sim_ann_ivf", "q_join_bucketed", "q_sim_pairs_lsh", "q_join_salted",
     "q_text_tfidf", "q_agg_groupby", "q_dedup_embed",
@@ -109,15 +114,15 @@ _VERIFY_PRIORITY = [
     "q_win_ewma", "q_win_attribution", "q_corpus_pipeline",
     "q_join_interval_overlap", "q_agg_incremental", "q_sql_lateral",
     "q_stats_gini", "q_cohort_retention", "q_scan_json_corrupt",
-    "q_win_moving_distinct", "q_source_custom", "q_join_prune_dynamic",
+    "q_win_moving_distinct", "q_source_custom", 
     "q_cdc_diff", "q_stats_chi2", "q_embed_pca", "q_stats_ttest",
     "q_text_repetition", "q_agg_sketch_cms", "q_join_hinted",
     "q_stats_pareto", "q_join_bloom_prefilter", "q_anomaly_mad",
-    "q_scan_metadata", "q_text_entropy", "q_embed_whiten", "q_stats_linreg",
+    "q_text_entropy", "q_embed_whiten", "q_stats_linreg",
     "q_bpe_apply", "q_dedup_incremental", "q_pairs_copurchase",
-    "q_embed_kmeans", "q_sql_params", "q_eval_calibration",
+    "q_sql_params", "q_eval_calibration",
     "q_sql_identifier", "q_skyline_pareto", "q_label_future_window",
-    "q_rank_rrf", "q_udtf_python", "q_privacy_kanon", "q_win_peaks",
+    "q_rank_rrf", "q_udtf_python", "q_win_peaks",
     "q_orders_backlog", "q_stats_psi", "q_win_growth", "q_time_decompose",
     "q_stats_wilson", "q_feature_gini", "q_interval_merge", "q_seq_paths",
     "q_user_features", "q_cohort_ltv", "q_sample_temporal_split",

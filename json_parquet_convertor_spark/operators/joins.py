@@ -801,15 +801,20 @@ def q_join_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_parquet_convertor_spark.operators.relational import run_tmp
 
     dest = run_tmp(f"dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    monthly = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         (
-            load_table(spark, sf_dir, "orders")
-            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            monthly
             .write.partitionBy("o_month")
             .mode("overwrite")
             .parquet(dest)
         )
-    fact = spark.read.parquet(dest)
+    # explicit schema: an empty partitioned write has no month dirs to
+    # infer from (r6 empty-fixture sweep); DPP still fires on the
+    # declared partition column
+    fact = spark.read.schema(monthly.schema).parquet(dest)
     dim = (
         fact.select("o_month")
         .distinct()

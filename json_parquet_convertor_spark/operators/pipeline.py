@@ -1075,6 +1075,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("v")
     )
     n = docs.count()
+    if n == 0:
+        # empty graph: no vertices → no ranks, same (v, rank) schema
+        # (r6 empty-fixture sweep; 0.15/n and % n are undefined at n=0)
+        return docs.select("v", F.lit(0.0).alias("rank"))
     base, damp = 0.15 / n, 0.85
 
     edges = (
@@ -1650,12 +1654,20 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    init = np.vstack(
-        [
-            np.asarray(r["embedding"], dtype="float64")
-            for r in emb.orderBy("vec_id").limit(k).collect()
-        ]
-    )
+    seeds = [
+        np.asarray(r["embedding"], dtype="float64")
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    if not seeds:
+        # empty corpus: no centroids to fit — same output schema, 0 rows
+        # (r6 empty-fixture sweep; np.vstack([]) raises)
+        return emb.select(
+            F.lit(0).alias("centroid_id"),
+            F.lit(0).cast("long").alias("n_members"),
+            F.lit(0.0).alias("mean_inertia"),
+        )
+    k = min(k, len(seeds))  # degenerate corpora: never more seeds than rows
+    init = np.vstack(seeds)
 
     def make_assign(cent):
         c = cent.copy()

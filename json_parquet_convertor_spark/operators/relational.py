@@ -125,7 +125,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year("o_orderdate")
     )
     write_parquet(orders, dst, partition_by=["o_year"])
-    back = spark.read.parquet(dst)
+    # explicit schema: an EMPTY partitioned write leaves no partition dirs
+    # or part files to infer from (r6 empty-fixture sweep); declaring the
+    # written schema reads both layouts identically
+    back = spark.read.schema(orders.schema).parquet(dst)
     return back.groupBy("o_year").agg(
         F.count("*").alias("cnt"),
         dsum("o_totalprice").alias("sum_price"),
@@ -524,8 +527,10 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_compacted",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           64 AS n_files_small,
-           4 AS n_files_compacted
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 64 END AS INT)
+               AS n_files_small,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 4 END AS INT)
+               AS n_files_compacted
     FROM events
     """,
 )
@@ -740,7 +745,8 @@ def q_scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_sorted",
     oracle="""
-    SELECT 4 AS n_files,
+    SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 4 END AS INT)
+               AS n_files,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(0 AS BIGINT) AS n_overlapping_files
     FROM events
@@ -788,7 +794,9 @@ def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.agg(
         F.countDistinct("f").cast("int").alias("n_files"),
-        F.sum("n").alias("n_rows"),
+        # coalesce: sum over the zero-file stats frame is NULL, but the
+        # row count of an empty layout is 0 (r6 empty-fixture sweep)
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
         F.coalesce(F.sum("overlaps_prev"), F.lit(0))
         .cast("long")
         .alias("n_overlapping_files"),
@@ -921,14 +929,17 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_parquet_convertor_spark.exact import dsum
 
     part_dir = run_tmp("orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
     if not os.path.isdir(part_dir):
         (
-            load_table(spark, sf_dir, "orders")
+            orders
             .write.partitionBy("o_orderstatus")
             .mode("overwrite")
             .parquet(part_dir)
         )
-    pruned = spark.read.parquet(part_dir).filter(
+    # explicit schema: an empty partitioned write has nothing to infer
+    # from (r6 empty-fixture sweep); partition pruning still applies
+    pruned = spark.read.schema(orders.schema).parquet(part_dir).filter(
         F.col("o_orderstatus") == "F"
     )
     return pruned.groupBy("o_orderpriority").agg(
@@ -1355,7 +1366,9 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition("event_type").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(dst)
-    back = spark.read.parquet(dst).select(
+    # explicit schema: empty partitioned writes have nothing to infer from
+    # (r6 empty-fixture sweep); _metadata stays selectable either way
+    back = spark.read.schema(ev.schema).parquet(dst).select(
         "event_type",
         F.col("_metadata.file_name").alias("fname"),
         F.col("_metadata.file_size").alias("fsize"),
@@ -1600,17 +1613,23 @@ def q_convert_parquet_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: both directions are parallel per-partition writers —
     the JSON sink emits one .json part per task, no driver funneling.
-    JSON is ~4× parquet on disk and loses types (everything re-infers on
-    read), which is why this direction is an EXPORT, not storage; the
-    docstring states it so nobody ships it as a lake format. Compression
-    (gzip per line-file) would pipeline the same way."""
+    JSON is ~4× parquet on disk and loses types, which is why this
+    direction is an EXPORT, not storage; the docstring states it so
+    nobody ships it as a lake format. The read-back declares the
+    JSON-lines type surface explicitly (bigint/string — exactly what
+    inference produces on populated data) instead of inferring: an EMPTY
+    export has no records to infer from and an inferred read would fail
+    to resolve any column (caught by the r6 empty-fixture sweep).
+    Compression (gzip per line-file) would pipeline the same way."""
     base = run_tmp("convert_pj")
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
     dst = os.path.join(base, "json_out")
     nation.write.mode("overwrite").json(dst)
-    back = spark.read.json(dst)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json(dst)
     return back.groupBy(
         F.col("n_nationkey").cast("int").alias("n_nationkey"),
         "n_name",

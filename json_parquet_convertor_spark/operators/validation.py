@@ -326,7 +326,7 @@ def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(COUNT(*) FILTER (WHERE grp < 5) AS BIGINT)
                AS classes_below_5,
-           CAST(SUM(grp) FILTER (WHERE grp < 5) AS BIGINT)
+           CAST(COALESCE(SUM(grp) FILTER (WHERE grp < 5), 0) AS BIGINT)
                AS customers_at_risk,
            floor(CAST(SUM(grp * grp) AS DOUBLE)
                  / (CAST(SUM(grp) AS DOUBLE) * SUM(grp))

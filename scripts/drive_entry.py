@@ -68,7 +68,10 @@ for name in sample:
             print(f"FAIL {name}: rows-only raised {exc!r:.200}")
             fails.append(name)
         continue
-    ok, detail = compare_query(spark, con, qs[name], oracles[name], SF)
+    try:
+        ok, detail = compare_query(spark, con, qs[name], oracles[name], SF)
+    except Exception as exc:  # noqa: BLE001 — one bad query must not
+        ok, detail = False, f"raised {exc!r}"  # abort the whole sweep
     status = "OK " if ok else "FAIL"
     print(f"{status} {name}: {detail[:200]}")
     if not ok:
