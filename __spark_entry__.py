@@ -65,6 +65,9 @@ _VERIFY_PRIORITY = [
     # cnt>0 pins empty-input semantics; the rest: empty-input hardening —
     # declared read-back schemas, NULL-vs-0 empty aggregates, guarded
     # iterative seeds — from the r6 zero-row fixture sweep)
+    # (agg_groupby: sum_charge oracle re-routed through VARCHAR after the
+    # gen-sf1.0 sweep caught DuckDB's double-rounded decimal→double cast)
+    "q_agg_groupby",
     "q_pairs_lift", "q_stream_quality_gate", "q_agg_cube", "q_agg_rollup",
     "q_agg_groupingsets", "q_convert_parquet_json", "q_sink_partitioned",
     "q_scan_pruned", "q_scan_metadata", "q_join_prune_dynamic",

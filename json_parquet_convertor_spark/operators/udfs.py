@@ -107,7 +107,13 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     set lacks. Each group arrives as pandas Series (Arrow transfer), reduces
     to one scalar — composable with built-in aggs in the same .agg().
     The 3-value group key keeps state bounded at any scale; numpy-vs-engine
-    summation order differs only ~1e-13 relative, far inside 4 dp."""
+    summation order differs only ~1e-13 relative, far inside 4 dp.
+
+    NULL parity: Arrow nulls surface as NaN in the float Series, and a
+    naive np.sum would propagate them where SQL's SUM skips — the UDAF
+    masks NaN rows out of BOTH sums (r6 NULL-l_quantity sweep) and
+    returns NULL for an all-NULL group, exactly the oracle's
+    SUM(price*qty)/SUM(qty)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -116,7 +122,12 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
-        return float(np.sum(price.values * qty.values) / np.sum(qty.values))
+        p, q = price.values, qty.values
+        keep = ~(np.isnan(p) | np.isnan(q))
+        den = np.sum(q[keep])
+        if den == 0.0:  # empty or all-NULL group: SQL SUM/SUM is NULL
+            return None
+        return float(np.sum(p[keep] * q[keep]) / den)
 
     # Spark disallows mixing grouped-agg pandas UDFs with built-in aggs in
     # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
