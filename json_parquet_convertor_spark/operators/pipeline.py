@@ -1923,10 +1923,18 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(p_name, ' ')[-1] AS blk
         FROM part
     ),
+    -- closure over the DISTINCT-NAME node space (one node per name
+    -- carrying its min row key), like the engine: same-name rows are
+    -- distance-0 linked by definition, so row-level and name-level
+    -- components coincide and the row-level reach set (quadratic in
+    -- rows-per-name — 6M+ tuples at gen sf1.0) never materializes
+    nm AS (
+        SELECT blk, name, MIN(k) AS nk FROM rec GROUP BY 1, 2
+    ),
     pairs AS (
-        SELECT a.k AS ka, b.k AS kb
-        FROM rec a JOIN rec b
-          ON a.blk = b.blk AND a.k < b.k
+        SELECT a.nk AS ka, b.nk AS kb
+        FROM nm a JOIN nm b
+          ON a.blk = b.blk AND a.nk < b.nk
          AND levenshtein(a.name, b.name) <= 2
     ),
     edges AS (
@@ -1940,10 +1948,10 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
     ),
     canon AS (
-        SELECT r.k,
-               coalesce(LEAST(r.k, (SELECT MIN(d) FROM reach
-                                    WHERE s = r.k)), r.k) AS entity_id
-        FROM rec r
+        SELECT n.blk, n.name,
+               coalesce(LEAST(n.nk, (SELECT MIN(d) FROM reach
+                                     WHERE s = n.nk)), n.nk) AS entity_id
+        FROM nm n
     )
     SELECT c.entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_records,
@@ -1951,7 +1959,7 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((MAX(CAST(r.price AS DECIMAL(12,2)))
                   - MIN(CAST(r.price AS DECIMAL(12,2))))
                  * 10000 + 0.5) / 10000 AS price_spread
-    FROM canon c JOIN rec r ON r.k = c.k
+    FROM rec r JOIN canon c ON c.blk = r.blk AND c.name = r.name
     GROUP BY 1
     """,
 )
@@ -1986,8 +1994,11 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     name→entity map is dictionary-sized and BROADCASTS back onto the
     row stream, so the catalog itself is touched exactly twice (name
     rollup, final golden-record groupBy). DuckDB twins the clustering
-    with a recursive CTE over row-level pairs — same fixpoint,
-    declarative form."""
+    with a recursive CTE over the same distinct-name node space —
+    same fixpoint, declarative form (the r6 gen-sf1.0 sweep showed a
+    row-level closure materializes millions of reach tuples at 2.5k
+    rows per name; the name-space CTE is the oracle's equivalent of
+    the engine's vocabulary bound)."""
     p = load_table(spark, sf_dir, "part")
     rec = p.select(
         F.col("p_partkey").alias("k"),
