@@ -67,10 +67,14 @@ def assert_hashable_cells(df_pandas, label: str) -> None:
 
 
 def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
+    # column-wise tolist() + zip, not iterrows(): identical _cell output,
+    # but iterrows() builds a Series per row and was the wall-clock
+    # bottleneck of the gen-sf1.0 sweep (multi-million-row results)
     cols = sorted(df_pandas.columns)
-    out = []
-    for _, row in df_pandas[cols].iterrows():
-        out.append(tuple(_cell(row[c]) for c in cols))
+    canon_cols = [
+        [_cell(v) for v in df_pandas[c].tolist()] for c in cols
+    ]
+    out = [tuple(vals) for vals in zip(*canon_cols)] if cols else []
     out.sort()
     return out
 
