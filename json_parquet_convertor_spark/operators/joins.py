@@ -800,7 +800,7 @@ def q_join_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from json_parquet_convertor_spark.operators.relational import run_tmp
 
-    dest = run_tmp(f"dpp_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    dest = run_tmp("dpp_orders", sf_dir)
     monthly = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_format("o_orderdate", "yyyy-MM")
     )

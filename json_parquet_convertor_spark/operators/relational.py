@@ -9,6 +9,7 @@ TakeOrderedAndProject.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -44,8 +45,17 @@ atexit.register(
 )
 
 
-def run_tmp(name: str) -> str:
-    """Per-run-unique scratch dir for sink/round-trip queries."""
+def run_tmp(name: str, sf_dir: str | None = None) -> str:
+    """Per-run-unique scratch dir for sink/round-trip queries.
+
+    Pass ``sf_dir`` for any WRITE-ONCE layout derived from a fixture
+    table: the process token alone is not enough when one process runs
+    several fixtures (a full pytest session runs the empty fixture
+    before the driver one — an unkeyed write-once dir then serves the
+    empty layout to every later fixture)."""
+    if sf_dir is not None:
+        digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+        name = f"{name}_{digest}"
     return os.path.join(tempfile.gettempdir(), f"jpc_{_RUN_TOKEN}", name)
 
 
@@ -928,7 +938,7 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     via min/max stats) — real layouts compose both."""
     from json_parquet_convertor_spark.exact import dsum
 
-    part_dir = run_tmp("orders_by_status")
+    part_dir = run_tmp("orders_by_status", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.isdir(part_dir):
         (
@@ -1020,7 +1030,7 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     state pins the merged schema explicitly instead of re-inferring."""
     from json_parquet_convertor_spark.exact import dsum
 
-    base = run_tmp("merge_schema")
+    base = run_tmp("merge_schema", sf_dir)
     if not os.path.isdir(base):
         orders = load_table(spark, sf_dir, "orders")
         (

@@ -94,6 +94,19 @@ def test_affected_queries_match_on_empty_fixture(
     assert ok, f"{name}: {detail}"
 
 
+def test_write_once_scratch_is_fixture_keyed(spark, empty_dir, sf_dir):
+    """One process, two fixtures: the write-once partitioned layouts
+    (q_scan_pruned, q_scan_merge_schema, q_join_prune_dynamic) must key
+    their scratch dir by fixture, or the empty fixture's layout — written
+    first here, as in a full pytest session — is served to every later
+    fixture (caught r6: q_scan_pruned returned 0 rows at sf0.01 after
+    test_empty_input had populated the unkeyed dir)."""
+    for name in ("q_scan_pruned", "q_scan_merge_schema",
+                 "q_join_prune_dynamic"):
+        assert registry.QUERIES[name](spark, empty_dir).count() == 0
+        assert registry.QUERIES[name](spark, sf_dir).count() > 0, name
+
+
 def test_kmeans_returns_empty_cleanly(spark, empty_dir):
     """rows-only query (no DuckDB twin): zero seed vectors must yield an
     empty result with the normal schema, not np.vstack's ValueError."""
