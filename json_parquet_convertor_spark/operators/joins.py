@@ -247,21 +247,42 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_asof",
     oracle="""
-    SELECT o_orderkey, o_custkey, last_event_ts, last_event_type
+    -- the as-of key space is (user, bucket): o_ts takes exactly 31
+    -- values by construction, so the latest-event lookup aggregates
+    -- events x 31 buckets (linear) instead of materializing every
+    -- (order x prior-event) pair — 1.5e9 pairs at gen sf1.0, which
+    -- OOM'd the original ROW_NUMBER-over-raw-join formulation
+    WITH b AS (
+        SELECT range AS k,
+               TIMESTAMP '2024-01-01' + range * INTERVAL 1 DAY AS bts
+        FROM range(31)
+    ),
+    -- (ts, event_id) packed into ONE hugeint so the per-group argmax is
+    -- a plain vectorized MAX — DuckDB's struct/arg_max aggregates run a
+    -- per-row allocating state update that took minutes over these 31M
+    -- rows; event_id < 1e10 by fixture construction
+    ue AS (
+        SELECT e.user_id, b.k,
+               max(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS HUGEINT)
+                   * 10000000000 + e.event_id) AS pk
+        FROM events e JOIN b ON CAST(e.ts AS TIMESTAMP) <= b.bts
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT ue.user_id, ue.k,
+               make_timestamp(CAST(ue.pk // 10000000000 AS BIGINT))
+                   AS last_event_ts,
+               ev.event_type AS last_event_type
+        FROM ue JOIN events ev
+          ON ev.user_id = ue.user_id
+         AND ev.event_id = CAST(ue.pk % 10000000000 AS BIGINT)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           best.last_event_ts, best.last_event_type
     FROM (
-        SELECT o.o_orderkey, o.o_custkey, CAST(e.ts AS TIMESTAMP) AS last_event_ts,
-               e.event_type AS last_event_type,
-               ROW_NUMBER() OVER (
-                   PARTITION BY o.o_orderkey
-                   ORDER BY e.ts DESC, e.event_id DESC
-               ) AS rn
-        FROM (
-            SELECT o_orderkey, o_custkey,
-                   TIMESTAMP '2024-01-01' + (o_orderkey % 31) * INTERVAL 1 DAY AS o_ts
-            FROM orders
-        ) o LEFT JOIN events e
-          ON e.user_id = o.o_custkey AND e.ts <= o.o_ts
-    ) WHERE rn = 1
+        SELECT o_orderkey, o_custkey, o_orderkey % 31 AS k
+        FROM orders
+    ) o LEFT JOIN best ON best.user_id = o.o_custkey AND best.k = o.k
     """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
