@@ -258,19 +258,54 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_nearest",
     oracle="""
-    SELECT p.event_id AS purchase_id,
-           c.click_id,
-           c.delta_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN LATERAL (
-        SELECT c.event_id AS click_id,
-               abs(epoch_us(CAST(c.ts AS TIMESTAMP))
-                   - epoch_us(CAST(p.ts AS TIMESTAMP))) AS delta_us
-        FROM events c
-        WHERE c.event_type = 'click' AND c.user_id = p.user_id
-        ORDER BY delta_us, c.ts, c.event_id
-        LIMIT 1
-    ) c ON TRUE
+    -- linear union-merge twin of the per-purchase LATERAL top-1 (which
+    -- materializes every purchase x same-user click pair — 218M at gen
+    -- sf1.0, 60+ GB under the window sort): clicks and purchases merge
+    -- into one per-user stream; a running MAX carries the nearest
+    -- at-or-before click, a running MIN the nearest after. The click's
+    -- (epoch_us, event_id) packs into one hugeint — backward negates
+    -- event_id against 1e10-1 so MAX realizes (max ts, then MIN id),
+    -- forward keeps it raw so MIN realizes (min ts, then min id) —
+    -- reproducing ORDER BY delta_us, c.ts, c.event_id exactly: equal
+    -- |delta| prefers the smaller c.ts, i.e. the backward click
+    WITH u AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                         * 10000000000 + (9999999999 - event_id) END AS pb,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                         * 10000000000 + event_id END AS pf
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    m AS (
+        SELECT user_id, us, event_id, is_p,
+               max(pb) OVER (PARTITION BY user_id ORDER BY us, is_p
+                             ROWS UNBOUNDED PRECEDING) AS bb,
+               min(pf) OVER (PARTITION BY user_id ORDER BY us, is_p
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS bf
+        FROM u
+    ),
+    d AS (
+        SELECT event_id AS purchase_id,
+               9999999999 - CAST(bb % 10000000000 AS BIGINT) AS eid_b,
+               us - CAST(bb // 10000000000 AS BIGINT) AS delta_b,
+               CAST(bf % 10000000000 AS BIGINT) AS eid_f,
+               CAST(bf // 10000000000 AS BIGINT) - us AS delta_f
+        FROM m WHERE is_p = 1
+    )
+    SELECT purchase_id,
+           CASE WHEN delta_b IS NULL AND delta_f IS NULL THEN NULL
+                WHEN delta_f IS NULL OR delta_b <= delta_f THEN eid_b
+                ELSE eid_f END AS click_id,
+           CASE WHEN delta_b IS NULL AND delta_f IS NULL THEN NULL
+                WHEN delta_f IS NULL OR delta_b <= delta_f THEN delta_b
+                ELSE delta_f END AS delta_us
+    FROM d
     """,
 )
 def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
