@@ -142,10 +142,15 @@ _SQL_VIEW_SELECT = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-       CAST(SUM(net_dec) AS DOUBLE) AS net_revenue
+       CAST(CAST(SUM(net_dec) AS STRING) AS DOUBLE) AS net_revenue
 FROM lineitem_net
 GROUP BY l_returnflag
 """
+# ^ net_dec is scale-8 — (18,4) x (5,4) — so the summed numerator crosses
+# 2^53 at gen sf1.0 and DuckDB's direct decimal->double cast double-rounds
+# 1 ulp off Spark's (q_agg_groupby sum_charge class). Both engines run this
+# same SELECT string; the STRING round-trip makes both conversions the
+# correctly-rounded string->double parse.
 
 
 @query(
