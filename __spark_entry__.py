@@ -66,8 +66,10 @@ _VERIFY_PRIORITY = [
     # declared read-back schemas, NULL-vs-0 empty aggregates, guarded
     # iterative seeds — from the r6 zero-row fixture sweep)
     # (agg_groupby: sum_charge oracle re-routed through VARCHAR after the
-    # gen-sf1.0 sweep caught DuckDB's double-rounded decimal→double cast)
-    "q_agg_groupby",
+    # gen-sf1.0 sweep caught DuckDB's double-rounded decimal→double cast;
+    # join_asof / join_point_in_time / er_pipeline: oracles linearized for
+    # sf1.0 feasibility — semantics unchanged, re-check wanted)
+    "q_agg_groupby", "q_join_asof", "q_join_point_in_time", "q_er_pipeline",
     "q_pairs_lift", "q_stream_quality_gate", "q_agg_cube", "q_agg_rollup",
     "q_agg_groupingsets", "q_convert_parquet_json", "q_sink_partitioned",
     "q_scan_pruned", "q_scan_metadata", "q_join_prune_dynamic",
@@ -103,12 +105,12 @@ _VERIFY_PRIORITY = [
     "q_text_tokens", "q_convert_json_parquet", "q_multimodal_join",
     "q_join_left", "q_agg_having", "q_join_theta",
     "q_scan_csv", "q_sim_cosine_topk", "q_agg_collect",
-    "q_scan_parquet", "q_text_vocab", "q_join_asof", "q_join_full",
+    "q_scan_parquet", "q_text_vocab", "q_join_full",
     "q_agg_approx_distinct", "q_agg_stats", "q_dedup_near", "q_join_range",
     "q_join_multiway", "q_dedup_simhash",
     "q_agg_distinct", "q_text_fingerprint", "q_agg_global", 
     "q_sim_ann_ivf", "q_join_bucketed", "q_sim_pairs_lsh", "q_join_salted",
-    "q_text_tfidf", "q_agg_groupby", "q_dedup_embed",
+    "q_text_tfidf", "q_dedup_embed",
     "q_dedup_ngram_jaccard", "q_agg_sketch_quantiles", "q_fn_format",
     "q_fn_timezone", "q_fn_regex", "q_sample_balanced", "q_text_dedup_url",
     "q_sort_zorder", "q_multimodal_dedup", "q_agg_diversity",
@@ -132,11 +134,11 @@ _VERIFY_PRIORITY = [
     "q_seq_transitions", "q_stats_anova", "q_stats_power", "q_rank_mrr",
     "q_agg_percentile_daily", "q_stats_rolling_corr", "q_text_collocations",
     "q_qc_expectations", "q_s3_event_parse", "q_composite_q18",
-    "q_agg_hist2d", "q_anomaly_seasonal", "q_feature_hash", "q_er_pipeline",
+    "q_agg_hist2d", "q_anomaly_seasonal", "q_feature_hash",
     "q_composite_q7", "q_survival_km", "q_composite_q5",
     "q_text_dedup_paragraph", "q_text_bigram_lm", "q_graph_bfs",
     "q_stream_s3_events", "q_feature_target_encode", "q_checksum_table",
-    "q_join_point_in_time", "q_text_keywords", "q_agg_weighted_median",
+    "q_text_keywords", "q_agg_weighted_median",
     "q_sample_bootstrap",
 ]
 

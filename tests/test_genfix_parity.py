@@ -56,6 +56,16 @@ AFFECTED = [
     # routes through VARCHAR. This tiny-sf run pins the routed oracle's
     # equivalence; the 2^53 crossing itself only reproduces at sf1.0
     "q_agg_groupby",
+    # r6 gen-sf1.0 sweep, same 2^53 class at scale 8 ((18,4) x (5,4)):
+    # the shared view SELECT routes its final cast through STRING
+    "q_sql_view",
+    # r6 gen-sf1.0 oracle-feasibility rewrites (engine plans unchanged):
+    # name-space closure, bucketed packed argmax, union-merge nearest,
+    # native ASOF version lookup — pin the rewritten oracles' equivalence
+    "q_er_pipeline",
+    "q_join_asof",
+    "q_join_nearest",
+    "q_join_point_in_time",
 ]
 
 
