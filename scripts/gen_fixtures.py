@@ -38,8 +38,17 @@ medians, window frames, k-means seeds, and first()-style aggregates are
 the classic empty-input breakers. The full differential sweep must come
 back clean (0 rows or the query's defined scalar) on such a fixture.
 
+With --dupes (r6), VALUE columns collapse to tiny distinct pools while id
+columns stay unique: order/lineitem prices from 30-40 distinct values,
+ship/order dates from 10-20 distinct days, event timestamps from 48
+distinct instants, ~25 distinct document texts, exact-duplicate embedding
+vectors for a third of rows. Every ORDER BY/LIMIT/rank/argmax over a value
+column then runs tie-DENSE — any query whose cross-engine agreement
+silently depends on value uniqueness (incomplete tie-break chains) fails
+here and nowhere else.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
-       [--unicode] [--empty]
+       [--unicode] [--empty] [--dupes]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
@@ -78,10 +87,15 @@ GNARLY = [
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
+    dupes: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
+
+    def dd(normal_col, dupe_col):
+        """With --dupes, swap a high-NDV value column for a tiny pool."""
+        return dupe_col if dupes else normal_col
 
     def maybe_null(col, salt, frac=0.025):
         """With --nulls, NULL out a deterministic ~frac of values."""
@@ -192,12 +206,21 @@ def build(
         F.col("id").alias("o_orderkey"),
         F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
-        F.round(u(1000.0, 500000.0, 15), 2).alias("o_totalprice"),
+        dd(
+            F.round(u(1000.0, 500000.0, 15), 2),
+            F.round((F.floor(u(0, 30, 15)) + 1) * 9999.99, 2),
+        ).alias("o_totalprice"),
         # fractional seconds on purpose: stresses oracle truncate-vs-round
         # drift (unix_timestamp truncates; DuckDB's BIGINT cast rounds)
-        F.timestamp_seconds(
-            F.lit(788918400)  # 1995-01-01 UTC
-            + u(0, 6.6 * 365 * 86400, 16)
+        dd(
+            F.timestamp_seconds(
+                F.lit(788918400)  # 1995-01-01 UTC
+                + u(0, 6.6 * 365 * 86400, 16)
+            ),
+            F.timestamp_seconds(
+                F.lit(788918400)
+                + F.floor(u(0, 10, 16)).cast("long") * (86400 * 73)
+            ),
         ).alias("o_orderdate"),
         pick(prios, 17, power=1.5).alias("o_orderpriority"),
     )
@@ -220,13 +243,22 @@ def build(
             maybe_null(
                 F.floor(u(1, 51, 22)).cast("double"), 22
             ).alias("l_quantity"),
-            F.round(u(900.0, 105000.0, 23), 2).alias("l_extendedprice"),
+            dd(
+                F.round(u(900.0, 105000.0, 23), 2),
+                F.round((F.floor(u(0, 40, 23)) + 1) * 2499.75, 2),
+            ).alias("l_extendedprice"),
             (F.floor(u(0, 11, 24)) / 100.0).alias("l_discount"),
             (F.floor(u(0, 9, 25)) / 100.0).alias("l_tax"),
             pick(["R", "A", "N"], 26, power=1.2).alias("l_returnflag"),
             pick(["O", "F"], 27).alias("l_linestatus"),
-            F.timestamp_seconds(
-                F.lit(788918400) + u(86400, 6.9 * 365 * 86400, 28)
+            dd(
+                F.timestamp_seconds(
+                    F.lit(788918400) + u(86400, 6.9 * 365 * 86400, 28)
+                ),
+                F.timestamp_seconds(
+                    F.lit(788918400)
+                    + (F.floor(u(0, 20, 28)).cast("long") + 1) * (86400 * 100)
+                ),
             ).alias("l_shipdate"),
         ),
         "lineitem", max(1, int(32 * sf / 0.1)),
@@ -238,16 +270,27 @@ def build(
     write(
         spark.range(n_ev).select(
             F.col("id").alias("event_id"),
-            F.timestamp_seconds(
-                F.lit(1704067200)  # 2024-01-01 UTC
-                + u(0, 30 * 86400, 29)
+            dd(
+                F.timestamp_seconds(
+                    F.lit(1704067200)  # 2024-01-01 UTC
+                    + u(0, 30 * 86400, 29)
+                ),
+                # 48 distinct instants: tie-DENSE (user, ts) pairs drive
+                # every asof/nearest/window tiebreak through event_id
+                F.timestamp_seconds(
+                    F.lit(1704067200)
+                    + F.floor(u(0, 48, 29)).cast("long") * 53754
+                ),
             ).alias("ts"),
             F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users).alias(
                 "user_id"
             ),
             pick(etypes, 31, power=2.2).alias("event_type"),
             maybe_null(
-                F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2), 32
+                dd(
+                    F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2),
+                    F.round(F.floor(u(0, 10, 32)) * 56.0, 2),
+                ), 32
             ).alias("value"),
             maybe_null(
                 F.format_string('{"k": %d}', ui(0, 99, 33)), 33
@@ -268,14 +311,22 @@ def build(
             F.lit("src"), F.floor(F.pow(F.rand(SEED + 36), 1.7) * 20)
         ).alias("source"),
         # seed word index: duplicates share it -> identical text
-        F.when(
-            F.rand(SEED + 37) < 0.02, F.lit(0)
-        ).otherwise(F.col("id") % 9973).alias("base"),
+        # (--dupes: 25 bases total -> <=25 distinct texts, thousands of
+        # exact copies each)
+        dd(
+            F.when(
+                F.rand(SEED + 37) < 0.02, F.lit(0)
+            ).otherwise(F.col("id") % 9973),
+            F.col("id") % 25,
+        ).alias("base"),
     ).withColumn(
-        # dup docs (base=0) must also share a length to be EXACT dups
+        # dup docs (shared base) must also share a length to be EXACT dups
         "n_words",
-        F.when(F.col("base") == 0, F.lit(40)).otherwise(
-            F.floor(F.pow(F.rand(SEED + 34), 2.0) * 120 + 5)
+        dd(
+            F.when(F.col("base") == 0, F.lit(40)).otherwise(
+                F.floor(F.pow(F.rand(SEED + 34), 2.0) * 120 + 5)
+            ),
+            F.lit(10) + F.col("base") % 30,
         ),
     )
     docs = docs.select(
@@ -311,9 +362,17 @@ def build(
             "vec_id", "label",
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
+                # --dupes: every third row drops its per-row term, so rows
+                # of the same label become EXACT duplicate vectors (cosine
+                # ties, zero distances, dedup clusters of identical points)
                 lambda i: (
                     F.sin(F.col("label") * 13 + i * 7) * 2.0
-                    + F.sin(F.col("vec_id") * 31 + i * 3) * 0.6
+                    + F.when(
+                        F.lit(dupes) & (F.col("vec_id") % 3 == 0),
+                        F.lit(0.0),
+                    ).otherwise(
+                        F.sin(F.col("vec_id") * 31 + i * 3) * 0.6
+                    )
                 ).cast("float"),
             ).alias("embedding"),
         ).select("vec_id", "embedding", "label"),
@@ -328,6 +387,7 @@ def main() -> int:
     ap.add_argument("--nulls", action="store_true")
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--empty", action="store_true")
+    ap.add_argument("--dupes", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -336,14 +396,16 @@ def main() -> int:
     # mistaken for the plain one by a consumer's exists-check (probe reuse)
     suffix = ("_nulls" if args.nulls else "") + (
         "_unicode" if args.unicode else ""
-    ) + ("_empty" if args.empty else "")
+    ) + ("_empty" if args.empty else "") + (
+        "_dupes" if args.dupes else ""
+    )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
-          unicode_text=args.unicode, empty=args.empty)
+          unicode_text=args.unicode, empty=args.empty, dupes=args.dupes)
     print(dst)
     return 0
 
