@@ -69,7 +69,10 @@ _VERIFY_PRIORITY = [
     # gen-sf1.0 sweep caught DuckDB's double-rounded decimal→double cast;
     # join_asof / join_point_in_time / er_pipeline: oracles linearized for
     # sf1.0 feasibility — semantics unchanged, re-check wanted)
+    # (agg_ohlc: oracle argmax key DECIMAL->HUGEINT after the --dupes
+    # sweep caught DuckDB's approximate decimal key comparison)
     "q_agg_groupby", "q_join_asof", "q_join_point_in_time", "q_er_pipeline",
+    "q_agg_ohlc",
     "q_pairs_lift", "q_stream_quality_gate", "q_agg_cube", "q_agg_rollup",
     "q_agg_groupingsets", "q_convert_parquet_json", "q_sink_partitioned",
     "q_scan_pruned", "q_scan_metadata", "q_join_prune_dynamic",
@@ -92,7 +95,7 @@ _VERIFY_PRIORITY = [
     "q_agg_freq_items", "q_udf_python", "q_json_normalize", "q_win_drawdown",
     "q_text_chunk", "q_setop_all", "q_time_spine",
     "q_agg_histogram", "q_multimodal_frames", "q_multimodal_decode",
-    "q_text_quality", "q_agg_ohlc", "q_stats_auc", "q_seq_gaps",
+    "q_text_quality", "q_stats_auc", "q_seq_gaps",
     "q_sort_multi", "q_embed_pool", "q_id_dense", "q_stats_ks",
     "q_sample_temperature", "q_zero_fill",
     "q_filter_like", "q_limit", "q_union_all", "q_filter_simple",

@@ -1203,7 +1203,11 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bar_start,
                value,
-               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))
+               -- HUGEINT, not DECIMAL(38,0): DuckDB's arg_min/arg_max
+               -- compares decimal keys approximately (same-magnitude
+               -- keys differing in low digits all tie — --dupes sweep),
+               -- while hugeint keys compare exactly
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
                    * 1000000000000 + event_id AS okey
         FROM events
         WHERE value IS NOT NULL

@@ -124,19 +124,28 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
     WITH e AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
     ),
+    -- both window passes order by (ts, event_id) — a TOTAL order. With
+    -- ORDER BY ts alone, tied timestamps (--dupes sweep) are sequenced
+    -- arbitrarily and INDEPENDENTLY in the two passes; when the orders
+    -- disagree, the running SUM can pass tie-group rows before reaching
+    -- the row that carries the group's new_s=1 flag, splitting one
+    -- session's rows across two islands nondeterministically
     flags AS (
         SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
                          < INTERVAL 30 MINUTE
-                    THEN 0 ELSE 1 END AS new_s
+                    THEN 0 ELSE 1 END AS new_s,
+               event_id
         FROM e
     ),
     sess AS (
         SELECT user_id, ts,
                SUM(new_s) OVER (
-                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
                ) AS sid
         FROM flags
     )

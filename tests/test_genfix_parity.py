@@ -112,3 +112,64 @@ def test_affected_queries_match_on_adversarial_fixtures(
         gen_dir,
     )
     assert ok, f"{name}: {detail}"
+
+
+# r6 --dupes sweep: tie-DENSE value pools (48 distinct event instants,
+# tiny price/date pools, exact-dup docs/vectors) caught two oracle pairs
+# whose agreement silently required value uniqueness: q_agg_ohlc (DuckDB
+# arg_min/arg_max compares DECIMAL(38,0) keys approximately — now a
+# HUGEINT key) and q_stream_session (the gap-and-island rewrite's two
+# window passes ordered tied timestamps independently — now a total
+# (ts, event_id) order). The other two are the tie-sensitive argmax
+# joins, pinned here under tie density as regression insurance.
+TIE_SENSITIVE = [
+    "q_agg_ohlc",
+    "q_stream_session",
+    "q_join_asof",
+    "q_join_nearest",
+]
+
+
+@pytest.fixture(scope="module")
+def dupes_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_dupes")
+    build(spark, dst, 0.001, dupes=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def dupes_duck(dupes_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(dupes_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TIE_SENSITIVE)
+def test_tie_sensitive_queries_match_on_dupes_fixture(
+    spark, dupes_duck, dupes_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, dupes_duck, registry.QUERIES[name], registry.ORACLES[name],
+        dupes_dir,
+    )
+    assert ok, f"{name}: {detail}"
