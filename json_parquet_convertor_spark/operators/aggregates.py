@@ -1206,9 +1206,19 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- HUGEINT, not DECIMAL(38,0): DuckDB's arg_min/arg_max
                -- compares decimal keys approximately (same-magnitude
                -- keys differing in low digits all tie — --dupes sweep),
-               -- while hugeint keys compare exactly
+               -- while hugeint keys compare exactly. The pack assumes
+               -- 0 <= event_id < 1e12; both engines pack EXACTLY, so a
+               -- bound violation would silently break ts-major ordering
+               -- on BOTH sides in agreement — the guard errors loudly
+               -- instead (r7 verdict #3)
                CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
-                   * 1000000000000 + event_id AS okey
+                   * 1000000000000
+                   + CASE WHEN event_id BETWEEN 0 AND 999999999999
+                          THEN event_id
+                          ELSE CAST(error('q_agg_ohlc oracle: event_id '
+                               || event_id || ' outside pack modulus 1e12')
+                               AS BIGINT)
+                     END AS okey
         FROM events
         WHERE value IS NOT NULL
     )

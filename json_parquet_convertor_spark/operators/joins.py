@@ -260,12 +260,23 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- (ts, event_id) packed into ONE hugeint so the per-group argmax is
     -- a plain vectorized MAX — DuckDB's struct/arg_max aggregates run a
     -- per-row allocating state update that took minutes over these 31M
-    -- rows; event_id < 1e10 by fixture construction
+    -- rows; the pack assumes 0 <= event_id < 1e10, and the guard makes a
+    -- fixture that breaks the bound ERROR loudly instead of mis-tie-
+    -- breaking silently (r7 verdict #3)
+    e0 AS (
+        SELECT user_id, ts,
+               CASE WHEN event_id BETWEEN 0 AND 9999999999 THEN event_id
+                    ELSE CAST(error('q_join_asof oracle: event_id '
+                         || event_id || ' outside pack modulus 1e10')
+                         AS BIGINT)
+               END AS event_id
+        FROM events
+    ),
     ue AS (
         SELECT e.user_id, b.k,
                max(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS HUGEINT)
                    * 10000000000 + e.event_id) AS pk
-        FROM events e JOIN b ON CAST(e.ts AS TIMESTAMP) <= b.bts
+        FROM e0 e JOIN b ON CAST(e.ts AS TIMESTAMP) <= b.bts
         GROUP BY 1, 2
     ),
     best AS (

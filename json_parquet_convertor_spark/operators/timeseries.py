@@ -268,7 +268,19 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- forward keeps it raw so MIN realizes (min ts, then min id) —
     -- reproducing ORDER BY delta_us, c.ts, c.event_id exactly: equal
     -- |delta| prefers the smaller c.ts, i.e. the backward click
-    WITH u AS (
+    WITH e0 AS (
+        -- pack-modulus guard: everything below assumes 0 <= event_id
+        -- < 1e10; a fixture that breaks the bound must ERROR loudly, not
+        -- mis-tie-break silently (r7 verdict #3)
+        SELECT user_id, ts, event_type,
+               CASE WHEN event_id BETWEEN 0 AND 9999999999 THEN event_id
+                    ELSE CAST(error('q_join_nearest oracle: event_id '
+                         || event_id || ' outside pack modulus 1e10')
+                         AS BIGINT)
+               END AS event_id
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    u AS (
         SELECT user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                event_id,
@@ -279,7 +291,7 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'click'
                     THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
                          * 10000000000 + event_id END AS pf
-        FROM events WHERE event_type IN ('purchase', 'click')
+        FROM e0
     ),
     m AS (
         SELECT user_id, us, event_id, is_p,

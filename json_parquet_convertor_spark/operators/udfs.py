@@ -110,10 +110,15 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order differs only ~1e-13 relative, far inside 4 dp.
 
     NULL parity: Arrow nulls surface as NaN in the float Series, and a
-    naive np.sum would propagate them where SQL's SUM skips — the UDAF
-    masks NaN rows out of BOTH sums (r6 NULL-l_quantity sweep) and
-    returns NULL for an all-NULL group, exactly the oracle's
-    SUM(price*qty)/SUM(qty)."""
+    naive np.sum would propagate them where SQL's SUM skips — so the two
+    sums mask INDEPENDENTLY, exactly like the oracle's
+    SUM(price*qty)/SUM(qty): the numerator skips rows where EITHER factor
+    is NULL (the product is NULL), the denominator skips only qty-NULL
+    rows — a price-NULL row still counts its qty in the denominator
+    (r7 verdict #2; the r6 version wrongly masked both sums on either-NULL).
+    Each SUM over zero surviving rows is SQL-NULL, so the result is NULL;
+    fixture quantities are strictly positive, so a non-NULL denominator
+    sum can never be exactly zero (division-by-zero unreachable)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -123,11 +128,11 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
         p, q = price.values, qty.values
-        keep = ~(np.isnan(p) | np.isnan(q))
-        den = np.sum(q[keep])
-        if den == 0.0:  # empty or all-NULL group: SQL SUM/SUM is NULL
-            return None
-        return float(np.sum(p[keep] * q[keep]) / den)
+        q_ok = ~np.isnan(q)
+        both_ok = q_ok & ~np.isnan(p)
+        if not q_ok.any() or not both_ok.any():
+            return None  # either SUM is NULL -> the quotient is NULL
+        return float(np.sum(p[both_ok] * q[both_ok]) / np.sum(q[q_ok]))
 
     # Spark disallows mixing grouped-agg pandas UDFs with built-in aggs in
     # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas

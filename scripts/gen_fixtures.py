@@ -24,7 +24,8 @@ seeded F.rand/F.randn) — no driver-side loops, so the same script produces
 sf 10 on a cluster.
 
 With --nulls, a deterministic ~2-3% of several nullable, non-key columns
-(acctbals, event value/props, doc lang, part type) are NULLed — stressing
+(acctbals, event value/props, doc lang, part type, lineitem quantity and —
+independently — extendedprice) are NULLed — stressing
 the oracle pair's NULL semantics (aggregate skipping, null-group handling,
 COALESCE paths) the all-populated driver fixtures never exercise.
 
@@ -49,7 +50,7 @@ here and nowhere else.
 
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes]
-Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty] — the variant
+Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -243,9 +244,16 @@ def build(
             maybe_null(
                 F.floor(u(1, 51, 22)).cast("double"), 22
             ).alias("l_quantity"),
-            dd(
-                F.round(u(900.0, 105000.0, 23), 2),
-                F.round((F.floor(u(0, 40, 23)) + 1) * 2499.75, 2),
+            # nullable INDEPENDENTLY of l_quantity (different salt): a
+            # price-NULL/qty-present row is the case that splits a
+            # SUM(p*q)/SUM(q) oracle from a both-masked reimplementation
+            # (r7 verdict #2, q_udaf_pandas)
+            maybe_null(
+                dd(
+                    F.round(u(900.0, 105000.0, 23), 2),
+                    F.round((F.floor(u(0, 40, 23)) + 1) * 2499.75, 2),
+                ),
+                23,
             ).alias("l_extendedprice"),
             (F.floor(u(0, 11, 24)) / 100.0).alias("l_discount"),
             (F.floor(u(0, 9, 25)) / 100.0).alias("l_tax"),

@@ -46,8 +46,10 @@ AFFECTED = [
     # that exposed it lives at a vec_id only present at sf>=0.1, so this
     # tiny-sf run pins the formula's cross-engine equivalence, not the tie
     "q_embed_pool",
-    # r6 NULL-l_quantity sweep: the pandas UDAF must mask NaN out of both
-    # sums like SQL SUM skips NULLs, not propagate it
+    # r6 NULL-l_quantity sweep: the pandas UDAF must mask NaN like SQL SUM
+    # skips NULLs, not propagate it; r7 verdict #2: the two sums mask
+    # INDEPENDENTLY (--nulls now NULLs l_extendedprice on its own salt, so
+    # the price-NULL/qty-present rows this differential needs exist here)
     "q_udaf_pandas",
     # r6: NULL quantities route to the quarantine sink (null-closed rule)
     "q_stream_quality_gate",
@@ -173,3 +175,107 @@ def test_tie_sensitive_queries_match_on_dupes_fixture(
         dupes_dir,
     )
     assert ok, f"{name}: {detail}"
+
+
+# ---------------------------------------------------------------------------
+# packed-key modulus guards (r7 verdict #3): the asof/nearest/ohlc oracles
+# pack (ts, event_id) into one HUGEINT assuming event_id < 1e10 (1e12 for
+# ohlc). A fixture change that breaks the bound must ERROR loudly — for ohlc
+# both engines pack exactly and would otherwise AGREE on silently-wrong
+# ts-major ordering.
+# ---------------------------------------------------------------------------
+
+_PACKED = [
+    ("q_join_asof", 10_000_000_000),
+    ("q_join_nearest", 10_000_000_000),
+    ("q_agg_ohlc", 1_000_000_000_000),
+]
+
+
+def _mini_events_con(bad_id):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW events AS
+        SELECT * FROM (VALUES
+            (1::BIGINT, 7::BIGINT, TIMESTAMP '2024-01-02 03:04:05.000001',
+             'click', 1.5::DOUBLE),
+            ({bad_id}::BIGINT, 7::BIGINT,
+             TIMESTAMP '2024-01-02 03:04:05.000002', 'click', 2.5::DOUBLE),
+            (2::BIGINT, 7::BIGINT, TIMESTAMP '2024-01-03 00:00:00',
+             'purchase', 3.5::DOUBLE)
+        ) t(event_id, user_id, ts, event_type, value)
+        """
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT 1::BIGINT AS o_orderkey, "
+        "7::BIGINT AS o_custkey"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name,modulus", _PACKED)
+def test_packed_key_oracle_guard_fires_past_modulus(name, modulus):
+    import duckdb
+
+    con = _mini_events_con(bad_id=modulus)  # first id past the bound
+    try:
+        with pytest.raises(duckdb.Error, match="outside pack modulus"):
+            con.execute(registry.ORACLES[name]).fetchall()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name,modulus", _PACKED)
+def test_packed_key_oracle_guard_green_inside_modulus(name, modulus):
+    con = _mini_events_con(bad_id=modulus - 1)  # largest legal id
+    try:
+        con.execute(registry.ORACLES[name]).fetchall()
+    finally:
+        con.close()
+
+
+def test_udaf_pandas_price_null_keeps_qty_in_denominator(spark, tmp_path):
+    """r7 verdict #2 pin: SUM(price*qty)/SUM(qty) keeps a price-NULL row's
+    quantity in the DENOMINATOR (only the product sum skips it). The r6
+    either-NULL mask returned 10.0 for group A below; SQL says 4.0."""
+    rows = [
+        ("A", 10.0, 2.0),   # counts in both sums
+        ("A", None, 3.0),   # price NULL: skipped by numerator ONLY
+        ("A", 20.0, None),  # qty NULL: skipped by both sums
+        ("B", None, 5.0),   # numerator SUM over zero rows -> NULL result
+        ("C", None, None),  # denominator SUM over zero rows -> NULL result
+        ("C", 7.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    out = registry.QUERIES["q_udaf_pandas"](spark, sf_dir).collect()
+    got = {r["l_returnflag"]: r["weighted_avg_price"] for r in out}
+    assert got["A"] == pytest.approx(20.0 / 5.0)  # NOT 20.0/2.0
+    assert got["B"] is None
+    assert got["C"] is None
+
+    # and the DuckDB oracle agrees on the same parquet
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+        )
+        oracle = {
+            row[0]: row[1]
+            for row in con.execute(registry.ORACLES["q_udaf_pandas"]).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle["A"] == pytest.approx(got["A"])
+    assert oracle["B"] is None and oracle["C"] is None
