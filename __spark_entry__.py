@@ -52,6 +52,17 @@ _CHANGED_THIS_ROUND = [
     "q_er_pipeline",
     # r8: denominator mask now qty-NULL-only, matching SUM(p*q)/SUM(q)
     "q_udaf_pandas",
+    # r8 --extreme sweep fixes: non-finite embedding components
+    # (pool-exclude / saturating quantize / NULL features), zero-weight
+    # draw exclusion, and the file-count contract made NDV-robust
+    "q_embed_pool",
+    "q_embed_quantize",
+    "q_multimodal_join",
+    "q_sample_weighted",
+    "q_sink_sorted",
+    # r8 price-NULL sweep: NULL price/qty rows excluded from the weighted
+    # median (NULL group sorted NULLS-FIRST/LAST asymmetrically)
+    "q_agg_weighted_median",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -1977,10 +1977,16 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_weighted_median",
     oracle="""
     WITH b AS (
+        -- a row with no price cannot sit in the price distribution, and a
+        -- row with no quantity carries no weight: both NULLs are excluded
+        -- (a NULL price GROUP would also sort NULLS-FIRST in Spark's
+        -- cumulative window but NULLS-LAST here, shifting the median —
+        -- r8 price-NULL sweep)
         SELECT l_returnflag,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
                CAST(l_quantity AS BIGINT) AS w
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     g AS (
         SELECT l_returnflag, price_c, SUM(w) AS w
@@ -2023,8 +2029,16 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     running and total sums. At 100 TB with adversarial price
     cardinality the same statistic falls out of a fixed-width integer
     histogram (the q_agg_histogram machinery) with zero plan change
-    upstream."""
-    li = load_table(spark, sf_dir, "lineitem")
+    upstream.
+
+    NULL rows are excluded up front (r8 price-NULL sweep): a NULL price
+    has no place in the price order statistic, a NULL quantity carries no
+    weight — and a NULL price GROUP would sort NULLS-FIRST into Spark's
+    cumulative window but NULLS-LAST into the oracle's."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
     b = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0)

@@ -509,6 +509,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, i AS pos, embedding[i] AS val
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS t(i)
+        WHERE isfinite(embedding[i])
     )
     SELECT label, CAST(pos AS INT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -538,10 +539,20 @@ def q_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors' label distribution is. Pooling a billion 1k-dim vectors is
     one combining agg over 1e12 scalar updates, all map-side-reduced.
     The array form, when needed, is one tiny array_agg over the pooled
-    result, never over the data."""
+    result, never over the data.
+
+    Non-finite components (a NaN/Inf from a bad upstream encoder batch —
+    r8 --extreme sweep) are EXCLUDED from the pool per position: one bad
+    float must not poison the whole centroid (the BIGINT cast of
+    floor(NaN*1e9) also errors outright under ANSI on both engines).
+    n_vecs therefore counts finite contributions at that position."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = spread(emb).select(
         "label", F.posexplode("embedding").alias("pos0", "val")
+    ).filter(
+        ~F.isnan("val")
+        & (F.col("val") > F.lit(float("-inf")))
+        & (F.col("val") < F.lit(float("inf")))
     )
     return e.groupBy(
         "label", (F.col("pos0") + 1).cast("int").alias("pos")

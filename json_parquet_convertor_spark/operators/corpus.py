@@ -237,7 +237,9 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ), s AS (
         SELECT vec_id, label, e,
-               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+               coalesce(list_max(list_transform(
+                   list_filter(e, x -> isfinite(x)), x -> abs(x))), 0.0)
+                   / 127.0 AS scale
         FROM t
     )
     SELECT vec_id, label,
@@ -245,7 +247,10 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            scale,
            array_to_string(
                list_transform(e, x -> CAST(CAST(
-                   CASE WHEN scale = 0 THEN 0
+                   CASE WHEN isnan(x) THEN 0
+                        WHEN x = 'infinity'::DOUBLE THEN 127
+                        WHEN x = '-infinity'::DOUBLE THEN -127
+                        WHEN scale = 0 THEN 0
                         ELSE floor(x / scale + 0.5) END
                AS INT) AS VARCHAR)), ',') AS q_csv
     FROM s
@@ -263,7 +268,15 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     data path. The float math (max|x|/127, x/scale + 0.5, floor) is written
     operation-for-operation identically in the DuckDB oracle, so the raw
     double `scale` hash-matches bit-for-bit.
+
+    Non-finite components (r8 --extreme sweep) SATURATE like a real int8
+    quantizer's clip stage: NaN -> 0, +Inf -> 127, -Inf -> -127, and the
+    scale comes from the max |x| over FINITE components only (an Inf scale
+    would zero every finite component; the unguarded INT cast of NaN
+    errors outright on both engines). An all-non-finite vector gets
+    scale 0.
     """
+    _inf = float("inf")
     emb = load_table(spark, sf_dir, "embeddings")
     df = emb.select(
         "vec_id",
@@ -272,11 +285,28 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = df.withColumn(
         "scale",
-        F.array_max(F.transform("e", F.abs)) / F.lit(127.0),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        "e",
+                        lambda x: ~F.isnan(x)
+                        & (x > F.lit(-_inf))
+                        & (x < F.lit(_inf)),
+                    ),
+                    F.abs,
+                )
+            ),
+            F.lit(0.0),
+        )
+        / F.lit(127.0),
     )
     q = F.transform(
         "e",
-        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        lambda x: F.when(F.isnan(x), F.lit(0))
+        .when(x == F.lit(_inf), F.lit(127))
+        .when(x == F.lit(-_inf), F.lit(-127))
+        .when(F.col("scale") == 0, F.lit(0))
         .otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
         .cast("int"),
     )

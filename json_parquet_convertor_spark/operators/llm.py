@@ -411,9 +411,16 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
            CAST(len(e.embedding) AS INT) AS dim,
-           round(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                         CAST(e.embedding AS DOUBLE[]))), 4) AS norm,
-           round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_dim
+           CASE WHEN isfinite(list_inner_product(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[])))
+                THEN round(sqrt(list_inner_product(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[]))), 4)
+           END AS norm,
+           CASE WHEN isfinite(CAST(e.embedding[1] AS DOUBLE))
+                THEN round(CAST(e.embedding[1] AS DOUBLE), 4)
+           END AS first_dim
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
@@ -421,19 +428,31 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents ⋈ embeddings by id with the array column carried through the
     join and reduced to scalar features (dim / L2 norm / first component)
     after. The array rides the shuffle untouched — at 100 TB you'd bucket
-    both tables on the id to make this a shuffle-free co-located join."""
+    both tables on the id to make this a shuffle-free co-located join.
+
+    A vector with a non-finite component has no meaningful L2 norm —
+    both features surface as NULL rather than propagating NaN/Inf into
+    the result (r8 --extreme sweep; a raw Inf cell also breaks value
+    hashing downstream)."""
+    _inf = float("inf")
+
+    def _finite(c):
+        return ~F.isnan(c) & (c > F.lit(-_inf)) & (c < F.lit(_inf))
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    d2 = _dot("e", "e")
+    fd = F.element_at("e", 1)
     return docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id",
         "lang",
         "n_chars",
         "label",
         F.size("e").alias("dim"),
-        F.round(F.sqrt(_dot("e", "e")), 4).alias("norm"),
-        F.round(F.element_at("e", 1), 4).alias("first_dim"),
+        F.when(_finite(d2), F.round(F.sqrt(d2), 4)).alias("norm"),
+        F.when(_finite(fd), F.round(fd, 4)).alias("first_dim"),
     )
 
 

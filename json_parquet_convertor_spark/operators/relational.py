@@ -755,8 +755,7 @@ def q_scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_sorted",
     oracle="""
-    SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 4 END AS INT)
-               AS n_files,
+    SELECT CAST(1 AS INT) AS files_ok,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(0 AS BIGINT) AS n_overlapping_files
     FROM events
@@ -773,7 +772,12 @@ def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query proves the clustering property engine-side: per-file min/max
     ranges are collected via input_file_name() and checked for overlap with
     a lag window (a range layout has ZERO overlapping files; an unsorted
-    write almost surely has all files overlapping)."""
+    write almost surely has all files overlapping). The exact FILE COUNT is
+    deliberately not part of the oracle contract: the range partitioner
+    skips empty partitions, so a degenerate key (one user — r8 --extreme
+    sweep) writes 1 file, and even 4 well-spread distinct keys can sample
+    into 3 — the emitted files_ok asserts the bounded-count invariant
+    (0 files iff 0 rows, else 1..4) engine-side instead."""
     import os as _os
 
     from pyspark.sql.window import Window as _W
@@ -803,7 +807,14 @@ def q_sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") <= F.lag("hi").over(w)).cast("int"),
     )
     return flagged.agg(
-        F.countDistinct("f").cast("int").alias("n_files"),
+        # bounded-count invariant: an empty layout writes 0 files, a
+        # populated one 1..4 (<= the requested range partitions)
+        F.when(
+            F.coalesce(F.sum("n"), F.lit(0)) == 0,
+            (F.countDistinct("f") == 0).cast("int"),
+        )
+        .otherwise(F.countDistinct("f").between(1, 4).cast("int"))
+        .alias("files_ok"),
         # coalesce: sum over the zero-file stats frame is NULL, but the
         # row count of an empty layout is 0 (r6 empty-fixture sweep)
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),

@@ -117,6 +117,7 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / 1000004.0,
                    1.0 / CAST(n_chars AS DOUBLE)) AS es_key
         FROM documents
+        WHERE n_chars > 0
     )
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
     FROM k
@@ -141,8 +142,15 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition k-heaps then a k-sized merge at
     the driver-side of the exchange, so 100 TB shuffles k rows per
     partition, not the table. Selected ids only are emitted (the float key
-    stays internal, so the compare surface is integer-exact)."""
-    docs = load_table(spark, sf_dir, "documents")
+    stays internal, so the compare surface is integer-exact).
+
+    Zero-weight rows (empty documents — r8 --extreme sweep) are excluded
+    from the draw: ES gives weight-0 rows draw probability 0 by
+    definition, and computing their key literally (1/w) divides by zero,
+    which ANSI Spark turns into a hard error."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     u = (
         F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003)).cast("double")
         + F.lit(1.0)

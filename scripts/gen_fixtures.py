@@ -48,9 +48,18 @@ column then runs tie-DENSE — any query whose cross-engine agreement
 silently depends on value uniqueness (incomplete tie-break chains) fails
 here and nowhere else.
 
+With --extreme (r8), IEEE edge values and degenerate keys the other axes
+never produce: ~1-in-37 embedding vectors carry a NaN component and
+~1-in-41 / 1-in-43 carry a +Inf / -Inf component (the HOF dot/norm paths
+and the moment partials had never seen a non-finite float); documents gain
+zero-length (empty-string), single-token, and ~4000-word max-length texts;
+and the events table collapses to a SINGLE user_id so every per-user
+window/asof/session partition becomes one giant key.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
-       [--unicode] [--empty] [--dupes]
-Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes] — the variant
+       [--unicode] [--empty] [--dupes] [--extreme]
+Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
+[_extreme] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -88,7 +97,7 @@ GNARLY = [
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
-    dupes: bool = False,
+    dupes: bool = False, extreme: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -290,9 +299,13 @@ def build(
                     + F.floor(u(0, 48, 29)).cast("long") * 53754
                 ),
             ).alias("ts"),
-            F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users).alias(
-                "user_id"
-            ),
+            # --extreme: ONE user owns every event — per-user windows,
+            # asof partitions, and sessionization all collapse to a single
+            # giant key (the 100 TB bot-user / default-id degeneracy)
+            (
+                F.lit(0).cast("bigint") if extreme
+                else F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users)
+            ).alias("user_id"),
             pick(etypes, 31, power=2.2).alias("event_type"),
             maybe_null(
                 dd(
@@ -337,20 +350,41 @@ def build(
             F.lit(10) + F.col("base") % 30,
         ),
     )
+    if extreme:
+        # length degeneracies a real crawl produces: empty documents,
+        # single-token documents, and ~4000-word (tens-of-KB) outliers —
+        # tokenizers, shingle windows, and length-normalized scores must
+        # survive all three
+        # non-zero residues for the 1-token/long rules: doc_id 0 would
+        # otherwise satisfy every `% p == 0` rule at once and tiny (sf0.001)
+        # id spaces would never produce a 1-token doc
+        docs = docs.withColumn(
+            "n_words",
+            F.when(F.col("doc_id") % 53 == 0, F.lit(0))
+            .when(F.col("doc_id") % 59 == 17, F.lit(1))
+            .when(F.col("doc_id") % 101 == 29, F.lit(4000))
+            .otherwise(F.col("n_words")),
+        )
     docs = docs.select(
         "doc_id", "lang", "source",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_words") - 1),
-                lambda i: F.element_at(
-                    word_arr,
-                    (
-                        (F.col("base") + i * 31 + (i * i) % 17)
-                        % len(vocab)
-                    ).cast("int") + 1,
+        # n_words == 0 must yield "" — sequence(0, -1) would DESCEND and
+        # feed negative modulo indices into element_at
+        F.when(F.col("n_words") == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.col("n_words"), F.lit(1)) - 1
+                    ),
+                    lambda i: F.element_at(
+                        word_arr,
+                        (
+                            (F.col("base") + i * 31 + (i * i) % 17)
+                            % len(vocab)
+                        ).cast("int") + 1,
+                    ),
                 ),
-            ),
-            " ",
+                " ",
+            )
         ).alias("text"),
     ).select(
         "doc_id", "text", "lang", "source",
@@ -373,7 +407,29 @@ def build(
                 # --dupes: every third row drops its per-row term, so rows
                 # of the same label become EXACT duplicate vectors (cosine
                 # ties, zero distances, dedup clusters of identical points)
-                lambda i: (
+                # --extreme: ~1-in-37/41/43 vectors carry one NaN / +Inf /
+                # -Inf component at a vec_id-determined dimension — dot
+                # products, norms, and moment partials meet non-finite
+                # floats a real upstream encoder occasionally emits
+                lambda i: F.when(
+                    F.lit(extreme)
+                    & (F.col("vec_id") % 37 == 0)
+                    & (i == F.col("vec_id") % 64),
+                    F.lit(float("nan")),
+                )
+                .when(
+                    F.lit(extreme)
+                    & (F.col("vec_id") % 41 == 0)
+                    & (i == (F.col("vec_id") * 7) % 64),
+                    F.lit(float("inf")),
+                )
+                .when(
+                    F.lit(extreme)
+                    & (F.col("vec_id") % 43 == 0)
+                    & (i == (F.col("vec_id") * 11) % 64),
+                    F.lit(float("-inf")),
+                )
+                .otherwise(
                     F.sin(F.col("label") * 13 + i * 7) * 2.0
                     + F.when(
                         F.lit(dupes) & (F.col("vec_id") % 3 == 0),
@@ -381,7 +437,8 @@ def build(
                     ).otherwise(
                         F.sin(F.col("vec_id") * 31 + i * 3) * 0.6
                     )
-                ).cast("float"),
+                )
+                .cast("float"),
             ).alias("embedding"),
         ).select("vec_id", "embedding", "label"),
         "embeddings", 4,
@@ -396,6 +453,7 @@ def main() -> int:
     ap.add_argument("--unicode", action="store_true")
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--dupes", action="store_true")
+    ap.add_argument("--extreme", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -406,14 +464,15 @@ def main() -> int:
         "_unicode" if args.unicode else ""
     ) + ("_empty" if args.empty else "") + (
         "_dupes" if args.dupes else ""
-    )
+    ) + ("_extreme" if args.extreme else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
-          unicode_text=args.unicode, empty=args.empty, dupes=args.dupes)
+          unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
+          extreme=args.extreme)
     print(dst)
     return 0
 

@@ -18,6 +18,12 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"  # pandas renders SQL NULL doubles as NaN
+        if math.isinf(v):
+            # don't crash the differential on a stray Inf (int(inf) raises);
+            # queries avoid EMITTING non-finite floats — the real driver's
+            # hash treatment of Inf is unknown — but the local harness must
+            # still report a readable diff when one leaks through
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)

@@ -51,6 +51,10 @@ AFFECTED = [
     # INDEPENDENTLY (--nulls now NULLs l_extendedprice on its own salt, so
     # the price-NULL/qty-present rows this differential needs exist here)
     "q_udaf_pandas",
+    # r8 price-NULL sweep: NULL price/qty rows excluded — a NULL price
+    # GROUP sorts NULLS-FIRST into Spark's cumulative window, NULLS-LAST
+    # into DuckDB's, shifting the weighted median
+    "q_agg_weighted_median",
     # r6: NULL quantities route to the quarantine sink (null-closed rule)
     "q_stream_quality_gate",
     # r6 gen-sf1.0 sweep: sum_charge's scale-6 decimal numerator crosses
@@ -175,6 +179,88 @@ def test_tie_sensitive_queries_match_on_dupes_fixture(
         dupes_dir,
     )
     assert ok, f"{name}: {detail}"
+
+
+# r8 --extreme sweep: IEEE edge values and degenerate keys (NaN/±Inf
+# embedding components, zero-length / 1-token / 4000-word documents, a
+# single-user events table) caught five queries. The embedding trio now
+# defines non-finite semantics explicitly (pool-exclude / saturating int8
+# clip / NULL norm+first_dim); weighted sampling excludes zero-weight rows
+# (1/w divides by zero under ANSI); the sorted-sink file count was
+# NDV-dependent (range partitioner skips empty partitions) and is now an
+# engine-side bounded-count invariant. Pinned here under the same fixture
+# shape as regression insurance.
+EXTREME_SENSITIVE = [
+    "q_embed_pool",
+    "q_embed_quantize",
+    "q_multimodal_join",
+    "q_sample_weighted",
+    "q_sink_sorted",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_extreme")
+    build(spark, dst, 0.001, extreme=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def extreme_duck(extreme_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(extreme_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EXTREME_SENSITIVE)
+def test_extreme_sensitive_queries_match_on_extreme_fixture(
+    spark, extreme_duck, extreme_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, extreme_duck, registry.QUERIES[name], registry.ORACLES[name],
+        extreme_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_extreme_fixture_has_the_edge_shapes(extreme_duck, extreme_dir):
+    """The axis is only worth pinning if the shapes are actually present."""
+    n_empty, n_one, n_users, n_nonfinite = (
+        extreme_duck.execute(
+            """
+        SELECT (SELECT count(*) FROM documents WHERE text = ''),
+               (SELECT count(*) FROM documents
+                WHERE text <> '' AND NOT contains(text, ' ')),
+               (SELECT count(DISTINCT user_id) FROM events),
+               (SELECT count(*) FROM embeddings
+                WHERE len(list_filter(embedding,
+                                      x -> NOT isfinite(x))) > 0)
+        """
+        ).fetchone()
+    )
+    assert n_empty > 0 and n_one > 0 and n_nonfinite > 0
+    assert n_users == 1
 
 
 # ---------------------------------------------------------------------------
