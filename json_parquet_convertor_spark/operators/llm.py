@@ -443,16 +443,32 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    d2 = _dot("e", "e")
-    fd = F.element_at("e", 1)
-    return docs.join(emb, docs.doc_id == emb.vec_id).select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        "label",
-        F.size("e").alias("dim"),
-        F.when(_finite(d2), F.round(F.sqrt(d2), 4)).alias("norm"),
-        F.when(_finite(fd), F.round(fd, 4)).alias("first_dim"),
+    # materialize the dot product once — referencing the aggregate HOF in
+    # both the finite guard and the branch would evaluate it twice per row
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("e").alias("dim"),
+            _dot("e", "e").alias("norm2"),
+            F.element_at("e", 1).alias("fd"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            "dim",
+            F.when(
+                _finite(F.col("norm2")), F.round(F.sqrt("norm2"), 4)
+            ).alias("norm"),
+            F.when(_finite(F.col("fd")), F.round(F.col("fd"), 4)).alias(
+                "first_dim"
+            ),
+        )
     )
 
 
