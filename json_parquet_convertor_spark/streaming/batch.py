@@ -341,25 +341,41 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     key exactly like a shuffle, each executor holds only its keys' state,
     and checkpointing makes it fault-tolerant. Here the replay is a single
     AvailableNow batch over one file, so the final emission per user equals
-    the batch aggregate and the query is DuckDB-oracleable."""
+    the batch aggregate and the query is DuckDB-oracleable.
+
+    The event time crosses the Arrow boundary as epoch MICROS (unix_micros,
+    JVM-side), never as a raw timestamp: pyarrow casts timestamp[us] to
+    datetime64[ns] on the way into pandas, so one dirty instant past
+    2262-04-11 (the ms-vs-s corruption class) would crash the worker.
+    Longs are also cheaper to ship, and Python floor-division reproduces
+    the oracle's floor(epoch(ts)) exactly — including NEGATIVE pre-1970
+    epochs, where int(ts.timestamp()) would truncate toward zero and an
+    all-populated ``last = 0`` seed would silently win max()."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
     src = _replay_source(spark, sf_dir, "stateful", lambda: ev)
 
     def track(key, pdf_iter, state: GroupState):
-        count, last = state.get if state.exists else (0, 0)
+        count, last_us = state.get if state.exists else (0, None)
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             count += len(pdf)
-            # Timestamp.timestamp() is unit-independent (datetime64[ns] vs
-            # [us] varies by pandas/Arrow version; a raw int64 view would
-            # silently change meaning)
-            batch_last = int(pdf["ts"].max().timestamp())
-            last = max(last, batch_last)
-        state.update((count, last))
+            batch_last = int(pdf["ts_us"].max())
+            last_us = batch_last if last_us is None else max(last_us, batch_last)
+        state.update((count, last_us))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [count], "last_seen": [last]}
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                # floor division: -0.7s epochs floor to -1, matching
+                # the oracle's floor(epoch(ts)) for pre-1970 instants
+                "last_seen": [None if last_us is None else last_us // 1_000_000],
+            }
         )
 
     sink = f"jpc_st_{uuid.uuid4().hex[:8]}"

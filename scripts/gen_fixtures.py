@@ -56,10 +56,23 @@ zero-length (empty-string), single-token, and ~4000-word max-length texts;
 and the events table collapses to a SINGLE user_id so every per-user
 window/asof/session partition becomes one giant key.
 
+With --dates (r8), temporal edge values every other axis keeps inside
+1995-2024: a deterministic few percent of o_orderdate / l_shipdate /
+events.ts land (a) in 1902-1909 (negative epoch seconds — floor-vs-
+truncate division divergence territory), (b) in the final hour before
+epoch 0 with millisecond fractions, (c) straddling the pandas
+datetime64[ns] ceiling 2262-04-11T23:47:16.854 (every Arrow->pandas
+boundary that carries a raw timestamp overflows past it — the ms-vs-s
+confusion class of dirty event data), (d) in 2300-2304, and (events
+only) (e) inside the 2024 America/New_York spring-forward and
+Australia/Lord_Howe 30-minute fall-back windows, so non-UTC session-tz
+sweeps actually cross a DST transition instead of bucketing mid-DST
+January data.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
-       [--unicode] [--empty] [--dupes] [--extreme]
+       [--unicode] [--empty] [--dupes] [--extreme] [--dates]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme] — the variant
+[_extreme][_dates] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -97,7 +110,7 @@ GNARLY = [
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
-    dupes: bool = False, extreme: bool = False,
+    dupes: bool = False, extreme: bool = False, dates: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -106,6 +119,67 @@ def build(
     def dd(normal_col, dupe_col):
         """With --dupes, swap a high-NDV value column for a tiny pool."""
         return dupe_col if dupes else normal_col
+
+    def date_warp(col, key, evt=False):
+        """With --dates, override a deterministic ~5% of timestamps with
+        temporal edge values (see module docstring). ``key`` is the row's
+        unique id so the warp is reproducible and scale-free; moduli are
+        primes distinct per rule so the bands never alias."""
+        if not dates:
+            return col
+        e = (
+            # (a) 1902-1909: negative epoch seconds with ms fractions —
+            # unix_timestamp/epoch flooring vs toward-zero truncation only
+            # diverges below zero
+            F.when(
+                key % 67 == 3,
+                F.timestamp_seconds(
+                    F.lit(-2145916800)
+                    + (key % 2921) * 86400 + key % 86400
+                    + (key % 997) / 1000.0
+                ),
+            )
+            # (b) the last hour before epoch 0, fractional: -0.001s etc.
+            .when(
+                key % 73 == 5,
+                F.timestamp_seconds(
+                    -((key % 3600) + (key % 997) / 1000.0) - 0.001
+                ),
+            )
+            # (c) straddle the pandas datetime64[ns] max
+            # (2262-04-11T23:47:16.854775807): -4d..+5d around it, so any
+            # Arrow->pandas ns cast sees both sides of the cliff
+            .when(
+                key % 79 == 7,
+                F.timestamp_seconds(
+                    F.lit(9223372036)
+                    - (key % 5) * 86400 + (key % 11) * 43200
+                ),
+            )
+            # (d) 2300-2304: the ms-vs-s dirty-data class
+            .when(
+                key % 83 == 11,
+                F.timestamp_seconds(
+                    F.lit(10413792000) + (key % 1825) * 86400 + key % 86400
+                ),
+            )
+        )
+        if evt:
+            e = (
+                # (e) 2024-03-10 06:00-08:00 UTC: America/New_York
+                # spring-forward (02:00-03:00 local never exists)
+                e.when(
+                    key % 89 == 13,
+                    F.timestamp_seconds(F.lit(1710050400) + key % 7200),
+                )
+                # 2024-04-06 13:30-15:30 UTC: Australia/Lord_Howe 30-min
+                # fall-back (02:00-01:30 local repeats)
+                .when(
+                    key % 89 == 47,
+                    F.timestamp_seconds(F.lit(1712410200) + key % 7200),
+                )
+            )
+        return e.otherwise(col)
 
     def maybe_null(col, salt, frac=0.025):
         """With --nulls, NULL out a deterministic ~frac of values."""
@@ -222,15 +296,18 @@ def build(
         ).alias("o_totalprice"),
         # fractional seconds on purpose: stresses oracle truncate-vs-round
         # drift (unix_timestamp truncates; DuckDB's BIGINT cast rounds)
-        dd(
-            F.timestamp_seconds(
-                F.lit(788918400)  # 1995-01-01 UTC
-                + u(0, 6.6 * 365 * 86400, 16)
+        date_warp(
+            dd(
+                F.timestamp_seconds(
+                    F.lit(788918400)  # 1995-01-01 UTC
+                    + u(0, 6.6 * 365 * 86400, 16)
+                ),
+                F.timestamp_seconds(
+                    F.lit(788918400)
+                    + F.floor(u(0, 10, 16)).cast("long") * (86400 * 73)
+                ),
             ),
-            F.timestamp_seconds(
-                F.lit(788918400)
-                + F.floor(u(0, 10, 16)).cast("long") * (86400 * 73)
-            ),
+            F.col("id"),
         ).alias("o_orderdate"),
         pick(prios, 17, power=1.5).alias("o_orderpriority"),
     )
@@ -268,14 +345,18 @@ def build(
             (F.floor(u(0, 9, 25)) / 100.0).alias("l_tax"),
             pick(["R", "A", "N"], 26, power=1.2).alias("l_returnflag"),
             pick(["O", "F"], 27).alias("l_linestatus"),
-            dd(
-                F.timestamp_seconds(
-                    F.lit(788918400) + u(86400, 6.9 * 365 * 86400, 28)
+            date_warp(
+                dd(
+                    F.timestamp_seconds(
+                        F.lit(788918400) + u(86400, 6.9 * 365 * 86400, 28)
+                    ),
+                    F.timestamp_seconds(
+                        F.lit(788918400)
+                        + (F.floor(u(0, 20, 28)).cast("long") + 1)
+                        * (86400 * 100)
+                    ),
                 ),
-                F.timestamp_seconds(
-                    F.lit(788918400)
-                    + (F.floor(u(0, 20, 28)).cast("long") + 1) * (86400 * 100)
-                ),
+                F.col("id"),
             ).alias("l_shipdate"),
         ),
         "lineitem", max(1, int(32 * sf / 0.1)),
@@ -287,17 +368,21 @@ def build(
     write(
         spark.range(n_ev).select(
             F.col("id").alias("event_id"),
-            dd(
-                F.timestamp_seconds(
-                    F.lit(1704067200)  # 2024-01-01 UTC
-                    + u(0, 30 * 86400, 29)
+            date_warp(
+                dd(
+                    F.timestamp_seconds(
+                        F.lit(1704067200)  # 2024-01-01 UTC
+                        + u(0, 30 * 86400, 29)
+                    ),
+                    # 48 distinct instants: tie-DENSE (user, ts) pairs drive
+                    # every asof/nearest/window tiebreak through event_id
+                    F.timestamp_seconds(
+                        F.lit(1704067200)
+                        + F.floor(u(0, 48, 29)).cast("long") * 53754
+                    ),
                 ),
-                # 48 distinct instants: tie-DENSE (user, ts) pairs drive
-                # every asof/nearest/window tiebreak through event_id
-                F.timestamp_seconds(
-                    F.lit(1704067200)
-                    + F.floor(u(0, 48, 29)).cast("long") * 53754
-                ),
+                F.col("id"),
+                evt=True,
             ).alias("ts"),
             # --extreme: ONE user owns every event — per-user windows,
             # asof partitions, and sessionization all collapse to a single
@@ -454,6 +539,7 @@ def main() -> int:
     ap.add_argument("--empty", action="store_true")
     ap.add_argument("--dupes", action="store_true")
     ap.add_argument("--extreme", action="store_true")
+    ap.add_argument("--dates", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -464,7 +550,9 @@ def main() -> int:
         "_unicode" if args.unicode else ""
     ) + ("_empty" if args.empty else "") + (
         "_dupes" if args.dupes else ""
-    ) + ("_extreme" if args.extreme else "")
+    ) + ("_extreme" if args.extreme else "") + (
+        "_dates" if args.dates else ""
+    )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -472,7 +560,7 @@ def main() -> int:
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
-          extreme=args.extreme)
+          extreme=args.extreme, dates=args.dates)
     print(dst)
     return 0
 

@@ -88,7 +88,27 @@ def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
 def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
     """Run a registered query and its oracle; return (ok, detail)."""
     sdf = query_fn(spark, sf_dir)
-    spark_pd = sdf.toPandas()
+    try:
+        spark_pd = sdf.toPandas()
+    except Exception:
+        # Arrow->pandas casts timestamp[us] to datetime64[ns]; any instant
+        # past 2262-04-11 (or before 1677) overflows — the --dates axis
+        # produces exactly those. Fall back to a row collect into OBJECT
+        # columns (no ns cast; _cell still isoformats datetimes). Session tz
+        # is pinned UTC by load_table, so both fetch paths render identical
+        # wall clocks. The real driver never hits this: its fixtures keep
+        # timestamps inside the ns range.
+        import pandas as pd
+
+        rows = sdf.collect()
+        cols = sdf.columns
+        spark_pd = pd.DataFrame(
+            {
+                c: pd.Series([r[i] for r in rows], dtype=object)
+                for i, c in enumerate(cols)
+            },
+            columns=cols,
+        )
     duck_pd = duck.execute(oracle_sql).fetchdf()
 
     assert_hashable_cells(spark_pd, "spark result")
