@@ -264,7 +264,18 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- fixture that breaks the bound ERROR loudly instead of mis-tie-
     -- breaking silently (r7 verdict #3)
     e0 AS (
-        SELECT user_id, ts,
+        SELECT user_id,
+               -- epoch shift guard: the pack below adds 1e17 us so a
+               -- pre-1970 (negative-epoch) timestamp still packs to a
+               -- NONNEGATIVE hugeint — DuckDB's // truncates toward zero
+               -- and % follows the dividend sign, so a negative packed
+               -- value would decode to the wrong ts/event_id silently
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN
+                         -100000000000000000 AND 100000000000000000
+                    THEN ts
+                    ELSE CAST(error('q_join_asof oracle: epoch_us '
+                         'outside pack shift 1e17') AS TIMESTAMP)
+               END AS ts,
                CASE WHEN event_id BETWEEN 0 AND 9999999999 THEN event_id
                     ELSE CAST(error('q_join_asof oracle: event_id '
                          || event_id || ' outside pack modulus 1e10')
@@ -274,15 +285,16 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ue AS (
         SELECT e.user_id, b.k,
-               max(CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS HUGEINT)
+               max((CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS HUGEINT)
+                    + 100000000000000000)
                    * 10000000000 + e.event_id) AS pk
         FROM e0 e JOIN b ON CAST(e.ts AS TIMESTAMP) <= b.bts
         GROUP BY 1, 2
     ),
     best AS (
         SELECT ue.user_id, ue.k,
-               make_timestamp(CAST(ue.pk // 10000000000 AS BIGINT))
-                   AS last_event_ts,
+               make_timestamp(CAST(ue.pk // 10000000000 AS BIGINT)
+                              - 100000000000000000) AS last_event_ts,
                ev.event_type AS last_event_type
         FROM ue JOIN events ev
           ON ev.user_id = ue.user_id

@@ -25,8 +25,13 @@ from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
-# linear interpolation over a per-user daily spine
+# gap-capped per-user linear interpolation
 # ---------------------------------------------------------------------------
+
+# longest run of missing days a straight line may fill; gaps beyond this
+# stay unfilled, bounding output by O(observations x cap) however dirty
+# the timestamps (the oracle's literal 46 is this + 1 — day-delta form)
+_MAX_GAP_DAYS = 45
 
 
 @query(
@@ -44,71 +49,58 @@ from json_parquet_convertor_spark.sources.io import load_table
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
         FROM p GROUP BY 1, 2
     ),
-    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM p),
-    spine AS (
-        SELECT u.user_id, gs.day
-        FROM (SELECT DISTINCT user_id FROM p) u
-        CROSS JOIN (
-            SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
-        ) gs
+    nx AS (
+        SELECT user_id, day, v,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd,
+               lead(v)   OVER (PARTITION BY user_id ORDER BY day) AS nv
+        FROM daily
     ),
     g AS (
-        SELECT s.user_id, s.day, d.v,
-               last_value(d.v IGNORE NULLS) OVER (
-                   PARTITION BY s.user_id ORDER BY s.day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS pv,
-               last_value(CASE WHEN d.v IS NOT NULL THEN s.day END
-                          IGNORE NULLS) OVER (
-                   PARTITION BY s.user_id ORDER BY s.day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS pd,
-               first_value(d.v IGNORE NULLS) OVER (
-                   PARTITION BY s.user_id ORDER BY s.day
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-               ) AS nv,
-               first_value(CASE WHEN d.v IS NOT NULL THEN s.day END
-                           IGNORE NULLS) OVER (
-                   PARTITION BY s.user_id ORDER BY s.day
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-               ) AS nd
-        FROM spine s LEFT JOIN daily d
-          ON d.user_id = s.user_id AND d.day = s.day
+        SELECT user_id, day, v, nd, nv,
+               unnest(generate_series(
+                   day,
+                   CASE WHEN nd IS NOT NULL AND nd - day <= 46
+                        THEN nd - 1 ELSE day END
+               )) AS d
+        FROM nx
     )
-    SELECT user_id, day,
-           floor(CASE
-               WHEN v IS NOT NULL THEN v
-               WHEN pv IS NULL THEN nv
-               WHEN nv IS NULL THEN pv
-               ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
-                                      / CAST(nd - pd AS DOUBLE))
-           END * 10000 + 0.5) / 10000 AS v_filled,
-           (v IS NULL) AS interpolated
+    SELECT user_id, d AS day,
+           floor((CASE WHEN d = day THEN v
+                  ELSE v + (nv - v) * (CAST(d - day AS DOUBLE)
+                                       / CAST(nd - day AS DOUBLE))
+                  END) * 10000 + 0.5) / 10000 AS v_filled,
+           (d <> day) AS interpolated
     FROM g
     """,
 )
 def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear interpolation over a per-user daily spine: each user's daily
-    purchase total, with missing days filled by the straight line between
-    the nearest observed days (edges extend the first/last observation) —
-    the imputation step forecast inputs and per-entity sensor series need,
-    where q_time_spine's zero-fill would be a lie ("no reading" is not
-    "reading = 0").
+    """Gap-capped linear interpolation of each user's daily purchase
+    series: observed days pass through; a gap of at most _MAX_GAP_DAYS
+    missing days between two observations fills with the straight line
+    between them; longer gaps stay unfilled (no rows) — the imputation
+    step forecast inputs and per-entity sensor series need, where
+    q_time_spine's zero-fill would be a lie ("no reading" is not
+    "reading = 0"), and interpolating across a months-long outage would
+    be a different lie.
 
-    Spark expresses the carry as two IGNORE-NULLS window passes (last
-    non-null value/day looking back, first looking forward) over the same
-    (user_id, day) sort — Catalyst runs both directions inside one
-    shuffle's sort order (forward frame = one extra window over the same
-    partitioning, no second exchange).
+    Spark-first plan: NO date spine and NO fill windows at all — events
+    collapse to per-(user, day) sums (decimal-exact), ONE lead() window
+    pass attaches the next observation, and `sequence`+`explode` generates
+    exactly the gap days each pair owns. One shuffle on user_id, O(1)
+    window state, zero joins.
 
-    Scale design: events collapse to per-(user, day) sums FIRST (decimal-
-    exact), so the spine join and windows work on |users| x |days| rows,
-    not raw events. The spine is generated (sequence + explode), never
-    read; at 100 TB with a years-long spine, window state is still O(1)
-    per row — only the last/next observation carries. The global MIN/MAX
-    bound is a 1-row broadcast. Interpolation arithmetic mirrors the
-    oracle operation-for-operation: pv + (nv - pv) * ((day-pd)/(nd-pd)),
-    so doubles are bit-identical before the 4-dp round."""
+    Scale design: output (and the generate step) is bounded by
+    O(observations x _MAX_GAP_DAYS) — a DATA-proportional bound. The
+    previous global-bounds spine was SPAN-proportional: one dirty
+    2304-dated event (the --dates fixture axis plants exactly those) made
+    every user's series ~147k days — 21M rows from a 60k-row input at
+    sf0.01, and the forward-fill's CURRENT ROW..UNBOUNDED FOLLOWING frame
+    (Spark recomputes that aggregate per row, O(n^2) per partition) turned
+    one task into an hour. At 100 TB one bad timestamp would do the same
+    to a 1000-executor job; the gap cap makes dirty dates cost O(cap)
+    rows instead. Interpolation arithmetic mirrors the oracle
+    operation-for-operation: v + (nv - v) * ((d-day)/(nd-day)), so
+    doubles are bit-identical before the 4-dp quantization."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -116,58 +108,43 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(dsum("value").alias("v"))
-    bounds = p.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = (
-        p.select("user_id")
-        .distinct()
-        .join(F.broadcast(bounds))  # 1-row bounds frame
-        .select(
-            "user_id",
-            F.explode(F.sequence("d0", "d1")).alias("day"),
-        )
-    )
-    g = spine.join(daily, ["user_id", "day"], "left")
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    g = g.select(
+    w = Window.partitionBy("user_id").orderBy("day")
+    nx = daily.select(
         "user_id",
         "day",
         "v",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+        F.lead("day").over(w).alias("nd"),
+        F.lead("v").over(w).alias("nv"),
     )
-    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (F.col("day") - F.col("pd")).cast("double")
-        / (F.col("nd") - F.col("pd")).cast("double")
+    # emit the observed day, plus the gap days up to the next observation
+    # when the gap fits the cap (nd - day <= cap + 1 missing-day bound)
+    end = F.when(
+        F.col("nd").isNotNull()
+        & (F.col("nd") - F.col("day") <= _MAX_GAP_DAYS + 1),
+        F.col("nd") - 1,
+    ).otherwise(F.col("day"))
+    g = nx.select(
+        "user_id",
+        "day",
+        "v",
+        "nd",
+        "nv",
+        F.explode(F.sequence(F.col("day"), end)).alias("d"),
     )
-    filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(lerp)
+    lerp = F.col("v") + (F.col("nv") - F.col("v")) * (
+        (F.col("d") - F.col("day")).cast("double")
+        / (F.col("nd") - F.col("day")).cast("double")
     )
+    filled = F.when(F.col("d") == F.col("day"), F.col("v")).otherwise(lerp)
     # floor(x*1e4 + 0.5)/1e4 instead of round(): a lerp between two 4-dp
     # values can land EXACTLY on a .00005 boundary, where the engines'
     # round() conventions disagree; this expression is computed on
     # bit-identical doubles identically in both.
     return g.select(
         "user_id",
-        "day",
+        F.col("d").alias("day"),
         (F.floor(filled * 10000 + 0.5) / 10000).alias("v_filled"),
-        F.col("v").isNull().alias("interpolated"),
+        (F.col("d") != F.col("day")).alias("interpolated"),
     )
 
 
@@ -281,15 +258,29 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type IN ('purchase', 'click')
     ),
     u AS (
+        -- the pack SHIFTS epoch_us positive by 1e17 before multiplying:
+        -- DuckDB's // truncates toward zero and % follows the dividend
+        -- sign, so a NEGATIVE packed value (pre-1970 ts — the --dates
+        -- axis plants 1902 events) would decode off-by-one with a
+        -- negative "event_id". The shift keeps packing order-preserving
+        -- and makes every decode operate on nonnegative hugeints; the
+        -- guard errors loudly if a timestamp ever escapes the budget
         SELECT user_id,
-               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN
+                         -100000000000000000 AND 100000000000000000
+                    THEN epoch_us(CAST(ts AS TIMESTAMP))
+                    ELSE CAST(error('q_join_nearest oracle: epoch_us '
+                         'outside pack shift 1e17') AS BIGINT)
+               END AS us,
                event_id,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
                CASE WHEN event_type = 'click'
-                    THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                    THEN (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                          + 100000000000000000)
                          * 10000000000 + (9999999999 - event_id) END AS pb,
                CASE WHEN event_type = 'click'
-                    THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                    THEN (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                          + 100000000000000000)
                          * 10000000000 + event_id END AS pf
         FROM e0
     ),
@@ -305,9 +296,11 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
         SELECT event_id AS purchase_id,
                9999999999 - CAST(bb % 10000000000 AS BIGINT) AS eid_b,
-               us - CAST(bb // 10000000000 AS BIGINT) AS delta_b,
+               us - (CAST(bb // 10000000000 AS BIGINT)
+                     - 100000000000000000) AS delta_b,
                CAST(bf % 10000000000 AS BIGINT) AS eid_f,
-               CAST(bf // 10000000000 AS BIGINT) - us AS delta_f
+               (CAST(bf // 10000000000 AS BIGINT)
+                - 100000000000000000) - us AS delta_f
         FROM m WHERE is_p = 1
     )
     SELECT purchase_id,
@@ -370,22 +363,29 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Forward pass: first strictly-later click; clicks sort AFTER purchases
     # at equal us so distance-0 clicks are owned by the backward side, and
-    # equal-us clicks keep the smallest event_id (asc, take first).
+    # equal-us clicks keep the smallest event_id. Expressed as a running
+    # last over the exactly-REVERSED sort (us desc, is_click desc, c_id
+    # desc_nulls_first) — O(n) per partition, where the naive CURRENT
+    # ROW..UNBOUNDED FOLLOWING frame recomputes per row, O(n^2): a single
+    # bot user (--extreme collapses events to one) would turn that frame
+    # into one quadratic task. Rows tied under the full triple are only
+    # purchase pairs (c_id NULL), which carry no click values, so the
+    # reversal picks the identical click row.
     fwd = (
         Window.partitionBy("user_id")
         .orderBy(
-            F.col("us").asc(),
-            F.col("is_click").asc(),
-            F.col("c_id").asc_nulls_last(),
+            F.col("us").desc(),
+            F.col("is_click").desc(),
+            F.col("c_id").desc_nulls_first(),
         )
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = both.select(
         "*",
         F.last("c_us", ignorenulls=True).over(back).alias("b_us"),
         F.last("c_id", ignorenulls=True).over(back).alias("b_id"),
-        F.first("c_us", ignorenulls=True).over(fwd).alias("f_us"),
-        F.first("c_id", ignorenulls=True).over(fwd).alias("f_id"),
+        F.last("c_us", ignorenulls=True).over(fwd).alias("f_us"),
+        F.last("c_id", ignorenulls=True).over(fwd).alias("f_id"),
     ).filter(~F.col("is_click"))
     b_d = F.col("us") - F.col("b_us")  # >= 0
     f_d = F.col("f_us") - F.col("us")  # >= 0 (0 only when no backward twin)

@@ -323,6 +323,63 @@ def test_packed_key_oracle_guard_green_inside_modulus(name, modulus):
         con.close()
 
 
+def _epoch_events_con(ts_literal):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW events AS
+        SELECT * FROM (VALUES
+            (1::BIGINT, 7::BIGINT, TIMESTAMP '{ts_literal}',
+             'click', 1.5::DOUBLE),
+            (2::BIGINT, 7::BIGINT, TIMESTAMP '2024-01-03 00:00:00',
+             'purchase', 3.5::DOUBLE)
+        ) t(event_id, user_id, ts, event_type, value)
+        """
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT 1::BIGINT AS o_orderkey, "
+        "7::BIGINT AS o_custkey"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", ["q_join_asof", "q_join_nearest"])
+def test_packed_key_oracle_decodes_negative_epochs(name):
+    """The asof/nearest oracle packs SHIFT the epoch positive before
+    multiplying: DuckDB's // truncates toward zero, so a pre-1970 click
+    would otherwise decode to a negative garbage event_id (--dates sweep
+    catch). A 1902 click must decode back to event_id 1 exactly."""
+    con = _epoch_events_con("1902-06-15 12:00:00.25")
+    try:
+        rows = con.execute(registry.ORACLES[name]).fetchall()
+        assert rows, name
+        # every decoded click/event id must be the real one (1), and every
+        # decoded delta/ts must be finite and sane — the truncation bug
+        # produced ids like -9999992091
+        for r in rows:
+            assert all(
+                not (isinstance(v, int) and v < 0) for v in r
+            ), (name, r)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", ["q_join_asof", "q_join_nearest"])
+def test_packed_key_oracle_guard_fires_past_epoch_budget(name):
+    """A timestamp outside the ±1e17-us pack shift budget (year 5139+)
+    must ERROR loudly, not decode wrong."""
+    import duckdb
+
+    con = _epoch_events_con("9999-01-01 00:00:00")
+    try:
+        with pytest.raises(duckdb.Error, match="outside pack shift"):
+            con.execute(registry.ORACLES[name]).fetchall()
+    finally:
+        con.close()
+
+
 def test_udaf_pandas_price_null_keeps_qty_in_denominator(spark, tmp_path):
     """r7 verdict #2 pin: SUM(price*qty)/SUM(qty) keeps a price-NULL row's
     quantity in the DENOMINATOR (only the product sum skips it). The r6

@@ -108,7 +108,6 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_win_funnel",  # crossJoins of three 1-row funnel-count aggs
             "q_rank_bm25",  # 1-row (N, avgdl) corpus-stats broadcast
             "q_time_spine",  # 1-row day-bounds broadcast onto the type list
-            "q_time_interpolate",  # 1-row day-bounds broadcast onto users
             "q_graph_triangles",  # crossJoins of three 1-row graph-stat aggs
             "q_sample_temperature",  # 1-row (n_total, sum_w) broadcast
             "q_skew_diagnose",  # 1-row (rows, keys) broadcast onto top-10

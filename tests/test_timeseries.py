@@ -50,46 +50,48 @@ def test_join_nearest_matches_bruteforce(spark, duck, sf_dir):
 
 
 def test_interpolate_matches_python_lerp(spark, duck, sf_dir):
-    """v_filled must equal a pure-Python linear interpolation over each
-    user's observed daily sums (edges extended), to the 4-dp quantum."""
+    """v_filled must equal a pure-Python gap-capped linear interpolation
+    over each user's observed daily sums: observed days pass through, a
+    run of <= _MAX_GAP_DAYS missing days between two observations fills
+    with the straight line between them, longer gaps emit no rows, and
+    nothing extends past a user's first/last observation."""
+    from json_parquet_convertor_spark.operators.timeseries import (
+        _MAX_GAP_DAYS,
+    )
+
     ev = _events(duck)
     daily = defaultdict(lambda: defaultdict(float))
     for _eid, uid, etype, _us, v, day in ev:
         if etype == "purchase":
             daily[uid][day] += v
-    d0 = min(d for u in daily.values() for d in u)
-    d1 = max(d for u in daily.values() for d in u)
+    expected = {}
+    for uid, obs in daily.items():
+        days = sorted(obs)
+        for i, day in enumerate(days):
+            expected[(uid, day)] = (obs[day], False)
+            if i + 1 < len(days):
+                nxt = days[i + 1]
+                if nxt - day - 1 <= _MAX_GAP_DAYS:
+                    for d in range(day + 1, nxt):
+                        want = obs[day] + (obs[nxt] - obs[day]) * (
+                            (d - day) / (nxt - day)
+                        )
+                        expected[(uid, d)] = (want, True)
     got = {
         (r.user_id, r.day): (r.v_filled, r.interpolated)
         for r in registry.QUERIES["q_time_interpolate"](spark, sf_dir).collect()
     }
-    assert len(got) == len(daily) * (d1 - d0 + 1)
-    for uid, obs in daily.items():
-        days = sorted(obs)
-        for day in range(d0, d1 + 1):
-            if day in obs:
-                want = obs[day]
-            else:
-                prev = max((d for d in days if d < day), default=None)
-                nxt = min((d for d in days if d > day), default=None)
-                if prev is None:
-                    want = obs[nxt]
-                elif nxt is None:
-                    want = obs[prev]
-                else:
-                    want = obs[prev] + (obs[nxt] - obs[prev]) * (
-                        (day - prev) / (nxt - prev)
-                    )
-            v_filled, interp = got[(uid, day)]
-            assert interp == (day not in obs)
-            # engine sums via decimal(18,4); python float accumulation can
-            # drift a few ulps, so compare at slightly above the quantum
-            assert math.isclose(v_filled, want, abs_tol=2e-4), (
-                uid,
-                day,
-                v_filled,
-                want,
-            )
+    assert set(got) == set(expected)
+    for key, (v_filled, interp) in got.items():
+        want, want_interp = expected[key]
+        assert interp == want_interp, key
+        # engine sums via decimal(18,4); python float accumulation can
+        # drift a few ulps, so compare at slightly above the quantum
+        assert math.isclose(v_filled, want, abs_tol=2e-4), (
+            key,
+            v_filled,
+            want,
+        )
 
 
 def test_rolling_median_matches_statistics(spark, duck, sf_dir):
