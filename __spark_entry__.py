@@ -63,6 +63,25 @@ _CHANGED_THIS_ROUND = [
     # r8 price-NULL sweep: NULL price/qty rows excluded from the weighted
     # median (NULL group sorted NULLS-FIRST/LAST asymmetrically)
     "q_agg_weighted_median",
+    # r9 --dates sweep fixes (temporal edge values; BASELINE.md round-9
+    # matrix row): trunc-vs-floor epoch seconds -> exact.fsec, packed-key
+    # epoch shift, gap-capped interpolation, widened day decimals, bounded
+    # stream-join replay window, fixed-offset timezone shifts. Queries
+    # whose Spark idiom changed but whose driver-fixture output is
+    # byte-identical (the ~25 latent fsec sites) are deliberately NOT
+    # listed — a re-check of an unchanged result spends a slot for zero
+    # information.
+    "q_time_interpolate",
+    "q_join_nearest",
+    "q_fn_date",
+    "q_fn_timezone",
+    "q_checksum_table",
+    "q_scd2_history",
+    "q_win_frame_range",
+    "q_win_sessionize",
+    "q_win_time_range",
+    "q_user_features",
+    "q_composite_q7",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

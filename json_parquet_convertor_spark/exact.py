@@ -59,6 +59,39 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
 
 
+def fsec(col: Column | str) -> Column:
+    """FLOOR epoch seconds of a timestamp, exact for any instant Spark can
+    represent. Spark's unix_timestamp() truncates toward zero, so every
+    pre-1970 fractional instant comes back one second high (-1054.7 ->
+    -1054, where the oracle's floor(epoch(ts)) says -1055) — the --dates
+    fixture axis (1902 events with ms fractions) turns that into visible
+    hash mismatches in any query that emits or differences epoch seconds.
+
+    Computed as floor(unix_micros / 1e6) in DECIMAL arithmetic: a
+    long/long division in Spark converts both sides to DOUBLE first, and
+    year-2300 microsecond counts (~1.05e16) exceed 2^53, so the double
+    path can land a hair below an exact second and mis-floor. The decimal
+    quotient has exactly 6 fractional digits — exact — and stays inside
+    whole-stage codegen.
+
+    Oracle twin: CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT).
+    Day/bar numbers derive as floor(fsec/86400) etc. — exact because
+    floor(x/n) == floor(floor(x)/n) for integer n > 0, and |fsec| < 2^53
+    keeps that double division safe.
+
+    The input may be TIMESTAMP_NTZ (driver parquet ships date columns
+    without UTC adjustment); unix_micros only takes TIMESTAMP_LTZ, so we
+    cast first. That cast re-interprets the wall clock in the SESSION
+    timezone — safe only because load_table pins the session to UTC
+    before any query runs, making NTZ→LTZ a wall-clock identity exactly
+    like the tz-naive oracle's CAST(ts AS TIMESTAMP)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(
+        F.unix_micros(c.cast("timestamp")).cast("decimal(25,0)")
+        / F.lit(1_000_000)
+    ).cast("long")
+
+
 def sql_davg(expr: str) -> str:
     """Oracle-side (DuckDB) twin of :func:`davg`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({expr})"

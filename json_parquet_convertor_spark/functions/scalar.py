@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from json_parquet_convertor_spark.exact import fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
@@ -128,7 +129,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-12-31").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days_to_eoy"),
         F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        fsec("o_orderdate").alias("epoch_s"),
     )
 
 
@@ -645,12 +646,14 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone / calendar function family: from_utc_timestamp /
     to_utc_timestamp shifts and coarse date_trunc grains — the display-
     and bucketing layer every multi-region pipeline needs. Zones are
-    restricted to DST-free ones (Asia/Kolkata is a constant +05:30;
-    GMT+02 is a fixed offset) so the oracle can state the shift as plain
-    interval arithmetic — a DST zone would make the twin depend on both
-    engines' tzdb revisions, which is exactly the nondeterminism a
-    verified pipeline avoids. The roundtrip column proves
-    to_utc_timestamp inverts from_utc_timestamp.
+    EXPLICIT FIXED OFFSETS (+05:30 for the IST display column, GMT+02)
+    so the oracle can state the shift as plain interval arithmetic.
+    Named zones would make the twin depend on both engines' tzdb
+    revisions even without DST: Asia/Kolkata was +5:21:10 before 1906,
+    so a dirty 1903 timestamp (--dates axis) shifts differently under
+    the JVM's full IANA history than under a constant interval — exactly
+    the nondeterminism a verified pipeline avoids. The roundtrip column
+    proves to_utc_timestamp inverts from_utc_timestamp.
 
     Scale: row-local codegen expressions; date_trunc stays a
     pushdown-friendly monotone function of ts (range filters on the
@@ -658,11 +661,11 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 20 == 0
     )
-    ist = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    ist = F.from_utc_timestamp("ts", "+05:30")
     return ev.select(
         "event_id",
         ist.alias("ts_ist"),
-        F.to_utc_timestamp(ist, "Asia/Kolkata").alias("ts_roundtrip"),
+        F.to_utc_timestamp(ist, "+05:30").alias("ts_roundtrip"),
         F.from_utc_timestamp("ts", "GMT+02:00").alias("ts_plus2"),
         F.date_trunc("quarter", "ts").alias("quarter_start"),
         F.date_trunc("week", "ts").alias("week_start"),

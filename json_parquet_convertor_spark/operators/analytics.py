@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from json_parquet_convertor_spark.exact import fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -828,9 +829,9 @@ def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "event_type",
-        F.unix_timestamp("ts").alias("s"),
+        fsec("ts").alias("s"),
         (
-            F.unix_timestamp("ts")
+            fsec("ts")
             + F.greatest(F.lit(1), F.floor("value").cast("bigint"))
         ).alias("e"),
     )
@@ -1325,7 +1326,7 @@ def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
     cum_w = (
         Window.partitionBy("event_type")
@@ -1408,7 +1409,7 @@ def q_season_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
-        ((F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7)
+        ((F.floor(fsec("ts") / 86400) + 4) % 7)
         .cast("int")
         .alias("dow"),
         "value",
@@ -1542,7 +1543,7 @@ def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
-        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400)
+        F.floor(fsec(F.max("o_orderdate")) / 86400)
         .cast("bigint")
         .alias("last_day"),
         F.count("*").cast("bigint").alias("frequency"),
@@ -1684,7 +1685,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_ship = li.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("ship")
     )
-    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast(  # noqa: E731
+    day = lambda c: F.floor(fsec(c) / 86400).cast(  # noqa: E731
         "bigint"
     )
     dur = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"]).select(
@@ -1813,7 +1814,7 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(
         (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
         .cast("bigint")
@@ -1906,7 +1907,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+        F.floor(fsec("ts") / 604800).cast("bigint").alias("wk"),
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
     cohort = p.groupBy("user_id").agg(F.min("wk").alias("c0"))
@@ -2126,12 +2127,16 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(v) AS DOUBLE) AS total_value,
                CAST(MAX(h) - MAX(day) AS BIGINT) AS recency_days,
                CAST(MAX(day) - MIN(day) AS BIGINT) AS tenure_days,
-               COUNT(*) * SUM(CAST(day AS DECIMAL(18,4)) * v)
-                   - SUM(CAST(day AS DECIMAL(18,4))) * SUM(v) AS s_num,
-               COUNT(*) * SUM(CAST(day AS DECIMAL(18,4))
-                              * CAST(day AS DECIMAL(18,4)))
-                   - SUM(CAST(day AS DECIMAL(18,4)))
-                     * SUM(CAST(day AS DECIMAL(18,4))) AS s_den
+               -- DECIMAL(28,4), not (18,4): day numbers from dirty
+               -- post-2262 timestamps reach ~1.2e5, and DuckDB's
+               -- (18,4)x(18,4) product overflows its int64 storage
+               -- (--dates sweep); 28 digits forces the int128 path
+               COUNT(*) * SUM(CAST(day AS DECIMAL(28,4)) * v)
+                   - SUM(CAST(day AS DECIMAL(28,4))) * SUM(v) AS s_num,
+               COUNT(*) * SUM(CAST(day AS DECIMAL(28,4))
+                              * CAST(day AS DECIMAL(28,4)))
+                   - SUM(CAST(day AS DECIMAL(28,4)))
+                     * SUM(CAST(day AS DECIMAL(28,4))) AS s_den
         FROM daily CROSS JOIN horizon
         GROUP BY user_id
     )
@@ -2165,13 +2170,15 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
         F.count(F.lit(1)).alias("n"),
     )
     horizon = daily.agg(F.max("day").alias("h"))
-    d = F.col("day").cast("decimal(18,4)")
+    # (28,4) matches the oracle: wide enough that day-squared sums from
+    # dirty far-future day numbers stay exact on both engines
+    d = F.col("day").cast("decimal(28,4)")
     f = (
         daily.crossJoin(F.broadcast(horizon))
         .groupBy("user_id")
@@ -2253,7 +2260,7 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup keys are 5 priorities x 4 buckets with map-side partials.
     Value sums ride the exact decimal path."""
     o = load_table(spark, sf_dir, "orders")
-    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    day = F.floor(fsec("o_orderdate") / 86400).cast("bigint")
     snap = o.agg(F.max(day).alias("today"))
     open_o = (
         o.filter(F.col("o_orderstatus").isin("O", "P"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from json_parquet_convertor_spark.exact import fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -1278,11 +1279,11 @@ def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     ).select(
         "user_id",
-        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        fsec("ts").alias("ts_s"),
         "event_id",
         F.when(
             F.col("event_type") == "purchase",
-            F.unix_timestamp("ts").cast("bigint"),
+            fsec("ts"),
         ).alias("p_ts"),
         (F.col("event_type") == "click").cast("int").alias("is_click"),
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from json_parquet_convertor_spark.exact import dsum
+from json_parquet_convertor_spark.exact import dsum, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -671,7 +671,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ev = spread(load_table(spark, sf_dir, "events")).withColumn(
-        "bin", F.floor(F.unix_timestamp("ts") / 86400)
+        "bin", F.floor(fsec("ts") / 86400)
     )
     return (
         ev.join(iv, "bin")
@@ -1024,7 +1024,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("last_ev")
                 >= F.col("ts") - F.expr("INTERVAL 6 HOUR"),
-                F.unix_timestamp("last_ev"),
+                fsec("last_ev"),
             ).alias("ev_epoch"),
         )
         .withColumn(
@@ -1223,7 +1223,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you size the grid so bins hold ~thousands of intervals.
     The oracle runs the naive theta join: small enough at sf0.01, and
     exactly what the binned plan must reproduce."""
-    ep = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    ep = fsec("ts")
     ev = load_table(spark, sf_dir, "events")
     sessions = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -1551,7 +1551,7 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    day = lambda c: F.floor(F.unix_timestamp(c) / 86400).cast(  # noqa: E731
+    day = lambda c: F.floor(fsec(c) / 86400).cast(  # noqa: E731
         "bigint"
     )
     dim = (
@@ -1604,7 +1604,10 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
-           CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))
+           -- inner floor first: Spark divides integer floor-seconds, so
+           -- the oracle must too — a fractional epoch within 1s below a
+           -- 365.25-day-year boundary would otherwise flip the year
+           CAST(floor(floor(epoch(CAST(l_shipdate AS TIMESTAMP)))
                       / 86400 / 365.25) AS BIGINT) AS ship_year,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
@@ -1678,7 +1681,7 @@ def q_composite_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     year = F.floor(
-        F.unix_timestamp("l_shipdate") / 86400 / 365.25
+        fsec("l_shipdate") / 86400 / 365.25
     ).cast("bigint")
     return joined.groupBy(
         "supp_nation", "cust_nation", year.alias("ship_year")

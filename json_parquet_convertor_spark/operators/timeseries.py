@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.exact import dsum
+from json_parquet_convertor_spark.exact import dsum, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
@@ -104,7 +104,7 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(dsum("value").alias("v"))
@@ -201,7 +201,7 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(dsum("value").alias("sum_v"))
     w = (
         Window.partitionBy("event_type")
@@ -453,7 +453,7 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
     w = (
         Window.partitionBy("event_type")
@@ -543,7 +543,7 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 21600).cast("bigint").alias(
+        F.floor(fsec("ts") / 21600).cast("bigint").alias(
             "bucket"
         ),
         F.unix_micros("ts").alias("us"),
@@ -650,9 +650,9 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
-        F.unix_timestamp("ts").alias("s"),
+        fsec("ts").alias("s"),
         (
-            F.unix_timestamp("ts")
+            fsec("ts")
             + F.greatest(F.lit(1), F.floor("value").cast("bigint"))
         ).alias("e"),
     )
@@ -737,7 +737,7 @@ def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(dsum("value").alias("v"))
     w = Window.partitionBy("event_type").orderBy("day")
     nbr = daily.select(
@@ -828,7 +828,7 @@ def q_stats_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
-            F.floor(F.unix_timestamp("ts") / 86400)
+            F.floor(fsec("ts") / 86400)
             .cast("bigint")
             .alias("day")
         )
@@ -932,7 +932,7 @@ def q_win_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
@@ -1028,7 +1028,7 @@ def q_time_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
     w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     t = daily.select(

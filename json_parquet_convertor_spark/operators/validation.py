@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from json_parquet_convertor_spark.exact import fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -216,7 +217,7 @@ def q_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey"),
         F.col("l_linenumber"),
         F.col("l_quantity").cast("bigint"),
-        F.unix_timestamp("l_shipdate").cast("bigint"),
+        fsec("l_shipdate"),
     )
     h = F.md5(canonical)
     # little-endian lower 64 bits: hex byte pairs 31,29,..,17 reversed

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from json_parquet_convertor_spark.exact import fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
@@ -133,7 +134,7 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.unix_timestamp("ts").alias("ts_epoch"),
+        fsec("ts").alias("ts_epoch"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -262,7 +263,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "event_id",
-        F.unix_timestamp("ts").alias("ts_epoch"),
+        fsec("ts").alias("ts_epoch"),
         F.col("ts"),
     )
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -321,7 +322,7 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        fsec("ts").alias("ts_epoch"),
         "value",
     )
     w = (
@@ -393,7 +394,7 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+        fsec("ts").alias("ts_s"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     g = ev.withColumn(
@@ -533,7 +534,7 @@ def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        F.floor(fsec("ts") / 86400).alias("day"),
         "value",
     )
     daily = ev.groupBy("event_type", "day").agg(
@@ -827,7 +828,7 @@ def q_win_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", F.col("ts"))
         ).over(w),
     )
-    lag_sec = F.unix_timestamp("ts") - F.unix_timestamp("last_click")
+    lag_sec = fsec("ts") - fsec("last_click")
     return (
         marked.filter(
             (F.col("event_type") == "purchase")

@@ -466,7 +466,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         FROM events
-        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05'
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05'
     ),
     c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
     p AS (SELECT user_id, ts AS buy_ts, value FROM e WHERE event_type = 'purchase')
@@ -493,10 +494,18 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join exactly."""
     # four days of events gives thousands of attribution matches; replaying
     # the full month only inflates the per-invocation state warm-up (the
-    # interval-join state contract is time-bounded, not volume-bounded)
+    # interval-join state contract is time-bounded, not volume-bounded).
+    # The window is bounded on BOTH ends: an arbitrarily-late dirty event
+    # (a 1902 timestamp — the --dates axis) would be dropped by the
+    # watermark mid-stream in file-order-dependent fashion, which no batch
+    # oracle can reproduce; a replay job defines its input window
+    # explicitly, so the drop happens deterministically BEFORE the stream.
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        )
         .select("user_id", "event_type", "ts", "value")
     )
     src = _replay_source(spark, sf_dir, "join", lambda: ev)

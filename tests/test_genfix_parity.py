@@ -244,6 +244,110 @@ def test_extreme_sensitive_queries_match_on_extreme_fixture(
     assert ok, f"{name}: {detail}"
 
 
+# The round-9 temporal-edge sweep (gen_fixtures.py --dates: 1902 negative
+# epochs with ms fractions, the last fractional hour before epoch 0,
+# instants straddling the pandas ns ceiling 2262-04-11, 2300-2304 ms-vs-s
+# dirt, DST-window 2024 events) caught nine queries in four classes:
+# (1) Spark unix_timestamp() TRUNCATES toward zero where the oracles'
+#     floor(epoch(ts)) floors — every emitted/differenced epoch second and
+#     every day/bar bucket diverged on pre-1970 fractional instants; all
+#     such sites now use exact.fsec (decimal-exact floor of unix_micros).
+# (2) HUGEINT-packed (ts, event_id) oracle keys decoded with DuckDB's
+#     truncating // and sign-following % — garbage event_ids for negative
+#     packs; the packs now shift epochs positive by 1e17 us (guarded).
+# (3) span-proportional work: q_time_interpolate's global-bounds spine
+#     went to 21M rows / an O(n^2) window task from two dirty timestamps
+#     (now gap-capped per-user, O(obs x cap)); q_user_features' day
+#     decimals overflowed DuckDB's int64 (18,4) storage (now (28,4)).
+# (4) unbounded lateness: q_stream_join's watermark drops a 1902 click in
+#     file-order-dependent fashion no batch oracle reproduces — its replay
+#     window is now explicitly bounded on both ends, both sides;
+#     q_fn_timezone's named zone (Asia/Kolkata, +5:21:10 before 1906)
+#     shifted 1903 rows by the JVM's tzdb where the oracle states a fixed
+#     interval — the query now uses explicit fixed offsets.
+DATES_SENSITIVE = [
+    "q_fn_date",
+    "q_fn_timezone",
+    "q_checksum_table",
+    "q_scd2_history",
+    "q_win_frame_range",
+    "q_win_sessionize",
+    "q_win_time_range",
+    "q_user_features",
+    "q_stream_join",
+    "q_time_interpolate",
+    "q_join_nearest",
+    "q_join_asof",
+    "q_composite_q7",
+]
+
+
+@pytest.fixture(scope="module")
+def dates_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_dates")
+    build(spark, dst, 0.001, dates=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def dates_duck(dates_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(dates_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DATES_SENSITIVE)
+def test_dates_sensitive_queries_match_on_dates_fixture(
+    spark, dates_duck, dates_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, dates_duck, registry.QUERIES[name], registry.ORACLES[name],
+        dates_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_dates_fixture_has_the_edge_shapes(dates_duck, dates_dir):
+    """The axis is only worth pinning if the shapes are actually present:
+    negative fractional epochs, pre-epoch-0 fractional instants, past-ns-
+    ceiling instants, and far-future dirt must each exist."""
+    n_neg, n_last_hour, n_past_ns, n_future = dates_duck.execute(
+        """
+        SELECT (SELECT count(*) FROM events
+                WHERE ts < TIMESTAMP '1970-01-01'
+                  AND extract(ms FROM ts) <> 0),
+               (SELECT count(*) FROM events
+                WHERE ts >= TIMESTAMP '1969-12-31 23:00:00'
+                  AND ts < TIMESTAMP '1970-01-01'),
+               (SELECT count(*) FROM events
+                WHERE ts > TIMESTAMP '2262-04-12'),
+               (SELECT count(*) FROM events
+                WHERE ts >= TIMESTAMP '2300-01-01')
+        """
+    ).fetchone()
+    assert n_neg > 0 and n_last_hour > 0 and n_past_ns > 0 and n_future > 0
+
+
 def test_extreme_fixture_has_the_edge_shapes(extreme_duck, extreme_dir):
     """The axis is only worth pinning if the shapes are actually present."""
     n_empty, n_one, n_users, n_nonfinite = (
