@@ -82,6 +82,11 @@ _CHANGED_THIS_ROUND = [
     "q_win_time_range",
     "q_user_features",
     "q_composite_q7",
+    # r9 --negative sweep fixes: positivity-domain guards on sqrt/ln
+    # (Spark NULL/NaN vs DuckDB hard error) and Benford reads |x|'s digit
+    "q_fn_math",
+    "q_udf_pandas",
+    "q_stats_benford",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

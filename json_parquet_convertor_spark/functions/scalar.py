@@ -69,8 +69,10 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            round(abs(p_retailprice - 1000), 4) AS price_abs_dev,
            round(pow(p_size, 2), 4) AS size_sq,
-           round(sqrt(p_retailprice), 4) AS price_sqrt,
-           round(ln(p_retailprice), 4) AS price_ln,
+           CASE WHEN p_retailprice >= 0
+                THEN round(sqrt(p_retailprice), 4) END AS price_sqrt,
+           CASE WHEN p_retailprice > 0
+                THEN round(ln(p_retailprice), 4) END AS price_ln,
            round(exp(p_size % 5), 4) AS size_exp,
            CAST(((-p_size % 7) + 7) % 7 AS INT) AS size_pmod,
            CAST(sign(p_retailprice - 1000) AS INT) AS price_sign
@@ -89,8 +91,15 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").alias("price_ceil"),
         F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("price_abs_dev"),
         F.round(F.pow("p_size", F.lit(2)), 4).alias("size_sq"),
-        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        # domain guards, mirrored in the oracle CASEs: a credit-memo
+        # (negative) or freebie (0.0) retail price is NULL here — Spark
+        # would give NaN/NULL where DuckDB hard-errors (--negative axis)
+        F.when(
+            F.col("p_retailprice") >= 0, F.round(F.sqrt("p_retailprice"), 4)
+        ).alias("price_sqrt"),
+        F.when(
+            F.col("p_retailprice") > 0, F.round(F.log("p_retailprice"), 4)
+        ).alias("price_ln"),
         F.round(F.exp(F.col("p_size") % 5), 4).alias("size_exp"),
         F.pmod(-F.col("p_size"), F.lit(7)).cast("int").alias("size_pmod"),
         F.signum(F.col("p_retailprice") - 1000).cast("int").alias("price_sign"),

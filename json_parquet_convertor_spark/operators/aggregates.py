@@ -1572,12 +1572,18 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stats_benford",
     oracle="""
     WITH d AS (
-        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        -- abs() first: Benford reads the first SIGNIFICANT digit of the
+        -- magnitude; a credit memo's '-' is not a digit (the unguarded
+        -- substr fed '-' to an ANSI int cast — --negative axis)
+        SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
                                 AS VARCHAR), 1, 1) AS INT) AS digit
         FROM orders
     ),
     c AS (
-        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        -- |x| < 1 (incl. exact 0.0 freebies) has no leading significant
+        -- digit and log10(1 + 1/0) is undefined: excluded by definition
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        WHERE digit >= 1 GROUP BY 1
     )
     SELECT digit, n,
            floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
@@ -1606,14 +1612,23 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
+    # abs() first (a credit memo's '-' is not a digit), digits 0 dropped
+    # (|x| < 1 has no leading significant digit; log10(1+1/0) undefined) —
+    # both mirrored in the oracle (--negative axis)
     d = o.select(
         F.substring(
-            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string"),
+            1,
+            1,
         )
         .cast("int")
         .alias("digit")
     )
-    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    c = (
+        d.filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
     w = Window.partitionBy()
     obs = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
     exp = F.log10(1 + 1.0 / F.col("digit"))

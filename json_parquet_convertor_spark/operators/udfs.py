@@ -60,7 +60,9 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
-           round(sqrt(l_extendedprice) + ln(l_quantity + 1), 4) AS feature
+           CASE WHEN l_extendedprice >= 0 AND l_quantity > -1
+                THEN round(sqrt(l_extendedprice) + ln(l_quantity + 1), 4)
+           END AS feature
     FROM lineitem
     """,
 )
@@ -87,7 +89,15 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(disc_price("l_extendedprice", "l_discount"), 4).alias("disc_price"),
-        F.round(feature("l_extendedprice", "l_quantity"), 4).alias("feature"),
+        # domain guard, mirrored in the oracle CASE: the UDF still runs
+        # over every Arrow batch (Spark hoists UDFs out of CASE) and
+        # numpy quietly yields NaN/-inf for returns/credit rows; the
+        # JVM-side when() replaces those with NULL, where the unguarded
+        # oracle would hard-error on sqrt(negative) (--negative axis)
+        F.when(
+            (F.col("l_extendedprice") >= 0) & (F.col("l_quantity") > -1),
+            F.round(feature("l_extendedprice", "l_quantity"), 4),
+        ).alias("feature"),
     )
 
 

@@ -69,10 +69,21 @@ Australia/Lord_Howe 30-minute fall-back windows, so non-UTC session-tz
 sweeps actually cross a DST transition instead of bucketing mid-DST
 January data.
 
+With --negative (r9), sign edge values in the MEASURE columns every
+other axis keeps positive: a deterministic ~1/59 of p_retailprice /
+o_totalprice / l_quantity / l_extendedprice / events.value are NEGATED
+(returns, credit memos, chargebacks — routine in real money data) and
+~1/101 are EXACTLY 0.0 (freebies, zero-value pings). Every ln/sqrt/
+division/weight that implicitly assumes positivity meets them: Spark
+returns NULL/NaN for non-positive ln/sqrt where DuckDB hard-ERRORS, so
+an unguarded oracle doesn't even produce a comparable result. c_acctbal
+already ships negative (-999.99 floor), so customer-balance paths were
+always exercised; this axis extends the property to the measures.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
-       [--unicode] [--empty] [--dupes] [--extreme] [--dates]
+       [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme][_dates] — the variant
+[_extreme][_dates][_negative] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -111,6 +122,7 @@ def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
     dupes: bool = False, extreme: bool = False, dates: bool = False,
+    negative: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -180,6 +192,19 @@ def build(
                 )
             )
         return e.otherwise(col)
+
+    def neg_warp(col, key, salt):
+        """With --negative, negate ~1/59 of values and zero ~1/101
+        (refunds / credit memos / freebies). ``key`` is the row id so the
+        warp is reproducible and scale-free; the salt de-aliases bands
+        across columns of the same table."""
+        if not negative:
+            return col
+        return (
+            F.when((key + salt) % 59 == 7, -col)
+            .when((key + salt) % 101 == 13, F.lit(0.0))
+            .otherwise(col)
+        )
 
     def maybe_null(col, salt, frac=0.025):
         """With --nulls, NULL out a deterministic ~frac of values."""
@@ -276,7 +301,9 @@ def build(
             ).alias("p_brand"),
             maybe_null(pick(types, 10, power=1.4), 10).alias("p_type"),
             ui(1, 50, 11).alias("p_size"),
-            F.round(u(900.0, 2100.0, 12), 2).alias("p_retailprice"),
+            neg_warp(
+                F.round(u(900.0, 2100.0, 12), 2), F.col("id"), 1
+            ).alias("p_retailprice"),
         ),
         "part", max(1, int(32 * sf / 0.3)),
     )
@@ -290,9 +317,13 @@ def build(
         F.col("id").alias("o_orderkey"),
         F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
-        dd(
-            F.round(u(1000.0, 500000.0, 15), 2),
-            F.round((F.floor(u(0, 30, 15)) + 1) * 9999.99, 2),
+        neg_warp(
+            dd(
+                F.round(u(1000.0, 500000.0, 15), 2),
+                F.round((F.floor(u(0, 30, 15)) + 1) * 9999.99, 2),
+            ),
+            F.col("id"),
+            2,
         ).alias("o_totalprice"),
         # fractional seconds on purpose: stresses oracle truncate-vs-round
         # drift (unix_timestamp truncates; DuckDB's BIGINT cast rounds)
@@ -328,16 +359,23 @@ def build(
             # nullable: the quality-gate dead-letter contract (and every
             # SUM/AVG/median over quantity) must survive NULL quantities
             maybe_null(
-                F.floor(u(1, 51, 22)).cast("double"), 22
+                neg_warp(
+                    F.floor(u(1, 51, 22)).cast("double"), F.col("id"), 3
+                ),
+                22,
             ).alias("l_quantity"),
             # nullable INDEPENDENTLY of l_quantity (different salt): a
             # price-NULL/qty-present row is the case that splits a
             # SUM(p*q)/SUM(q) oracle from a both-masked reimplementation
             # (r7 verdict #2, q_udaf_pandas)
             maybe_null(
-                dd(
-                    F.round(u(900.0, 105000.0, 23), 2),
-                    F.round((F.floor(u(0, 40, 23)) + 1) * 2499.75, 2),
+                neg_warp(
+                    dd(
+                        F.round(u(900.0, 105000.0, 23), 2),
+                        F.round((F.floor(u(0, 40, 23)) + 1) * 2499.75, 2),
+                    ),
+                    F.col("id"),
+                    4,
                 ),
                 23,
             ).alias("l_extendedprice"),
@@ -393,10 +431,15 @@ def build(
             ).alias("user_id"),
             pick(etypes, 31, power=2.2).alias("event_type"),
             maybe_null(
-                dd(
-                    F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2),
-                    F.round(F.floor(u(0, 10, 32)) * 56.0, 2),
-                ), 32
+                neg_warp(
+                    dd(
+                        F.round(F.pow(F.rand(SEED + 32), 2.0) * 560.0, 2),
+                        F.round(F.floor(u(0, 10, 32)) * 56.0, 2),
+                    ),
+                    F.col("id"),
+                    5,
+                ),
+                32,
             ).alias("value"),
             maybe_null(
                 F.format_string('{"k": %d}', ui(0, 99, 33)), 33
@@ -540,6 +583,7 @@ def main() -> int:
     ap.add_argument("--dupes", action="store_true")
     ap.add_argument("--extreme", action="store_true")
     ap.add_argument("--dates", action="store_true")
+    ap.add_argument("--negative", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -552,7 +596,7 @@ def main() -> int:
         "_dupes" if args.dupes else ""
     ) + ("_extreme" if args.extreme else "") + (
         "_dates" if args.dates else ""
-    )
+    ) + ("_negative" if args.negative else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -560,7 +604,7 @@ def main() -> int:
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
-          extreme=args.extreme, dates=args.dates)
+          extreme=args.extreme, dates=args.dates, negative=args.negative)
     print(dst)
     return 0
 

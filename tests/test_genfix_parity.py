@@ -348,6 +348,85 @@ def test_dates_fixture_has_the_edge_shapes(dates_duck, dates_dir):
     assert n_neg > 0 and n_last_hour > 0 and n_past_ns > 0 and n_future > 0
 
 
+# The round-9 sign-edge sweep (gen_fixtures.py --negative: ~1/59 of each
+# measure column negated — returns, credit memos, chargebacks — and ~1/101
+# exactly 0.0) caught three queries, all the same class: positivity-domain
+# math where Spark quietly yields NULL/NaN and DuckDB hard-ERRORS, so the
+# oracle didn't even produce a comparable result. q_fn_math's sqrt/ln and
+# q_udf_pandas' sqrt+ln feature now carry mirrored domain guards (NULL
+# outside the domain; DuckDB CASE is lazily evaluated, so the guard also
+# protects the oracle); q_stats_benford reads the first significant digit
+# of the MAGNITUDE (abs before floor — '-' is not a digit) and drops
+# |x| < 1 rows, which have no leading significant digit.
+NEGATIVE_SENSITIVE = [
+    "q_fn_math",
+    "q_udf_pandas",
+    "q_stats_benford",
+]
+
+
+@pytest.fixture(scope="module")
+def negative_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_negative")
+    build(spark, dst, 0.001, negative=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def negative_duck(negative_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(negative_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEGATIVE_SENSITIVE)
+def test_negative_sensitive_queries_match_on_negative_fixture(
+    spark, negative_duck, negative_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, negative_duck, registry.QUERIES[name], registry.ORACLES[name],
+        negative_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_negative_fixture_has_the_edge_shapes(negative_duck, negative_dir):
+    """Negative and exact-zero values must actually be present in every
+    warped measure column."""
+    rows = negative_duck.execute(
+        """
+        SELECT (SELECT count(*) FROM part WHERE p_retailprice < 0),
+               (SELECT count(*) FROM part WHERE p_retailprice = 0.0),
+               (SELECT count(*) FROM orders WHERE o_totalprice < 0),
+               (SELECT count(*) FROM lineitem WHERE l_quantity < 0),
+               (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0),
+               (SELECT count(*) FROM events WHERE value < 0),
+               (SELECT count(*) FROM events WHERE value = 0.0)
+        """
+    ).fetchone()
+    assert all(n > 0 for n in rows), rows
+
+
 def test_extreme_fixture_has_the_edge_shapes(extreme_duck, extreme_dir):
     """The axis is only worth pinning if the shapes are actually present."""
     n_empty, n_one, n_users, n_nonfinite = (
