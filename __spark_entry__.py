@@ -87,6 +87,9 @@ _CHANGED_THIS_ROUND = [
     "q_fn_math",
     "q_udf_pandas",
     "q_stats_benford",
+    # r9 composed-axes catch: collect_list drops NULL daily sums where
+    # DuckDB's list() keeps them; the rolling-median oracle now filters
+    "q_win_rolling_median",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

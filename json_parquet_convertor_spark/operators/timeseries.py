@@ -164,15 +164,21 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     w AS (
+        -- list_filter strips NULL daily sums (a day whose only values
+        -- were NULL): Spark's collect_list DROPS NULLs while DuckDB's
+        -- list() keeps them, shifting both the length and the middle —
+        -- caught only when the --nulls and --dates axes compose (a NULL
+        -- singleton dirty day)
         SELECT event_type, day,
-               list_sort(list(sum_v) OVER (
+               list_sort(list_filter(list(sum_v) OVER (
                    PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-               )) AS l
+               ), x -> x IS NOT NULL)) AS l
         FROM daily
     )
     SELECT event_type, day,
-           floor(CASE WHEN len(l) % 2 = 1
+           floor(CASE WHEN len(l) = 0 THEN NULL
+                      WHEN len(l) % 2 = 1
                       THEN l[(len(l) + 1) // 2]
                       ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2
                  END * 10000 + 0.5) / 10000 AS med7
@@ -208,8 +214,12 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
+    # size(l) = 0 (a window of only NULL daily sums — collect_list skips
+    # them, matching the oracle's list_filter) must yield NULL, not an
+    # ANSI element_at(l, 0) error
     med = F.expr(
-        "CASE WHEN size(l) % 2 = 1 "
+        "CASE WHEN size(l) = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN size(l) % 2 = 1 "
         "THEN element_at(l, CAST((size(l) + 1) DIV 2 AS INT)) "
         "ELSE (element_at(l, CAST(size(l) DIV 2 AS INT)) "
         "      + element_at(l, CAST(size(l) DIV 2 + 1 AS INT))) / 2 END"

@@ -410,6 +410,54 @@ def test_negative_sensitive_queries_match_on_negative_fixture(
     assert ok, f"{name}: {detail}"
 
 
+# Round-9 COMPOSED-axes catch: q_win_rolling_median diverged only when
+# --nulls and --dates combine (a dirty singleton 1902 day whose only event
+# has a NULL value makes a NULL daily sum) — Spark's collect_list DROPS
+# NULLs while DuckDB's list() keeps them, shifting the rolling window's
+# length and middle. The oracle now list_filters NULLs and both sides
+# define the all-NULL-window median as NULL. Pinned on a tiny combined
+# fixture, because no single axis reproduces it.
+@pytest.fixture(scope="module")
+def combo_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_combo")
+    build(spark, dst, 0.001, nulls=True, dates=True, negative=True)
+    return dst
+
+
+def test_rolling_median_matches_on_composed_axes(spark, combo_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+    from tests.oracle_utils import compare_query
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            p = os.path.join(combo_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        ok, detail = compare_query(
+            spark,
+            con,
+            registry.QUERIES["q_win_rolling_median"],
+            registry.ORACLES["q_win_rolling_median"],
+            combo_dir,
+        )
+        assert ok, detail
+    finally:
+        con.close()
+
+
 def test_negative_fixture_has_the_edge_shapes(negative_duck, negative_dir):
     """Negative and exact-zero values must actually be present in every
     warped measure column."""
