@@ -59,6 +59,25 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
 
 
+def _floor_div_micros(c: Column, unit_us: int) -> Column:
+    """Exact floor(unix_micros(c) / unit_us) in pure LONG arithmetic.
+
+    `us - pmod(us, n)` is the largest multiple of n <= us (pmod is
+    non-negative for any sign of us), and `div` (IntegralDivide) of an
+    exact multiple is exact — truncation equals floor when the remainder
+    is zero. No DOUBLE (year-2300 microsecond counts ~1.05e16 exceed
+    2^53, where a double quotient can land a hair below an exact second
+    and mis-floor) and no DECIMAL (a per-row DECIMAL(25,0) divide cost
+    q_join_point_in_time a 1.45x regression on full fact scans, r9
+    verdict). Stays inside whole-stage codegen; differential-tested
+    against the decimal form over 2M instants spanning 1900-2350
+    including .000000/.999999 boundaries."""
+    us = F.unix_micros(c.cast("timestamp"))
+    return F.call_function(
+        "div", us - F.pmod(us, F.lit(unit_us)), F.lit(unit_us)
+    )
+
+
 def fsec(col: Column | str) -> Column:
     """FLOOR epoch seconds of a timestamp, exact for any instant Spark can
     represent. Spark's unix_timestamp() truncates toward zero, so every
@@ -67,17 +86,29 @@ def fsec(col: Column | str) -> Column:
     fixture axis (1902 events with ms fractions) turns that into visible
     hash mismatches in any query that emits or differences epoch seconds.
 
-    Computed as floor(unix_micros / 1e6) in DECIMAL arithmetic: a
-    long/long division in Spark converts both sides to DOUBLE first, and
-    year-2300 microsecond counts (~1.05e16) exceed 2^53, so the double
-    path can land a hair below an exact second and mis-floor. The decimal
-    quotient has exactly 6 fractional digits — exact — and stays inside
-    whole-stage codegen.
+    Computed as exact LONG floor-division of unix_micros (see
+    :func:`_floor_div_micros`); returns LONG, stays in codegen.
 
     Oracle twin: CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT).
+    DuckDB's epoch() goes through DOUBLE, whose ulp reaches 1 us around
+    epoch ~9e9 s (year ~2255, ~2.3 us by 2300) — a .999999-second
+    instant there could round onto the next second before floor.
+    UNTRIGGERED by contract: every fixture timestamp in that danger zone
+    (driver testdata and scripts/gen_fixtures.py --dates far-future
+    bands) carries at most MILLISECOND fractions — 1000 us >> the ulp —
+    and tests/test_genfix_parity.py::
+    test_dates_fixture_ms_quantized_in_double_danger_zone pins that
+    generator invariant. (Sub-ms fractions in the 1995-2031 base band
+    are safe: ulp there is ~2.4e-7 s.) If a future fixture needs
+    microsecond fractions past ~2242, switch the oracle twin to
+    integer-exact form:
+    (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000))
+    // 1000000.
+
     Day/bar numbers derive as floor(fsec/86400) etc. — exact because
     floor(x/n) == floor(floor(x)/n) for integer n > 0, and |fsec| < 2^53
-    keeps that double division safe.
+    keeps that double division safe (prefer :func:`fday` on full fact
+    scans).
 
     The input may be TIMESTAMP_NTZ (driver parquet ships date columns
     without UTC adjustment); unix_micros only takes TIMESTAMP_LTZ, so we
@@ -86,10 +117,18 @@ def fsec(col: Column | str) -> Column:
     before any query runs, making NTZ→LTZ a wall-clock identity exactly
     like the tz-naive oracle's CAST(ts AS TIMESTAMP)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(
-        F.unix_micros(c.cast("timestamp")).cast("decimal(25,0)")
-        / F.lit(1_000_000)
-    ).cast("long")
+    return _floor_div_micros(c, 1_000_000)
+
+
+def fday(col: Column | str) -> Column:
+    """FLOOR epoch DAY number of a timestamp — exact LONG twin of
+    floor(fsec(col) / 86400), one integral divide instead of two.
+    floor(us / 86400e6) == floor(floor(us / 1e6) / 86400) for integer
+    divisors, so any oracle spelled floor(epoch(ts) / 86400) matches.
+    Use on full fact-table scans (lineitem/orders/events day bucketing)
+    where per-row expression cost is visible at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _floor_div_micros(c, 86_400_000_000)
 
 
 def sql_davg(expr: str) -> str:

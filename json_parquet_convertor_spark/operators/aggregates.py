@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.exact import davg, dsum, fsec
+from json_parquet_convertor_spark.exact import davg, dsum, fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -1695,7 +1695,7 @@ def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(dsum("value").alias("x"))
     p = daily.select(
         "event_type",
@@ -1823,7 +1823,7 @@ def q_agg_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes). For unbounded groups, fall back to the sketch twin."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),
     )
     q4 = lambda c: F.floor(c / 10000 * 10000 + 0.5) / 10000  # noqa: E731

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.exact import fsec
+from json_parquet_convertor_spark.exact import fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -68,6 +68,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weeks.join(cohort, "user_id")
         .groupBy(
+            # unix_timestamp TRUNCATES toward zero, not floor — safe here
+            # ONLY because wk/cohort are date_trunc("week") outputs
+            # (fraction-free), where truncate == floor; a raw ts input
+            # would reintroduce the pre-1970 off-by-one-second divergence
             F.unix_timestamp("cohort").alias("cohort_week"),
             F.floor(
                 (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
@@ -1326,7 +1330,7 @@ def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
     cum_w = (
         Window.partitionBy("event_type")
@@ -1409,7 +1413,7 @@ def q_season_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
-        ((F.floor(fsec("ts") / 86400) + 4) % 7)
+        ((fday("ts") + 4) % 7)
         .cast("int")
         .alias("dow"),
         "value",
@@ -1543,9 +1547,7 @@ def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
-        F.floor(fsec(F.max("o_orderdate")) / 86400)
-        .cast("bigint")
-        .alias("last_day"),
+        fday(F.max("o_orderdate")).alias("last_day"),
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("mon_d"),
     )
@@ -1685,9 +1687,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_ship = li.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("ship")
     )
-    day = lambda c: F.floor(fsec(c) / 86400).cast(  # noqa: E731
-        "bigint"
-    )
+    day = fday
     dur = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"]).select(
         F.col("o_orderpriority").alias("priority"),
         (day(F.col("ship")) - day(F.col("o_orderdate"))).alias("t"),
@@ -1814,7 +1814,7 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(
         (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
         .cast("bigint")
@@ -2170,7 +2170,7 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(
         F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
         F.count(F.lit(1)).alias("n"),
@@ -2260,7 +2260,7 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup keys are 5 priorities x 4 buckets with map-side partials.
     Value sums ride the exact decimal path."""
     o = load_table(spark, sf_dir, "orders")
-    day = F.floor(fsec("o_orderdate") / 86400).cast("bigint")
+    day = fday("o_orderdate")
     snap = o.agg(F.max(day).alias("today"))
     open_o = (
         o.filter(F.col("o_orderstatus").isin("O", "P"))

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from json_parquet_convertor_spark.exact import dsum, fsec
+from json_parquet_convertor_spark.exact import dsum, fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -663,6 +663,9 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bin",
             F.explode(
+                # truncate==floor holds: s/e are interval bounds built by
+                # literal-second arithmetic (fraction-free), so
+                # unix_timestamp's toward-zero truncation cannot diverge
                 F.sequence(
                     F.floor(F.unix_timestamp("s") / 86400),
                     F.floor((F.unix_timestamp("e") - 1) / 86400),
@@ -671,7 +674,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ev = spread(load_table(spark, sf_dir, "events")).withColumn(
-        "bin", F.floor(fsec("ts") / 86400)
+        "bin", fday("ts")
     )
     return (
         ev.join(iv, "bin")
@@ -1551,9 +1554,7 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    day = lambda c: F.floor(fsec(c) / 86400).cast(  # noqa: E731
-        "bigint"
-    )
+    day = fday
     dim = (
         o.groupBy(
             F.col("o_custkey").alias("custkey"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.exact import fsec
+from json_parquet_convertor_spark.exact import fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -537,7 +537,7 @@ def q_sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
     cut = e.agg(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.exact import dsum, fsec
+from json_parquet_convertor_spark.exact import dsum, fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
@@ -30,13 +30,14 @@ from json_parquet_convertor_spark.sources.io import load_table
 
 # longest run of missing days a straight line may fill; gaps beyond this
 # stay unfilled, bounding output by O(observations x cap) however dirty
-# the timestamps (the oracle's literal 46 is this + 1 — day-delta form)
+# the timestamps (the oracle interpolates this + 1 — day-delta form — so
+# the two engines can never drift when the constant is edited)
 _MAX_GAP_DAYS = 45
 
 
 @query(
     "q_time_interpolate",
-    oracle="""
+    oracle=f"""
     WITH p AS (
         SELECT user_id,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
@@ -59,7 +60,7 @@ _MAX_GAP_DAYS = 45
         SELECT user_id, day, v, nd, nv,
                unnest(generate_series(
                    day,
-                   CASE WHEN nd IS NOT NULL AND nd - day <= 46
+                   CASE WHEN nd IS NOT NULL AND nd - day <= {_MAX_GAP_DAYS + 1}
                         THEN nd - 1 ELSE day END
                )) AS d
         FROM nx
@@ -104,7 +105,7 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(dsum("value").alias("v"))
@@ -207,7 +208,7 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(dsum("value").alias("sum_v"))
     w = (
         Window.partitionBy("event_type")
@@ -463,7 +464,7 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_v"))
     w = (
         Window.partitionBy("event_type")
@@ -747,7 +748,7 @@ def q_win_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(dsum("value").alias("v"))
     w = Window.partitionBy("event_type").orderBy("day")
     nbr = daily.select(
@@ -838,9 +839,7 @@ def q_stats_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(
-            F.floor(fsec("ts") / 86400)
-            .cast("bigint")
-            .alias("day")
+            fday("ts").alias("day")
         )
         .agg(
             F.coalesce(
@@ -942,7 +941,7 @@ def q_win_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
@@ -1038,7 +1037,7 @@ def q_time_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.floor(fsec("ts") / 86400).cast("bigint").alias("day"),
+        fday("ts").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
     w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     t = daily.select(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from json_parquet_convertor_spark.exact import fsec
+from json_parquet_convertor_spark.exact import fday, fsec
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table
 
@@ -534,7 +534,7 @@ def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(fsec("ts") / 86400).alias("day"),
+        fday("ts").alias("day"),
         "value",
     )
     daily = ev.groupBy("event_type", "day").agg(
@@ -944,6 +944,8 @@ def q_win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         load_table(spark, sf_dir, "orders")
         .groupBy(
+            # truncate==floor holds: date_trunc output is fraction-free
+            # (unix_timestamp would mis-floor a raw pre-1970 fractional ts)
             F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
                 "month"
             )
@@ -1024,6 +1026,7 @@ def q_win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _lt(spark, sf_dir, "orders")
     m = o.groupBy(
         "o_custkey",
+        # truncate==floor holds: date_trunc output is fraction-free
         F.unix_timestamp(F.date_trunc("month", "o_orderdate"))
         .cast("bigint")
         .alias("month"),

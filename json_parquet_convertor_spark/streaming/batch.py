@@ -28,6 +28,7 @@ like the batch scan. ``maxFilesPerTrigger`` is the back-pressure knob
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from contextlib import contextmanager
@@ -246,7 +247,29 @@ def _replay_source(spark: SparkSession, sf_dir: str, name: str, build) -> str:
     return _REPLAY_CACHE[key]
 
 
-@query("q_stream_convert")  # rows-only
+# The stream's sink read-back is fully determined by the embedded reference
+# samples (convert.SAMPLE_PERSONS — sample_json/person{2,3,4}.json), so the
+# oracle can state the expected rows — built FROM the same dict, so editing
+# a sample can never silently diverge the two engines.
+_CONVERT_EXPECTED_VALUES = ",\n           ".join(
+    "('%s', '%s', '%s', CAST(%d AS TINYINT))"
+    % (d["ID"], d["name"], d["nationality"], d["age"])
+    for d in (
+        json.loads(body) for body in sorted(convert.SAMPLE_PERSONS.values())
+    )
+)
+
+
+@query(
+    "q_stream_convert",
+    oracle=f"""
+    SELECT id, name, nationality, age
+    FROM (VALUES
+           {_CONVERT_EXPECTED_VALUES}
+    ) AS t(id, name, nationality, age)
+    ORDER BY id
+    """,
+)
 def q_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference end-to-end as a stream (A1→A6→A7): watch a directory of
     JSON person files → schema-enforced parse → rename/zero-fill/tinyint
@@ -255,7 +278,12 @@ def q_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkpoint + ``_spark_metadata`` commit log is the exactly-once
     upgrade of the reference's delete-after-write SQS ack. maxFilesPerTrigger
     (=2 here) is the back-pressure bound, standing in for the reference's
-    ≤10-message poll batches (convertor.go:52)."""
+    ≤10-message poll batches (convertor.go:52).
+
+    Oracled (r10): the sink read-back is deterministic — the three embedded
+    reference sample persons, schema-enforced and zero-filled — so the
+    DuckDB twin states those rows inline (the q_s3_event_parse pattern),
+    generated from the SAME ``convert.SAMPLE_PERSONS`` source of truth."""
     base = os.path.join(run_tmp("stream_convert"), uuid.uuid4().hex[:8])
     src = convert.write_sample_json(os.path.join(base, "json"))
     out = os.path.join(base, "parquet")

@@ -80,10 +80,23 @@ an unguarded oracle doesn't even produce a comparable result. c_acctbal
 already ships negative (-999.99 floor), so customer-balance paths were
 always exercised; this axis extends the property to the measures.
 
+With --hotkey (r10), pathological KEY skew — the shape a 100 TB corpus
+actually has and none of the other axes produce (--extreme collapses
+events to a single user; this axis gives every hot-key table BOTH a
+dominant key and a normal tail, which is what AQE skew handling, salting,
+and per-key windows must survive TOGETHER): one user owns ~50% of all
+events (the rest keep the power-law tail), one customer owns ~50% of all
+orders, ~50% of documents are near-boilerplate (a fixed 40-word template
+with ONE trailing word varying over 19 variants — every MinHash/SimHash
+band hashes them into the same buckets, so LSH candidate generation meets
+one enormous bucket), and ~50% of embedding vectors are near-identical
+(one hot SRP/IVF bucket, cosine ~1 ties).
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
+       [--hotkey]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme][_dates][_negative] — the variant
+[_extreme][_dates][_negative][_hotkey] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -122,7 +135,7 @@ def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
     dupes: bool = False, extreme: bool = False, dates: bool = False,
-    negative: bool = False,
+    negative: bool = False, hotkey: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -205,6 +218,13 @@ def build(
             .when((key + salt) % 101 == 13, F.lit(0.0))
             .otherwise(col)
         )
+
+    def hot(col, key):
+        """With --hotkey, route every even-keyed row to key 0 — one key
+        owns ~50% of the table while odd rows keep the normal tail."""
+        if not hotkey:
+            return col
+        return F.when(key % 2 == 0, F.lit(0).cast("bigint")).otherwise(col)
 
     def maybe_null(col, salt, frac=0.025):
         """With --nulls, NULL out a deterministic ~frac of values."""
@@ -315,7 +335,9 @@ def build(
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     orders = spark.range(n_ord).select(
         F.col("id").alias("o_orderkey"),
-        F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust).alias("o_custkey"),
+        hot(
+            F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust), F.col("id")
+        ).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
         neg_warp(
             dd(
@@ -427,7 +449,10 @@ def build(
             # giant key (the 100 TB bot-user / default-id degeneracy)
             (
                 F.lit(0).cast("bigint") if extreme
-                else F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users)
+                else hot(
+                    F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users),
+                    F.col("id"),
+                )
             ).alias("user_id"),
             pick(etypes, 31, power=2.2).alias("event_type"),
             maybe_null(
@@ -493,6 +518,26 @@ def build(
             .when(F.col("doc_id") % 101 == 29, F.lit(4000))
             .otherwise(F.col("n_words")),
         )
+    if hotkey:
+        # ~50% of docs become NEAR-boilerplate: a fixed 40-word template
+        # (base 0, the same seed the ~2% exact-dup rule uses) with ONE
+        # trailing word varying over 19 variants — pairwise Jaccard ~0.9,
+        # so every banded MinHash/SimHash signature collides and LSH
+        # candidate generation meets one enormous bucket, while the
+        # variation keeps them NEAR-dups (the exact-dedup path must NOT
+        # collapse them). Realized below by pinning (base, n_words) here
+        # and appending the variant word after the text is built.
+        docs = docs.withColumn(
+            "base",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+                F.col("base")
+            ),
+        ).withColumn(
+            "n_words",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(40)).otherwise(
+                F.col("n_words")
+            ),
+        )
     docs = docs.select(
         "doc_id", "lang", "source",
         # n_words == 0 must yield "" — sequence(0, -1) would DESCEND and
@@ -514,7 +559,23 @@ def build(
                 " ",
             )
         ).alias("text"),
-    ).select(
+    )
+    if hotkey:
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.element_at(
+                        word_arr,
+                        (F.col("doc_id") % 19).cast("int") + 1,
+                    ),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    docs = docs.select(
         "doc_id", "text", "lang", "source",
         F.length("text").cast("long").alias("n_chars"),
     )
@@ -525,9 +586,15 @@ def build(
     write(
         spark.range(n_emb).select(
             F.col("id").alias("vec_id"),
-            F.floor(F.pow(F.rand(SEED + 38), 2.0) * 10).cast("int").alias(
-                "label"
-            ),
+            (
+                F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+                    F.floor(F.pow(F.rand(SEED + 38), 2.0) * 10)
+                )
+                if hotkey
+                else F.floor(F.pow(F.rand(SEED + 38), 2.0) * 10)
+            )
+            .cast("int")
+            .alias("label"),
         ).select(
             "vec_id", "label",
             F.transform(
@@ -562,7 +629,14 @@ def build(
                     + F.when(
                         F.lit(dupes) & (F.col("vec_id") % 3 == 0),
                         F.lit(0.0),
-                    ).otherwise(
+                    )
+                    # --hotkey: the hot half's per-row term shrinks 600x —
+                    # cosine ~1 near-duplicates, one hot hyperplane bucket
+                    .when(
+                        F.lit(hotkey) & (F.col("vec_id") % 2 == 0),
+                        F.sin(F.col("vec_id") * 31 + i * 3) * 0.001,
+                    )
+                    .otherwise(
                         F.sin(F.col("vec_id") * 31 + i * 3) * 0.6
                     )
                 )
@@ -584,6 +658,7 @@ def main() -> int:
     ap.add_argument("--extreme", action="store_true")
     ap.add_argument("--dates", action="store_true")
     ap.add_argument("--negative", action="store_true")
+    ap.add_argument("--hotkey", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -596,7 +671,9 @@ def main() -> int:
         "_dupes" if args.dupes else ""
     ) + ("_extreme" if args.extreme else "") + (
         "_dates" if args.dates else ""
-    ) + ("_negative" if args.negative else "")
+    ) + ("_negative" if args.negative else "") + (
+        "_hotkey" if args.hotkey else ""
+    )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -604,7 +681,8 @@ def main() -> int:
     spark = get_spark(app_name="jpc-gen-fixtures", cpus=cpus)
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
-          extreme=args.extreme, dates=args.dates, negative=args.negative)
+          extreme=args.extreme, dates=args.dates, negative=args.negative,
+          hotkey=args.hotkey)
     print(dst)
     return 0
 

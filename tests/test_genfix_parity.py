@@ -348,6 +348,39 @@ def test_dates_fixture_has_the_edge_shapes(dates_duck, dates_dir):
     assert n_neg > 0 and n_last_hour > 0 and n_past_ns > 0 and n_future > 0
 
 
+def test_dates_fixture_ms_quantized_in_double_danger_zone(dates_duck):
+    """Every generated timestamp past 2242 carries at most MILLISECOND
+    fractions.
+
+    This is the contract exact.fsec's ORACLE twin depends on: DuckDB's
+    floor(epoch(ts)) goes through DOUBLE, whose ulp reaches 1 µs around
+    epoch ~9e9 s (year ~2255) and ~2.3 µs by 2300 — a .999999-second
+    instant there could round onto the next second before floor. With
+    fractions quantized to ≥1000 µs off the boundary, the nearest
+    representable double is always on the correct side. Sub-ms fractions
+    are fine in the 1995-2031 base band (ulp ~2.4e-7 s, three orders of
+    magnitude inside the 1 µs minimum distance). If a future axis needs
+    sub-ms fractions past 2242, switch the oracle twins to the
+    integer-exact epoch_us form documented in exact.fsec's docstring —
+    this test is the tripwire."""
+    n_sub_ms = dates_duck.execute(
+        """
+        SELECT (SELECT count(*) FROM events
+                WHERE ts >= TIMESTAMP '2242-01-01'
+                  AND epoch_us(CAST(ts AS TIMESTAMP)) % 1000 <> 0)
+             + (SELECT count(*) FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2242-01-01'
+                  AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) % 1000 <> 0)
+             + (SELECT count(*) FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '2242-01-01'
+                  AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) % 1000 <> 0)
+        """
+    ).fetchone()[0]
+    assert n_sub_ms == 0, (
+        f"{n_sub_ms} sub-millisecond timestamps in the double danger zone"
+    )
+
+
 # The round-9 sign-edge sweep (gen_fixtures.py --negative: ~1/59 of each
 # measure column negated — returns, credit memos, chargebacks — and ~1/101
 # exactly 0.0) caught three queries, all the same class: positivity-domain

@@ -282,6 +282,58 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_bloom_prefilter_stays_broadcast_until_final_agg(spark, sf_dir):
+    """q_join_bloom_prefilter's whole point is that the fact scan meets
+    ONLY broadcast joins (two bitmap probes + the exact semi refine + the
+    dim build chain) — the first shuffle in the plan must be the final
+    aggregation. A config/code drift that turns any probe into a
+    SortMergeJoin would silently reintroduce a full-fact shuffle."""
+    plan = _plan(spark, sf_dir, "q_join_bloom_prefilter")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "LeftSemi" in plan, plan  # the exact refine survived optimization
+    # shuffles: the bloom-bitmap fold (planned once per probe side pre-AQE;
+    # runtime reuses one) + the final aggregate — never the fact table. The
+    # fact side carries no Exchange: every fact row reaches the final agg
+    # through broadcast joins only.
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 3, plan
+    # no exchange keyed on a fact column (the bloom folds key on `word`,
+    # the final agg on the returnflag GROUP BY — both post-reduction)
+    assert not any(
+        "Exchange hashpartitioning(l_suppkey" in l for l in plan.splitlines()
+    ), plan
+
+
+def test_salted_join_replication_stays_bounded(spark, sf_dir):
+    """q_join_salted replicates the dim ×salt_n inside a broadcast; the
+    fact side must stay shuffle-free (BroadcastHashJoin, one final-agg
+    exchange) and the salt modulus must stay 8 — a future edit that fattens
+    the replication factor (or moves the explode onto the fact side) has to
+    update this pin consciously."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_join_salted")
+    assert "BroadcastHashJoin" in plan, plan
+    # the dim replication (Generate explode) happens under the broadcast,
+    # so it is |dim|×8 rows built once — not a fact-side blowup
+    bx = plan.index("BroadcastExchange")
+    assert "Generate explode" in plan[bx:], plan
+    assert "Generate explode" not in plan[:bx], plan
+    # the fact-side salt pmod pins the ×8 bound
+    assert re.search(r"pmod\(\(l_orderkey#\d+L? \* 2654435761\), 8\)", plan), plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+
+
 def test_skew_diagnose_topk_no_global_sort(spark, sf_dir):
     """Top-10 heaviest keys must be TakeOrderedAndProject over the key
     counts, not a full Sort of the count table."""
