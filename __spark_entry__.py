@@ -43,53 +43,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed block below: queries whose implementation or oracle changed this
 # round after their last driver check, so the driver re-confirms them.
 _CHANGED_THIS_ROUND = [
-    # r6 oracle rewrites not driver-sampled since (r7 was a zero-commit
-    # round): asof/point-in-time linearized for sf1.0 feasibility, ohlc
-    # argmax key DECIMAL->HUGEINT, er_pipeline name-space closure.
-    "q_join_asof",
-    "q_join_point_in_time",
-    "q_agg_ohlc",
-    "q_er_pipeline",
-    # r8: denominator mask now qty-NULL-only, matching SUM(p*q)/SUM(q)
-    "q_udaf_pandas",
-    # r8 --extreme sweep fixes: non-finite embedding components
-    # (pool-exclude / saturating quantize / NULL features), zero-weight
-    # draw exclusion, and the file-count contract made NDV-robust
-    "q_embed_pool",
-    "q_embed_quantize",
-    "q_multimodal_join",
-    "q_sample_weighted",
-    "q_sink_sorted",
-    # r8 price-NULL sweep: NULL price/qty rows excluded from the weighted
-    # median (NULL group sorted NULLS-FIRST/LAST asymmetrically)
-    "q_agg_weighted_median",
-    # r9 --dates sweep fixes (temporal edge values; BASELINE.md round-9
-    # matrix row): trunc-vs-floor epoch seconds -> exact.fsec, packed-key
-    # epoch shift, gap-capped interpolation, widened day decimals, bounded
-    # stream-join replay window, fixed-offset timezone shifts. Queries
-    # whose Spark idiom changed but whose driver-fixture output is
-    # byte-identical (the ~25 latent fsec sites) are deliberately NOT
-    # listed — a re-check of an unchanged result spends a slot for zero
-    # information.
-    "q_time_interpolate",
-    "q_join_nearest",
-    "q_fn_date",
-    "q_fn_timezone",
-    "q_checksum_table",
-    "q_scd2_history",
-    "q_win_frame_range",
-    "q_win_sessionize",
-    "q_win_time_range",
-    "q_user_features",
-    "q_composite_q7",
-    # r9 --negative sweep fixes: positivity-domain guards on sqrt/ln
-    # (Spark NULL/NaN vs DuckDB hard error) and Benford reads |x|'s digit
-    "q_fn_math",
-    "q_udf_pandas",
-    "q_stats_benford",
-    # r9 composed-axes catch: collect_list drops NULL daily sums where
-    # DuckDB's list() keeps them; the rolling-median oracle now filters
-    "q_win_rolling_median",
+    # r10 (all 27 r6-r9 entries went green in CORRECTNESS_r09 and are
+    # cleared so the driver budget refreshes the stalest r1/r2 tier):
+    #
+    # promoted rows-only -> SQL-oracled: the sink read-back is the three
+    # embedded reference sample persons, stated inline by the oracle
+    "q_stream_convert",
+    # composed-sf0.1 sweep catches (BASELINE.md round-10 matrix row):
+    # zero running peak is ANSI DIVIDE_BY_ZERO vs DuckDB Inf -> mirrored
+    # peak > 0 domain guard on drawdown_pct
+    "q_win_drawdown",
+    # (s, e) tie groups sequenced independently by the flag and sum
+    # window passes split an island -> both passes now order by the
+    # TOTAL key (s, e, event_id) in both engines
+    "q_interval_merge",
+    # NOT listed: the ~30 fsec/fday sites rewritten from decimal to LONG
+    # floor-division this round — exact-identical output on every fixture
+    # (differential-swept on driver/dates/hotkey/composed fixtures), so a
+    # re-check spends a driver slot for zero information.
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

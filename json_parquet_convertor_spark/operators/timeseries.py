@@ -441,8 +441,13 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum_v AS DOUBLE) AS sum_v,
            CAST(peak AS DOUBLE) AS peak,
            CAST(peak - sum_v AS DOUBLE) AS drawdown,
-           floor(CAST(peak - sum_v AS DOUBLE) / CAST(peak AS DOUBLE)
-                 * 10000 + 0.5) / 10000 AS drawdown_pct
+           -- domain guard (r10 composed sf0.1: --negative x --hotkey can
+           -- zero a running peak, where ANSI Spark hard-errors and DuckDB
+           -- emits Inf): the pct is defined only for a POSITIVE peak
+           CASE WHEN peak > 0 THEN
+               floor(CAST(peak - sum_v AS DOUBLE) / CAST(peak AS DOUBLE)
+                     * 10000 + 0.5) / 10000
+           END AS drawdown_pct
     FROM g
     """,
 )
@@ -483,14 +488,21 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_v").cast("double").alias("sum_v"),
         F.col("peak").cast("double").alias("peak"),
         (F.col("peak") - F.col("sum_v")).cast("double").alias("drawdown"),
-        (
+        # peak > 0 domain guard, mirrored in the oracle (r10 composed
+        # sf0.1 catch): a zero running peak — one all-negative/zero hot
+        # day opening a series — is DIVIDE_BY_ZERO under ANSI Spark but
+        # Inf under DuckDB, so the engines diverge before results are
+        # comparable; a NEGATIVE peak would divide fine in both but the
+        # "fraction below high-water" metric is meaningless there.
+        F.when(
+            F.col("peak") > 0,
             F.floor(
                 (F.col("peak") - F.col("sum_v")).cast("double")
                 / F.col("peak").cast("double")
                 * 10000
                 + 0.5
             )
-            / 10000
+            / 10000,
         ).alias("drawdown_pct"),
     )
 
@@ -600,16 +612,22 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interval_merge",
     oracle="""
     WITH iv AS (
-        SELECT user_id,
+        SELECT user_id, event_id,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                    + greatest(1, CAST(floor(value) AS BIGINT)) AS e
         FROM events
     ),
+    -- both window passes order by (s, e, event_id) — a TOTAL key (r10
+    -- composed sf0.1 catch, the r6 gap-and-island class): with (s, e)
+    -- alone, ~200-row tie groups (--dupes instants x --extreme single
+    -- user) are sequenced independently in the flag pass and the sum
+    -- pass; when the orders disagree a tie group splits across two
+    -- islands and coverage/longest shift while n_merged stays equal
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, s, e, event_id,
                CASE WHEN s > coalesce(max(e) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, e, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), -1) THEN 1 ELSE 0 END AS new_island
         FROM iv
@@ -617,7 +635,7 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
         SELECT user_id, s, e,
                SUM(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, e, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS island
         FROM flagged
@@ -661,19 +679,25 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
+        "event_id",
         fsec("ts").alias("s"),
         (
             fsec("ts")
             + F.greatest(F.lit(1), F.floor("value").cast("bigint"))
         ).alias("e"),
     )
-    order = Window.partitionBy("user_id").orderBy("s", "e")
+    # (s, e, event_id) is a TOTAL order — see the oracle comment; Spark
+    # fuses both frames into one Window exec so it happens to be self-
+    # consistent, but the cross-engine island assignment within a tie
+    # group is only deterministic under a shared total key
+    order = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
     prev_max = order.rowsBetween(Window.unboundedPreceding, -1)
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     islands = iv.select(
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(
             F.col("s") > F.coalesce(F.max("e").over(prev_max), F.lit(-1)),
             F.lit(1),

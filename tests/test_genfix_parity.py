@@ -491,6 +491,104 @@ def test_rolling_median_matches_on_composed_axes(spark, combo_dir):
         con.close()
 
 
+# Round-10 COMPOSED-sf0.1 catches. Both corners only populate organically
+# at the composed sf0.1 sweep (the sf0.01 composition passed pre-fix), so
+# they are pinned on a hand-crafted micro events table instead:
+# (1) q_win_drawdown — a series whose running peak is ZERO (an opening
+#     all-zero/negative day, --negative x --hotkey at sf0.1) is
+#     DIVIDE_BY_ZERO under ANSI Spark and Inf under DuckDB; the pct now
+#     carries a mirrored peak > 0 domain guard (NULL otherwise). Without
+#     the guard this test CRASHES, so it is a deterministic pin.
+# (2) q_interval_merge — ~200-row (s, e) tie groups (--dupes instants x
+#     --extreme single user at sf0.1) sequenced independently by the flag
+#     pass and the sum pass split an island nondeterministically; both
+#     passes now order by the TOTAL key (s, e, event_id) in both engines
+#     (the r6 gap-and-island class). The micro table carries a 20-row tie
+#     group; agreement is asserted, and the total-order text is the
+#     conscious-edit tripwire.
+@pytest.fixture(scope="module")
+def micro_skew_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "micro_skew")
+    rows = []
+    # drawdown: event_type 'view', user 0 — day 0 sums to -5 (peak -5),
+    # day 1 sums to 0.0 (peak exactly ZERO: the ANSI divide trigger),
+    # day 2 sums to +10 (pct defined again)
+    rows.append((1, "2024-01-01 10:00:00", 0, "view", -5.0))
+    rows.append((2, "2024-01-02 10:00:00", 0, "view", 5.0))
+    rows.append((3, "2024-01-02 11:00:00", 0, "view", -5.0))
+    rows.append((4, "2024-01-03 10:00:00", 0, "view", 10.0))
+    # interval merge: a 20-row exact (s, e) tie group at one instant,
+    # then a disjoint later span — island boundaries must sit at tie-group
+    # starts identically in both engines
+    for i in range(20):
+        rows.append((100 + i, "2024-02-01 00:00:00", 7, "click", 30.0))
+    for i in range(20):
+        rows.append((200 + i, "2024-02-01 00:10:00", 7, "click", 30.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+        "event_type string, value double"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(None).cast("string").alias("props"),
+    )
+    df.coalesce(1).write.parquet(os.path.join(dst, "events.parquet"))
+    return dst
+
+
+@pytest.mark.parametrize("name", ["q_win_drawdown", "q_interval_merge"])
+def test_composed_skew_catches_on_micro_fixture(spark, micro_skew_dir, name):
+    import duckdb
+
+    from tests.oracle_utils import compare_query
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(micro_skew_dir, 'events.parquet', '*.parquet')}')"
+        )
+        ok, detail = compare_query(
+            spark, con, registry.QUERIES[name], registry.ORACLES[name],
+            micro_skew_dir,
+        )
+        assert ok, f"{name}: {detail}"
+    finally:
+        con.close()
+
+
+def test_drawdown_zero_peak_is_null_not_error(spark, micro_skew_dir):
+    """The exact r10 corner: peak == 0 rows exist and produce NULL pct
+    (not DIVIDE_BY_ZERO, not Inf)."""
+    rows = {
+        r["day"]: r["drawdown_pct"]
+        for r in registry.QUERIES["q_win_drawdown"](
+            spark, micro_skew_dir
+        ).collect()
+        if r["event_type"] == "view"
+    }
+    days = sorted(rows)
+    assert rows[days[0]] is None  # peak -5
+    assert rows[days[1]] is None  # peak exactly 0
+    assert rows[days[2]] == 0.0  # peak 10, at the peak
+
+
+def test_interval_merge_passes_share_a_total_order():
+    """Conscious-edit tripwire for the r10 tie-group fix: both oracle
+    window passes must order by the total (s, e, event_id) key."""
+    assert (
+        registry.ORACLES["q_interval_merge"].count(
+            "ORDER BY s, e, event_id"
+        )
+        == 2
+    )
+
+
 def test_negative_fixture_has_the_edge_shapes(negative_duck, negative_dir):
     """Negative and exact-zero values must actually be present in every
     warped measure column."""
