@@ -57,6 +57,30 @@ _CHANGED_THIS_ROUND = [
     # window passes split an island -> both passes now order by the
     # TOTAL key (s, e, event_id) in both engines
     "q_interval_merge",
+    # --bigid axis (snowflake-scale ids): reduce-first hash mixing, 1e19
+    # pack fields, empty-replicate guard. Semantics CHANGED only where
+    # malformed/degenerate input now yields NULL-and-continue (bootstrap
+    # empty replicates, corpus_mix unparseable source); the reduce-first
+    # rewrites are provably congruent (listed anyway: the oracle TEXT
+    # changed, so a driver re-hash is cheap insurance against a
+    # transcription slip).
+    "q_sample_split",
+    "q_sample_stratified",
+    "q_sample_temperature",
+    "q_sample_weighted",
+    "q_sample_bootstrap",
+    "q_corpus_mix",
+    "q_corpus_shard",
+    "q_pack_sequences",
+    "q_eval_calibration",
+    "q_rank_mrr",
+    "q_join_salted",
+    "q_agg_ohlc",
+    "q_join_asof",
+    "q_join_nearest",
+    # --ctrl axis (byte-level text dirt): ANSI-crash -> NULL-and-continue
+    "q_fn_url",
+    "q_text_dedup_url",
     # NOT listed: the ~30 fsec/fday sites rewritten from decimal to LONG
     # floor-division this round — exact-identical output on every fixture
     # (differential-swept on driver/dates/hotkey/composed fixtures), so a

@@ -379,27 +379,38 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fn_url",
     oracle="""
+    -- bad = unparseable: NULL component nulls the whole concat'd URL;
+    -- embedded whitespace (--ctrl plants ' src5 ' sources) makes
+    -- java.net.URI reject it, which try_parse_url maps to NULL
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               (lang IS NULL OR source IS NULL
+                OR regexp_matches(source || lang, '\s')) AS bad
+        FROM documents
+    )
     SELECT doc_id,
-           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+           CASE WHEN bad THEN NULL
                 ELSE source || '.example.com' END AS host,
-           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+           CASE WHEN bad THEN NULL
                 ELSE '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR)
            END AS path,
-           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+           CASE WHEN bad THEN NULL
                 ELSE 'v=2&lang=' || lang END AS query_string,
-           CASE WHEN source IS NULL THEN NULL ELSE lang END AS q_lang,
-           CASE WHEN lang IS NULL OR source IS NULL THEN NULL
+           CASE WHEN bad THEN NULL ELSE lang END AS q_lang,
+           CASE WHEN bad THEN NULL
                 ELSE 'https' END AS protocol
-    FROM documents
+    FROM d
     """,
 )
 def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL family: parse_url HOST/PATH/QUERY plus per-parameter extraction
     — the crawl-pipeline primitive for domain-level dedup, robots filtering
     and per-site quality weighting. URLs are constructed deterministically
-    from the documents table, then round-tripped through Spark's parse_url;
-    the oracle states the expected components directly, so any parse drift
-    is a hard mismatch. A NULL component (e.g. missing lang) nulls the
+    from the documents table, then round-tripped through Spark's
+    try_parse_url (NOT parse_url: a malformed URL — embedded whitespace,
+    the --ctrl axis — must yield NULL components, not crash the scan the
+    way ANSI parse_url does); the oracle states the expected components
+    directly, so any parse drift is a hard mismatch. A NULL component (e.g. missing lang) nulls the
     WHOLE url under Spark's concat, so every parsed field is NULL; the
     oracle mirrors that with explicit CASE guards rather than DuckDB's
     per-expression || propagation (--nulls sweep find). parse_url is
@@ -419,11 +430,11 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.parse_url(url, F.lit("HOST")).alias("host"),
-        F.parse_url(url, F.lit("PATH")).alias("path"),
-        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
-        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
-        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.try_parse_url(url, F.lit("HOST")).alias("host"),
+        F.try_parse_url(url, F.lit("PATH")).alias("path"),
+        F.try_parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.try_parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
 
 

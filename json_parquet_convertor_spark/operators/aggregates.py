@@ -1206,17 +1206,20 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- HUGEINT, not DECIMAL(38,0): DuckDB's arg_min/arg_max
                -- compares decimal keys approximately (same-magnitude
                -- keys differing in low digits all tie — --dupes sweep),
-               -- while hugeint keys compare exactly. The pack assumes
-               -- 0 <= event_id < 1e12; both engines pack EXACTLY, so a
-               -- bound violation would silently break ts-major ordering
-               -- on BOTH sides in agreement — the guard errors loudly
-               -- instead (r7 verdict #3)
+               -- while hugeint keys compare exactly. The 1e19 multiplier
+               -- exceeds every representable BIGINT event_id (--bigid
+               -- plants snowflake-scale ~9.1e15 ids, which overflowed the
+               -- old 1e12 field), so the pack is unambiguous for ANY
+               -- nonnegative id; both engines pack EXACTLY, and the guard
+               -- errors loudly on a negative id instead of silently
+               -- breaking ts-major ordering (r7 verdict #3)
                CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
-                   * 1000000000000
-                   + CASE WHEN event_id BETWEEN 0 AND 999999999999
+                   * 10000000000000000000
+                   + CASE WHEN event_id >= 0
                           THEN event_id
-                          ELSE CAST(error('q_agg_ohlc oracle: event_id '
-                               || event_id || ' outside pack modulus 1e12')
+                          ELSE CAST(error('q_agg_ohlc oracle: negative '
+                               || 'event_id ' || event_id
+                               || ' breaks the pack')
                                AS BIGINT)
                      END AS okey
         FROM events
@@ -1239,7 +1242,7 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin/argmax over a strictly-unique order key — MICROSECOND epoch
     (the fixtures' full timestamp precision, so within-second ticks
     order by true time) ⊕ event_id, packed into DECIMAL(38,0) because
-    µs·10¹² overflows int64 — so ties on the timestamp cannot make
+    µs·10¹⁹ overflows int64 — so ties on the timestamp cannot make
     first/last nondeterministic: min_by/max_by on a non-unique key is
     engine-lottery, the same trap q_agg_modern documents (key precision
     per judge round-3 ADVICE).
@@ -1261,8 +1264,11 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bar_start"),
         "value",
         (
+            # 1e19 multiplier (> any BIGINT id — --bigid axis) as a
+            # DECIMAL literal: the product stays exact, |us|*1e19 ~ 1e35
+            # fits DECIMAL(38,0), and scale-0 decimals compare exactly
             F.unix_micros("ts").cast("decimal(38,0)")
-            * F.lit(1000000000000)
+            * F.expr("CAST('10000000000000000000' AS DECIMAL(20,0))")
             + F.col("event_id")
         ).alias("okey"),
     )
@@ -2099,8 +2105,8 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_eval_calibration",
     oracle="""
     WITH scored AS (
-        SELECT (event_id * 2654435761) % 1000000 / 1000000.0 AS score,
-               CAST((event_id * 2654435761) % 1000000 AS BIGINT)
+        SELECT ((event_id % 1000000) * 435761) % 1000000 / 1000000.0 AS score,
+               CAST(((event_id % 1000000) * 435761) % 1000000 AS BIGINT)
                    AS score_ppm,
                CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS label
         FROM events
@@ -2132,7 +2138,7 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 groups, map-side partials — the evaluation costs one pass over
     the prediction table however large."""
     ev = load_table(spark, sf_dir, "events")
-    ppm = F.pmod(F.col("event_id") * 2654435761, F.lit(1000000))
+    ppm = F.pmod(F.pmod(F.col("event_id"), F.lit(1000000)) * 435761, F.lit(1000000))
     scored = ev.select(
         (ppm / 1000000.0).alias("score"),
         ppm.cast("bigint").alias("score_ppm"),
@@ -2270,7 +2276,7 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT user_id, event_id,
                event_type = 'purchase' AS relevant,
-               (event_id * 2654435761) % 1000000 AS score
+               ((event_id % 1000000) * 435761) % 1000000 AS score
         FROM events
     ),
     ranked AS (
@@ -2325,7 +2331,7 @@ def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         (F.col("event_type") == "purchase").alias("relevant"),
-        F.pmod(F.col("event_id") * 2654435761, F.lit(1000000)).alias(
+        F.pmod(F.pmod(F.col("event_id"), F.lit(1000000)) * 435761, F.lit(1000000)).alias(
             "score"
         ),
     )

@@ -25,7 +25,10 @@ from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
 # Knuth multiplicative mix — same constant as sampling.py so shard
-# assignment is consistent across the whole pipeline.
+# assignment is consistent across the whole pipeline. Always applied
+# REDUCE-FIRST ((id % m) * (MIX % m)) % m: identical output, but products
+# stay far inside int64 even for snowflake-scale ids (--bigid axis),
+# where the naive id * MIX overflows and hard-errors under ANSI Spark.
 _MIX = 2654435761
 
 # tokens per packed training sequence
@@ -37,7 +40,7 @@ _PACK = 512
     oracle=f"""
     WITH d AS (
         SELECT doc_id,
-               CAST((doc_id * {_MIX}) % 8 AS INT) AS shard,
+               CAST(((doc_id % 8) * {_MIX % 8}) % 8 AS INT) AS shard,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents
     ), o AS (
@@ -74,7 +77,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(8)).cast("int").alias("shard"),
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(8)) * F.lit(_MIX % 8), F.lit(8)
+        ).cast("int").alias("shard"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     w = (
@@ -395,14 +400,14 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_mix",
     oracle=f"""
     SELECT source,
-           CAST(20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75 AS INT)
+           CAST(20 + (TRY_CAST(SUBSTR(source, 4) AS INT) * 13) % 75 AS INT)
                AS rate_pct,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 100
-                              < 20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75
+           CAST(SUM(CASE WHEN ((doc_id % 100) * {_MIX % 100}) % 100
+                              < 20 + (TRY_CAST(SUBSTR(source, 4) AS INT) * 13) % 75
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 100
-                              < 20 + (CAST(SUBSTR(source, 4) AS INT) * 13) % 75
+           CAST(SUM(CASE WHEN ((doc_id % 100) * {_MIX % 100}) % 100
+                              < 20 + (TRY_CAST(SUBSTR(source, 4) AS INT) * 13) % 75
                          THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM documents
     GROUP BY source
@@ -421,11 +426,16 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this IS the sampling pass that writes the training mix, and it
     streams at scan speed."""
     docs = load_table(spark, sf_dir, "documents")
+    # try_cast: a malformed source key (--ctrl plants ' src5 ' with
+    # spaces) has no parseable rate — it keeps NOTHING (NULL rate fails
+    # the keep-comparison in both engines) instead of crashing the scan
     rate = (
         F.lit(20)
-        + (F.substring("source", 4, 10).cast("int") * 13) % 75
+        + (F.expr("try_cast(substring(source, 4, 10) AS INT)") * 13) % 75
     ).cast("int")
-    keep = F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(100)) < rate
+    keep = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(100)) * F.lit(_MIX % 100), F.lit(100)
+    ) < rate
     return docs.groupBy("source").agg(
         F.first(rate).alias("rate_pct"),
         F.count("*").alias("n_docs"),
@@ -711,18 +721,25 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     canon AS (
+        -- whitespace guard mirrors Spark's try_parse_url: java.net.URI
+        -- rejects any URL with embedded whitespace (--ctrl plants
+        -- ' src5 ' sources), so those rows canonicalize to NULL and
+        -- fall through to content dedup instead of crashing the scan
         SELECT doc_id,
+               CASE WHEN regexp_matches(raw_url, '\s') THEN NULL
+                    ELSE
                lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 1))
                    || '://'
                    || lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 2))
                    || regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
-                   AS canon_url
+               END AS canon_url
         FROM u
     )
     SELECT canon_url,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
     FROM canon
+    WHERE canon_url IS NOT NULL
     GROUP BY 1
     HAVING COUNT(*) > 1
     """,
@@ -764,15 +781,19 @@ def q_text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = raw.select(
         "doc_id",
+        # try_parse_url: a malformed URL (embedded whitespace — --ctrl)
+        # yields NULL host, so the whole concat is NULL; such rows can't
+        # be deduped BY URL and fall through to content dedup
         F.concat(
             F.lower(F.regexp_extract("raw_url", r"^([A-Za-z]+)://", 1)),
             F.lit("://"),
-            F.lower(F.parse_url("raw_url", F.lit("HOST"))),
-            F.parse_url("raw_url", F.lit("PATH")),
+            F.lower(F.try_parse_url("raw_url", F.lit("HOST"))),
+            F.try_parse_url("raw_url", F.lit("PATH")),
         ).alias("canon_url"),
     )
     return (
-        canon.groupBy("canon_url")
+        canon.filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("canonical_doc"),

@@ -5,10 +5,13 @@ reproducible train/val/test splits, per-stratum sampling, and balanced
 shard assignment. All use the same primitive — a deterministic integer
 mix of the stable row id — so the SAME row lands in the SAME split on
 every engine, every run, at every scale (the property `rand()`-based
-sampling does not have). The mix constant is Knuth's 2654435761; products
-stay < 2^63 for any realistic id so ANSI mode is safe, and DuckDB
-computes the identical arithmetic, which makes all three queries fully
-oracle-checkable.
+sampling does not have). The mix constant is Knuth's 2654435761, applied
+REDUCE-FIRST: (id * MIX) % m == ((id % m) * (MIX % m)) % m, and the
+right-hand form keeps every product under ~2^40 for the moduli used here
+even when ids are snowflake-scale (~9e15, the --bigid axis) — the naive
+left-hand product overflows int64 at any id past ~3.5e9 and hard-errors
+under ANSI Spark. DuckDB computes the identical arithmetic, which makes
+all three queries fully oracle-checkable.
 """
 
 from __future__ import annotations
@@ -25,11 +28,13 @@ _MIX = 2654435761
 
 
 def _bucket(col: str, mod: int) -> F.Column:
-    return F.pmod(F.col(col) * F.lit(_MIX), F.lit(mod)).cast("int")
+    return F.pmod(
+        F.pmod(F.col(col), F.lit(mod)) * F.lit(_MIX % mod), F.lit(mod)
+    ).cast("int")
 
 
 def _bucket_sql(col: str, mod: int) -> str:
-    return f"CAST(({col} * {_MIX}) % {mod} AS INT)"
+    return f"CAST((({col} % {mod}) * {_MIX % mod}) % {mod} AS INT)"
 
 
 @query(
@@ -114,7 +119,8 @@ def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
-               pow((CAST((doc_id * {_MIX}) % 1000003 AS DOUBLE) + 1.0)
+               pow((CAST(((doc_id % 1000003) * {_MIX % 1000003}) % 1000003
+                         AS DOUBLE) + 1.0)
                        / 1000004.0,
                    1.0 / CAST(n_chars AS DOUBLE)) AS es_key
         FROM documents
@@ -153,7 +159,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars") > 0
     )
     u = (
-        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003)).cast("double")
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(_MIX % 1000003),
+            F.lit(1000003),
+        ).cast("double")
         + F.lit(1.0)
     ) / F.lit(1000004.0)
     es_key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
@@ -189,7 +198,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            CAST(d.n_docs AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN (doc_id * {_MIX}) % 1000003
+           CAST(SUM(CASE WHEN ((doc_id % 1000003) * {_MIX % 1000003}) % 1000003
                               < CAST(floor(frac * 1000003) AS BIGINT)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(MIN(frac), 4) AS keep_frac
@@ -239,7 +248,10 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold would flip membership (same latent class as the
     # q_rfm_segment day-number fix; frac >= 0 so floor == truncate here)
     kept = (
-        F.pmod(F.col("doc_id") * F.lit(_MIX), F.lit(1000003))
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(_MIX % 1000003),
+            F.lit(1000003),
+        )
         < F.floor(F.col("frac") * 1000003).cast("bigint")
     ).cast("bigint")
     return (
@@ -350,7 +362,8 @@ def _boot_case_sql(u: str) -> str:
     oracle=f"""
     WITH expanded AS (
         SELECT l_returnflag, b,
-               ((l_orderkey * 8 + l_linenumber) * {_MIX}
+               (((l_orderkey * 8 + l_linenumber) % 1000003)
+                * {_MIX % 1000003}
                 + b * {_BOOT_MIX2}) % 1000003 AS h1,
                l_extendedprice
         FROM lineitem CROSS JOIN (
@@ -363,13 +376,22 @@ def _boot_case_sql(u: str) -> str:
                l_extendedprice
         FROM expanded
     ),
-    reps AS (
+    -- empty-replicate guard (--bigid): ids congruent mod the hash
+    -- modulus (structured snowflake ids collapse residues) leave only 7
+    -- distinct u per flag, and a replicate where all 7 draw Poisson
+    -- weight 0 has an EMPTY resample — no mean exists, and the naive
+    -- division hard-errors under ANSI Spark. Such replicates drop out of
+    -- the CI ranking in BOTH engines.
+    rep_sums AS (
         SELECT l_returnflag, rep,
-               CAST(SUM(({_boot_case_sql('u')})
-                        * CAST(l_extendedprice AS DECIMAL(18,4)))
-                    AS DOUBLE)
-                   / SUM({_boot_case_sql('u')}) AS rep_mean
+               SUM(({_boot_case_sql('u')})
+                   * CAST(l_extendedprice AS DECIMAL(18,4))) AS num,
+               SUM({_boot_case_sql('u')}) AS den
         FROM weighted GROUP BY 1, 2
+    ),
+    reps AS (
+        SELECT l_returnflag, rep, CAST(num AS DOUBLE) / den AS rep_mean
+        FROM rep_sums WHERE den > 0
     ),
     ranked AS (
         SELECT l_returnflag, rep_mean,
@@ -432,7 +454,9 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.col("b"),
         F.pmod(
-            F.col("rid") * _MIX + F.col("b") * _BOOT_MIX2, F.lit(1000003)
+            F.pmod(F.col("rid"), F.lit(1000003)) * (_MIX % 1000003)
+            + F.col("b") * _BOOT_MIX2,
+            F.lit(1000003),
         ).alias("h1"),
     )
     u = F.pmod(F.col("h1") * _MIX, F.lit(1000000)) / 1000000.0
@@ -449,10 +473,17 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "rep")
         .agg(
-            (
-                F.sum(F.col("w") * F.col("price")).cast("double")
-                / F.sum("w")
-            ).alias("rep_mean")
+            F.sum(F.col("w") * F.col("price")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        # empty-replicate guard (--bigid; see oracle comment): filter
+        # BEFORE dividing — ANSI Spark errors on the 0-denominator row
+        # even if a later filter would drop it
+        .filter(F.col("den") > 0)
+        .select(
+            "l_returnflag",
+            "rep",
+            (F.col("num").cast("double") / F.col("den")).alias("rep_mean"),
         )
     )
     from pyspark.sql.window import Window

@@ -252,18 +252,20 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- into one per-user stream; a running MAX carries the nearest
     -- at-or-before click, a running MIN the nearest after. The click's
     -- (epoch_us, event_id) packs into one hugeint — backward negates
-    -- event_id against 1e10-1 so MAX realizes (max ts, then MIN id),
+    -- event_id against 1e19-1 so MAX realizes (max ts, then MIN id),
     -- forward keeps it raw so MIN realizes (min ts, then min id) —
     -- reproducing ORDER BY delta_us, c.ts, c.event_id exactly: equal
     -- |delta| prefers the smaller c.ts, i.e. the backward click
     WITH e0 AS (
-        -- pack-modulus guard: everything below assumes 0 <= event_id
-        -- < 1e10; a fixture that breaks the bound must ERROR loudly, not
-        -- mis-tie-break silently (r7 verdict #3)
+        -- pack guard: the 1e19 field width exceeds every representable
+        -- BIGINT event_id (--bigid plants ~9.1e15 snowflake ids, which
+        -- overflowed the old 1e10 field); only a NEGATIVE id still
+        -- breaks the pack, and it must ERROR loudly, not mis-tie-break
+        -- silently (r7 verdict #3)
         SELECT user_id, ts, event_type,
-               CASE WHEN event_id BETWEEN 0 AND 9999999999 THEN event_id
-                    ELSE CAST(error('q_join_nearest oracle: event_id '
-                         || event_id || ' outside pack modulus 1e10')
+               CASE WHEN event_id >= 0 THEN event_id
+                    ELSE CAST(error('q_join_nearest oracle: negative '
+                         || 'event_id ' || event_id || ' breaks the pack')
                          AS BIGINT)
                END AS event_id
         FROM events WHERE event_type IN ('purchase', 'click')
@@ -288,11 +290,12 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'click'
                     THEN (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
                           + 100000000000000000)
-                         * 10000000000 + (9999999999 - event_id) END AS pb,
+                         * 10000000000000000000
+                         + (9999999999999999999 - event_id) END AS pb,
                CASE WHEN event_type = 'click'
                     THEN (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
                           + 100000000000000000)
-                         * 10000000000 + event_id END AS pf
+                         * 10000000000000000000 + event_id END AS pf
         FROM e0
     ),
     m AS (
@@ -306,11 +309,12 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT event_id AS purchase_id,
-               9999999999 - CAST(bb % 10000000000 AS BIGINT) AS eid_b,
-               us - (CAST(bb // 10000000000 AS BIGINT)
+               CAST(9999999999999999999 - (bb % 10000000000000000000)
+                    AS BIGINT) AS eid_b,
+               us - (CAST(bb // 10000000000000000000 AS BIGINT)
                      - 100000000000000000) AS delta_b,
-               CAST(bf % 10000000000 AS BIGINT) AS eid_f,
-               (CAST(bf // 10000000000 AS BIGINT)
+               CAST(bf % 10000000000000000000 AS BIGINT) AS eid_f,
+               (CAST(bf // 10000000000000000000 AS BIGINT)
                 - 100000000000000000) - us AS delta_f
         FROM m WHERE is_p = 1
     )

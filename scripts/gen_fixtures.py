@@ -80,6 +80,41 @@ an unguarded oracle doesn't even produce a comparable result. c_acctbal
 already ships negative (-999.99 floor), so customer-balance paths were
 always exercised; this axis extends the property to the measures.
 
+With --ctrl (r10), CONTROL/WHITESPACE TEXT DIRT the --unicode axis's
+gnarly-but-clean tokens never produce — the byte-level filth a real
+crawl ships: whitespace-ONLY documents ("  \\t "), untrimmed
+leading/trailing padding, CRLF line endings replacing every space,
+embedded NUL bytes, zero-width-space + RTL-override + ZWJ prefixes,
+empty-STRING (not NULL) lang codes, and a source key with leading and
+trailing spaces. Each stresses a distinct assumption: tokenizers that
+split on a literal space vs whitespace-class regex, trim-before-compare
+group keys, length vs token-count consistency, string equality through
+NUL, and every text-quality ratio's divide-by-zero guard on a
+zero-token doc that is NOT zero-chars.
+
+With --bigid (r10), SNOWFLAKE-SCALE SPARSE 64-BIT IDS: every id/FK
+column (custkey, orderkey, partkey, suppkey, event_id, user_id, doc_id,
+vec_id — nation/region keys excluded, queries reference their literal
+0-24 domain) is mapped through the same affine warp
+``id * 1_000_003 + 9_100_000_000_000_000``, landing every key ABOVE
+2^53 (~9.007e15). Production 100 TB systems carry exactly such ids
+(snowflake/UUID-derived ~1e18); below 2^53 every silent int64→float64
+hop is lossless and therefore invisible. Above it, three failure
+classes wake up: (a) any arithmetic key-packing ``id * k + x``
+overflows LONG and hard-errors under ANSI Spark, (b) any id that rides
+through a DOUBLE (pandas int64-with-NULLs→float64 coercion, double
+division, percentile machinery) comes back corrupted by 1-1024 ulps,
+(c) any SUM over an id-magnitude column overflows Spark's LONG
+accumulator where DuckDB silently widens to INT128. The multiplier is
+DELIBERATELY the same prime (1000003) the repo uses as its hash-mix
+modulus, so every warped id is congruent to ONE constant mod 1000003 —
+the residue-collapse a structured snowflake id space (timestamp |
+worker | sequence bit fields) produces for real, which starves
+hash-derived uniforms down to a handful of distinct values (caught the
+q_sample_bootstrap empty-replicate division). The same affine map is
+applied to both sides of every FK, so referential integrity and join
+cardinalities are unchanged.
+
 With --hotkey (r10), pathological KEY skew — the shape a 100 TB corpus
 actually has and none of the other axes produce (--extreme collapses
 events to a single user; this axis gives every hot-key table BOTH a
@@ -94,9 +129,9 @@ one enormous bucket), and ~50% of embedding vectors are near-identical
 
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
-       [--hotkey]
+       [--hotkey] [--bigid] [--ctrl]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme][_dates][_negative][_hotkey] — the variant
+[_extreme][_dates][_negative][_hotkey][_bigid][_ctrl] — the variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -131,11 +166,28 @@ GNARLY = [
 ]
 
 
+#: --bigid affine warp: every key lands above 2^53 (min 9.1e15), max
+#: (vec_id/doc_id spaces are smallest; lineitem FKs dominate) stays
+#: far under LONG max even at sf 10 (1.5e8 * 1e6 + 9.1e15 ~ 1.6e17).
+BIGID_MUL = 1_000_003
+BIGID_OFF = 9_100_000_000_000_000
+
+#: id/FK columns the --bigid warp rewrites wherever they appear, keeping
+#: both sides of every FK on the same affine map. nation/region keys are
+#: deliberately absent: queries reference their literal 0-24 domain.
+BIGID_COLS = frozenset({
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
+    "doc_id", "vec_id",
+})
+
+
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
     dupes: bool = False, extreme: bool = False, dates: bool = False,
-    negative: bool = False, hotkey: bool = False,
+    negative: bool = False, hotkey: bool = False, bigid: bool = False,
+    ctrl: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -258,6 +310,17 @@ def build(
         return F.element_at(lit, idx + 1)
 
     def write(df, name, parts):
+        if bigid:
+            # post-pass, so the build logic above keeps operating on the
+            # dense 0..n raw ids (its %-rules and rand-index FKs assume
+            # them); the SAME affine map on PK and FK sides preserves
+            # referential integrity and every join cardinality
+            for c in df.columns:
+                if c in BIGID_COLS:
+                    df = df.withColumn(
+                        c,
+                        F.col(c).cast("bigint") * BIGID_MUL + BIGID_OFF,
+                    )
         if empty:
             # zero rows, exact schema — limit(0) preserves every column
             # type the populated variant would have written
@@ -575,6 +638,40 @@ def build(
                 ),
             ).otherwise(F.col("text")),
         )
+    if ctrl:
+        # byte-level filth (module docstring) — warped BEFORE n_chars is
+        # computed so length stays consistent with the dirty text; prime
+        # moduli with non-zero residues so the rules never all stack on
+        # doc_id 0 and never alias --extreme's %53==0 empty-doc rule
+        k = F.col("doc_id")
+        docs = docs.withColumn(
+            "text",
+            F.when(k % 47 == 5, F.lit("  \t "))  # whitespace-ONLY doc
+            .when(  # untrimmed padding
+                k % 53 == 19, F.concat(F.lit("  "), F.col("text"), F.lit(" \t"))
+            )
+            .when(  # CRLF line endings: every space becomes \r\n
+                k % 59 == 23, F.regexp_replace("text", " ", "\r\n")
+            )
+            .when(  # embedded NUL bytes
+                k % 61 == 13, F.concat(F.col("text"), F.lit("\x00null\x00"))
+            )
+            .when(  # zero-width space + RTL override + ZWJ
+                k % 67 == 29,
+                F.concat(
+                    F.lit("\u200b\u202e"), F.col("text"), F.lit("\u200d")
+                ),
+            )
+            .otherwise(F.col("text")),
+        ).withColumn(
+            # empty-STRING (not NULL) lang — the ''-vs-NULL distinction
+            "lang",
+            F.when(k % 71 == 19, F.lit("")).otherwise(F.col("lang")),
+        ).withColumn(
+            # group key with leading/trailing spaces: ' src5 ' != 'src5'
+            "source",
+            F.when(k % 73 == 31, F.lit(" src5 ")).otherwise(F.col("source")),
+        )
     docs = docs.select(
         "doc_id", "text", "lang", "source",
         F.length("text").cast("long").alias("n_chars"),
@@ -659,6 +756,8 @@ def main() -> int:
     ap.add_argument("--dates", action="store_true")
     ap.add_argument("--negative", action="store_true")
     ap.add_argument("--hotkey", action="store_true")
+    ap.add_argument("--bigid", action="store_true")
+    ap.add_argument("--ctrl", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -673,7 +772,7 @@ def main() -> int:
         "_dates" if args.dates else ""
     ) + ("_negative" if args.negative else "") + (
         "_hotkey" if args.hotkey else ""
-    )
+    ) + ("_bigid" if args.bigid else "") + ("_ctrl" if args.ctrl else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -682,7 +781,7 @@ def main() -> int:
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
           extreme=args.extreme, dates=args.dates, negative=args.negative,
-          hotkey=args.hotkey)
+          hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl)
     print(dst)
     return 0
 

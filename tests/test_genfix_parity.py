@@ -626,18 +626,15 @@ def test_extreme_fixture_has_the_edge_shapes(extreme_duck, extreme_dir):
 
 
 # ---------------------------------------------------------------------------
-# packed-key modulus guards (r7 verdict #3): the asof/nearest/ohlc oracles
-# pack (ts, event_id) into one HUGEINT assuming event_id < 1e10 (1e12 for
-# ohlc). A fixture change that breaks the bound must ERROR loudly — for ohlc
-# both engines pack exactly and would otherwise AGREE on silently-wrong
-# ts-major ordering.
+# packed-key guards (r7 verdict #3, widened r10 --bigid): the
+# asof/nearest/ohlc oracles pack (ts, event_id) into one HUGEINT. The r10
+# field width is 1e19 — larger than ANY representable BIGINT id, so the
+# only remaining pack-breaker is a NEGATIVE id, and that must ERROR
+# loudly — for ohlc both engines pack exactly and would otherwise AGREE
+# on silently-wrong ts-major ordering.
 # ---------------------------------------------------------------------------
 
-_PACKED = [
-    ("q_join_asof", 10_000_000_000),
-    ("q_join_nearest", 10_000_000_000),
-    ("q_agg_ohlc", 1_000_000_000_000),
-]
+_PACKED = ["q_join_asof", "q_join_nearest", "q_agg_ohlc"]
 
 
 def _mini_events_con(bad_id):
@@ -664,21 +661,23 @@ def _mini_events_con(bad_id):
     return con
 
 
-@pytest.mark.parametrize("name,modulus", _PACKED)
-def test_packed_key_oracle_guard_fires_past_modulus(name, modulus):
+@pytest.mark.parametrize("name", _PACKED)
+def test_packed_key_oracle_guard_fires_on_negative_id(name):
     import duckdb
 
-    con = _mini_events_con(bad_id=modulus)  # first id past the bound
+    con = _mini_events_con(bad_id=-1)  # the one remaining pack-breaker
     try:
-        with pytest.raises(duckdb.Error, match="outside pack modulus"):
+        with pytest.raises(duckdb.Error, match="breaks the pack"):
             con.execute(registry.ORACLES[name]).fetchall()
     finally:
         con.close()
 
 
-@pytest.mark.parametrize("name,modulus", _PACKED)
-def test_packed_key_oracle_guard_green_inside_modulus(name, modulus):
-    con = _mini_events_con(bad_id=modulus - 1)  # largest legal id
+@pytest.mark.parametrize("name", _PACKED)
+def test_packed_key_oracle_green_at_max_bigint_id(name):
+    """r10 --bigid: the 1e19 field holds EVERY nonnegative BIGINT id —
+    including int64 max — without bleeding into the µs field."""
+    con = _mini_events_con(bad_id=2**63 - 1)
     try:
         con.execute(registry.ORACLES[name]).fetchall()
     finally:
@@ -784,3 +783,190 @@ def test_udaf_pandas_price_null_keeps_qty_in_denominator(spark, tmp_path):
         con.close()
     assert oracle["A"] == pytest.approx(got["A"])
     assert oracle["B"] is None and oracle["C"] is None
+
+
+# r10 --bigid sweep: snowflake-scale sparse 64-bit ids (affine warp
+# id*1000003 + 9.1e15, every key past 2^53) caught 14 queries in three
+# classes: (1) the Knuth-mix id*2654435761 products overflowed int64 and
+# hard-errored under ANSI Spark (now reduce-first: ((id%m)*(MIX%m))%m,
+# provably identical output); (2) the asof/nearest/ohlc packed-key
+# oracles' own r9 guards fired — ids no longer fit a 1e10/1e12 pack
+# field (now 1e19, wider than any representable BIGINT id, guard kept
+# for negative ids); (3) the residue COLLAPSE of the warp (every id
+# congruent mod 1000003 — the multiplier is deliberately the repo's own
+# hash modulus, the structure real snowflake id spaces have) starved
+# the bootstrap's hash-uniforms down to 7 distinct values, producing a
+# zero-total-weight replicate whose mean divided by zero (now: empty
+# replicates drop out of the CI ranking in both engines).
+BIGID_SENSITIVE = [
+    "q_sample_split",
+    "q_sample_stratified",
+    "q_sample_temperature",
+    "q_sample_weighted",
+    "q_sample_bootstrap",
+    "q_corpus_mix",
+    "q_corpus_shard",
+    "q_pack_sequences",
+    "q_eval_calibration",
+    "q_rank_mrr",
+    "q_join_salted",
+    "q_agg_ohlc",
+    "q_join_asof",
+    "q_join_nearest",
+]
+
+
+@pytest.fixture(scope="module")
+def bigid_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_bigid")
+    build(spark, dst, 0.001, bigid=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def bigid_duck(bigid_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(bigid_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BIGID_SENSITIVE)
+def test_bigid_sensitive_queries_match_on_bigid_fixture(
+    spark, bigid_duck, bigid_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, bigid_duck, registry.QUERIES[name], registry.ORACLES[name],
+        bigid_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_bigid_fixture_has_the_edge_shapes(bigid_duck):
+    """The warp's two load-bearing properties: every id clears 2^53 (so
+    any silent int64->float64 hop corrupts visibly), and every id is
+    congruent to ONE residue mod 1000003 (so hash-mix uniforms collapse
+    — the degeneracy that exposed the bootstrap division)."""
+    lo, hi = bigid_duck.execute(
+        "SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders"
+    ).fetchone()
+    assert lo > 2**53
+    assert hi < 2**63 - 1
+    n_res = bigid_duck.execute(
+        "SELECT COUNT(DISTINCT doc_id % 1000003) FROM documents"
+    ).fetchone()[0]
+    assert n_res == 1
+    # FK integrity survives the warp: every lineitem joins an order
+    orphans = bigid_duck.execute(
+        "SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0
+
+
+def test_reduce_first_mix_identity():
+    """The overflow fix is the congruence (id*MIX)%m == ((id%m)*(MIX%m))%m
+    — outputs on every pre-bigid fixture are provably unchanged. Pin the
+    identity over the moduli the repo uses, at both small and snowflake
+    ids (the left side computed in Python's unbounded ints)."""
+    mix = 2654435761
+    for m in (8, 100, 1000000, 1000003):
+        for i in (0, 1, 7, 9973, 3_500_000_000, 2**53 + 17,
+                  9_100_000_088_000_264, 2**63 - 1):
+            assert (i * mix) % m == ((i % m) * (mix % m)) % m
+            # the reduced product itself stays far inside int64
+            assert (i % m) * (mix % m) < 2**63
+
+
+# r10 --ctrl sweep: byte-level text dirt (whitespace-only docs, CRLF,
+# NUL bytes, zero-width/bidi marks, ' src5 ' group keys, ''-not-NULL
+# lang) caught three queries: ANSI parse_url hard-errors on a URL with
+# embedded whitespace (q_fn_url / q_text_dedup_url — now try_parse_url
+# with a mirrored whitespace guard in the oracle; malformed URLs yield
+# NULL components / fall through to content dedup), and q_corpus_mix's
+# ANSI cast of the source suffix met 'c5 ' (now try_cast: an unparseable
+# source has NULL rate and keeps nothing, in both engines).
+CTRL_SENSITIVE = [
+    "q_fn_url",
+    "q_text_dedup_url",
+    "q_corpus_mix",
+]
+
+
+@pytest.fixture(scope="module")
+def ctrl_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_ctrl")
+    build(spark, dst, 0.001, ctrl=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def ctrl_duck(ctrl_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(ctrl_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CTRL_SENSITIVE)
+def test_ctrl_sensitive_queries_match_on_ctrl_fixture(
+    spark, ctrl_duck, ctrl_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, ctrl_duck, registry.QUERIES[name], registry.ORACLES[name],
+        ctrl_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_ctrl_fixture_has_the_edge_shapes(ctrl_duck):
+    """Each dirt class must actually be present, or the pins above prove
+    nothing: whitespace-only text, embedded NUL, CRLF, untrimmed group
+    keys, and empty-string (not NULL) lang."""
+    n = lambda sql: ctrl_duck.execute(sql).fetchone()[0]  # noqa: E731
+    assert n("SELECT COUNT(*) FROM documents "
+             "WHERE text <> '' AND trim(text, ' ' || chr(9)) = ''") > 0
+    assert n("SELECT COUNT(*) FROM documents "
+             "WHERE contains(text, chr(0))") > 0
+    assert n("SELECT COUNT(*) FROM documents "
+             "WHERE contains(text, chr(13) || chr(10))") > 0
+    assert n("SELECT COUNT(*) FROM documents WHERE source = ' src5 '") > 0
+    assert n("SELECT COUNT(*) FROM documents WHERE lang = ''") > 0

@@ -324,8 +324,11 @@ def test_salted_join_replication_stays_bounded(spark, sf_dir):
     bx = plan.index("BroadcastExchange")
     assert "Generate explode" in plan[bx:], plan
     assert "Generate explode" not in plan[:bx], plan
-    # the fact-side salt pmod pins the ×8 bound
-    assert re.search(r"pmod\(\(l_orderkey#\d+L? \* 2654435761\), 8\)", plan), plan
+    # the fact-side salt pmod pins the ×8 bound. r10 --bigid: the mix is
+    # reduce-first (pmod(key, n) before the multiply, overflow-safe for
+    # snowflake-scale keys); 2654435761 % 8 == 1, so Catalyst folds the
+    # multiply away entirely and the salt is pmod(pmod(key, 8), 8)
+    assert re.search(r"pmod\(pmod\(l_orderkey#\d+L?, 8\), 8\)", plan), plan
     n_exchanges = sum(
         1
         for l in plan.splitlines()
