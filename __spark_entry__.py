@@ -81,6 +81,17 @@ _CHANGED_THIS_ROUND = [
     # --ctrl axis (byte-level text dirt): ANSI-crash -> NULL-and-continue
     "q_fn_url",
     "q_text_dedup_url",
+    # --nullkey axis (orphan FKs): window-partition-vs-equi-join NULL
+    # semantics pinned; q_pivot's fill no longer rewrites the group key
+    "q_join_point_in_time",
+    "q_win_moving_distinct",
+    "q_pivot",
+    "q_feature_hash",
+    "q_udf_cogroup",
+    # composed-axes catches (orphan carry at month spread; NULLS LAST
+    # rank tiebreak pinned)
+    "q_join_asof_tolerance",
+    "q_win_rank_delta",
     # NOT listed: the ~30 fsec/fday sites rewritten from decimal to LONG
     # floor-division this round — exact-identical output on every fixture
     # (differential-swept on driver/dates/hotkey/composed fixtures), so a

@@ -332,7 +332,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .count()
-        .na.fill(0)
+        # fill ONLY the pivot cells: a bare na.fill(0) also rewrites a
+        # NULL group KEY to 0, silently merging the orphan (NULL-user)
+        # group into real user 0 (--nullkey axis catch)
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
 
 

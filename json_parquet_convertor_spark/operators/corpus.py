@@ -1340,7 +1340,12 @@ def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest([
                    'status=' || o_orderstatus,
                    'prio=' || o_orderpriority,
-                   'cust_band=' || CAST(o_custkey % 100 AS VARCHAR)
+                   -- missing-as-token: an orphan order's NULL band hashes as the
+               -- literal 'null' marker (the standard hashing-trick treatment
+               -- of missing categoricals) instead of vanishing from the
+               -- vector on one engine only (--nullkey axis catch)
+               'cust_band=' || COALESCE(CAST(o_custkey % 100 AS VARCHAR),
+                                        'null')
                ]) AS feat
         FROM orders
     ),
@@ -1390,7 +1395,10 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(
             F.concat(
                 F.lit("cust_band="),
-                (F.col("o_custkey") % 100).cast("string"),
+                # missing-as-token (see oracle comment)
+                F.coalesce(
+                    (F.col("o_custkey") % 100).cast("string"), F.lit("null")
+                ),
             )
         ),
     )

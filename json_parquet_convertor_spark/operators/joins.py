@@ -345,7 +345,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("ev_type"),
         "event_id",
     )
-    merged = orders.unionByName(ev)
+    # NULL-user events (orphans — the --nullkey axis) are dropped from
+    # the lookup side: under the oracle's equi-join a NULL key matches
+    # nothing, so the NULL-custkey partition must carry NO events — the
+    # orders there still emit, with NULL last_event (left-join semantics)
+    merged = orders.unionByName(ev.filter(F.col("u").isNotNull()))
     w = (
         Window.partitionBy("u")
         .orderBy("ts", "is_order", F.col("event_id").asc_nulls_first())
@@ -1018,7 +1022,12 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    merged = orders.unionByName(ev)
+    # NULL-user events (orphans) are dropped from the lookup side — the
+    # oracle's equi-join matches nothing on NULL, so the NULL-custkey
+    # partition must carry NO events; its orders still emit unmatched
+    # (same class as q_join_asof; only populates when --bigid spreads
+    # order timestamps across the event month)
+    merged = orders.unionByName(ev.filter(F.col("u").isNotNull()))
     w = (
         Window.partitionBy("u")
         .orderBy("ts", "is_order")
@@ -1562,8 +1571,13 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     day = fday
+    # NULL-custkey orders (orphans — the --nullkey axis) contribute NO
+    # dimension version: the oracle's ASOF equi-key never matches NULL,
+    # so the NULL-custkey carry partition must stay version-free — its
+    # facts still emit with NULL state (left-join semantics)
     dim = (
-        o.groupBy(
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy(
             F.col("o_custkey").alias("custkey"),
             day(F.col("o_orderdate")).alias("d"),
         )

@@ -354,12 +354,19 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        m = left.drop(columns=["b"]).merge(
-            right.drop(columns=["b"]), on="u", how="outer"
-        )
+        # SQL NULL-key semantics by hand (--nullkey axis catch): pandas
+        # merge MATCHES NaN keys with each other where SQL's FULL OUTER
+        # equi-join never does — so the orphan (NULL-key) rows are split
+        # out and appended UNMATCHED, one row per side, exactly like the
+        # oracle. The key column goes out as nullable Int64 (a bare
+        # int64 astype crashes on the NaN the orphans carry).
+        l, r = left.drop(columns=["b"]), right.drop(columns=["b"])
+        m = l[l["u"].notna()].merge(r[r["u"].notna()], on="u", how="outer")
+        parts = [m, l[l["u"].isna()], r[r["u"].isna()]]
+        m = pd.concat(parts, ignore_index=True)
         return pd.DataFrame(
             {
-                "u": m["u"].astype("int64"),
+                "u": m["u"].astype("Int64"),
                 "n_orders": m["n_orders"].fillna(0).astype("int64"),
                 "n_events": m["n_events"].fillna(0).astype("int64"),
                 "total_spend": m["total_spend"].fillna(0.0).astype("float64"),

@@ -616,11 +616,15 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_moving_distinct",
     oracle="""
     WITH r AS (
+        -- orphan (NULL-user) events are excluded on BOTH sides: a
+        -- per-user trailing window over anonymous rows would lump
+        -- different people into one pseudo-user (--nullkey axis)
         SELECT user_id, event_id, event_type,
                ROW_NUMBER() OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
         FROM events
+        WHERE user_id IS NOT NULL
     )
     SELECT a.user_id, a.event_id,
            CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS n_types_10
@@ -645,7 +649,10 @@ def q_win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     window operator — 10× the rows moved; the plan difference IS the
     operator's value. For wide frames swap collect_set for an
     approx-distinct sketch column; the window shape is unchanged."""
-    ev = load_table(spark, sf_dir, "events")
+    # orphans out (see oracle comment): anonymous events are not a user
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -987,8 +994,15 @@ def q_win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT o_custkey, month,
                CAST(rev AS DOUBLE) AS revenue,
+               -- NULLS LAST pinned on BOTH sides: the orphan
+               -- (NULL-custkey) aggregate ranks AFTER identified
+               -- customers at equal revenue — Spark's ASC default is
+               -- NULLS FIRST, DuckDB's is NULLS LAST, and --dupes'
+               -- collapsed prices make the revenue ties where that
+               -- placement shifts every subsequent rank
                CAST(RANK() OVER (
-                   PARTITION BY month ORDER BY rev DESC, o_custkey
+                   PARTITION BY month
+                   ORDER BY rev DESC, o_custkey ASC NULLS LAST
                ) AS INT) AS rnk
         FROM m
     ),
@@ -1037,8 +1051,9 @@ def q_win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.rank()
         .over(
+            # NULLS LAST pinned (see oracle comment)
             Window.partitionBy("month").orderBy(
-                F.col("rev").desc(), "o_custkey"
+                F.col("rev").desc(), F.col("o_custkey").asc_nulls_last()
             )
         )
         .cast("int")

@@ -92,6 +92,19 @@ group keys, length vs token-count consistency, string equality through
 NUL, and every text-quality ratio's divide-by-zero guard on a
 zero-token doc that is NOT zero-chars.
 
+With --nullkey (r10), NULL FOREIGN KEYS — the orphan rows every
+100 TB system carries (anonymous events from logged-out users, orders
+whose customer was GDPR-deleted, lineitems with unresolved part/supplier
+references): a deterministic ~2% of events.user_id, orders.o_custkey,
+lineitem.l_partkey and lineitem.l_suppkey are NULLed. PRIMARY ids stay
+unique and non-NULL (identity is an upstream contract); only FK
+references go dark. The class this stresses is NULL-key SEMANTICS
+divergence: an equi-join drops NULL keys in both engines, but a window
+PARTITION BY groups them into a real partition, COUNT(DISTINCT) skips
+them, GROUP BY keeps them as a group — any query whose Spark plan and
+SQL oracle express "per key" through DIFFERENT constructs from that
+list silently disagrees on the orphans.
+
 With --bigid (r10), SNOWFLAKE-SCALE SPARSE 64-BIT IDS: every id/FK
 column (custkey, orderkey, partkey, suppkey, event_id, user_id, doc_id,
 vec_id — nation/region keys excluded, queries reference their literal
@@ -129,9 +142,10 @@ one enormous bucket), and ~50% of embedding vectors are near-identical
 
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
-       [--hotkey] [--bigid] [--ctrl]
+       [--hotkey] [--bigid] [--ctrl] [--nullkey]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme][_dates][_negative][_hotkey][_bigid][_ctrl] — the variant
+[_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey] — the
+variant
 suffix keeps adversarial sets from being mistaken for the plain one by
 consumers that reuse an existing dir (scale_probe_gen's exists-check).
 """
@@ -187,7 +201,7 @@ def build(
     unicode_text: bool = False, empty: bool = False,
     dupes: bool = False, extreme: bool = False, dates: bool = False,
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
-    ctrl: bool = False,
+    ctrl: bool = False, nullkey_on: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -270,6 +284,14 @@ def build(
             .when((key + salt) % 101 == 13, F.lit(0.0))
             .otherwise(col)
         )
+
+    def nullkey(col, key, mod, res):
+        """With --nullkey, NULL a deterministic ~1/mod of FK values (an
+        orphan row); prime moduli with distinct residues per column so
+        orphan sets never alias across tables."""
+        if not nullkey_on:
+            return col
+        return F.when(key % mod == res, F.lit(None)).otherwise(col)
 
     def hot(col, key):
         """With --hotkey, route every even-keyed row to key 0 — one key
@@ -398,8 +420,11 @@ def build(
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     orders = spark.range(n_ord).select(
         F.col("id").alias("o_orderkey"),
-        hot(
-            F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust), F.col("id")
+        nullkey(
+            hot(
+                F.floor(F.pow(F.rand(SEED + 13), 3.0) * n_cust), F.col("id")
+            ),
+            F.col("id"), 59, 17,
         ).alias("o_custkey"),
         pick(statuses, 14, power=1.3).alias("o_orderstatus"),
         neg_warp(
@@ -436,10 +461,13 @@ def build(
             F.floor(
                 F.pow(F.rand(SEED + 18), 1.5) * n_ord
             ).alias("l_orderkey"),
-            F.floor(F.pow(F.rand(SEED + 19), 2.0) * n_part).alias(
-                "l_partkey"
-            ),
-            F.floor(F.rand(SEED + 20) * n_supp).alias("l_suppkey"),
+            nullkey(
+                F.floor(F.pow(F.rand(SEED + 19), 2.0) * n_part),
+                F.col("id"), 61, 23,
+            ).alias("l_partkey"),
+            nullkey(
+                F.floor(F.rand(SEED + 20) * n_supp), F.col("id"), 67, 29
+            ).alias("l_suppkey"),
             ui(1, 7, 21).alias("l_linenumber"),
             # nullable: the quality-gate dead-letter contract (and every
             # SUM/AVG/median over quantity) must survive NULL quantities
@@ -510,12 +538,15 @@ def build(
             # --extreme: ONE user owns every event — per-user windows,
             # asof partitions, and sessionization all collapse to a single
             # giant key (the 100 TB bot-user / default-id degeneracy)
-            (
-                F.lit(0).cast("bigint") if extreme
-                else hot(
-                    F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users),
-                    F.col("id"),
-                )
+            nullkey(
+                (
+                    F.lit(0).cast("bigint") if extreme
+                    else hot(
+                        F.floor(F.pow(F.rand(SEED + 30), 4.0) * n_users),
+                        F.col("id"),
+                    )
+                ),
+                F.col("id"), 53, 31,
             ).alias("user_id"),
             pick(etypes, 31, power=2.2).alias("event_type"),
             maybe_null(
@@ -758,6 +789,7 @@ def main() -> int:
     ap.add_argument("--hotkey", action="store_true")
     ap.add_argument("--bigid", action="store_true")
     ap.add_argument("--ctrl", action="store_true")
+    ap.add_argument("--nullkey", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -772,7 +804,9 @@ def main() -> int:
         "_dates" if args.dates else ""
     ) + ("_negative" if args.negative else "") + (
         "_hotkey" if args.hotkey else ""
-    ) + ("_bigid" if args.bigid else "") + ("_ctrl" if args.ctrl else "")
+    ) + ("_bigid" if args.bigid else "") + ("_ctrl" if args.ctrl else "") + (
+        "_nullkey" if args.nullkey else ""
+    )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -781,7 +815,8 @@ def main() -> int:
     build(spark, dst, args.sf, nulls=args.nulls,
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
           extreme=args.extreme, dates=args.dates, negative=args.negative,
-          hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl)
+          hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
+          nullkey_on=args.nullkey)
     print(dst)
     return 0
 

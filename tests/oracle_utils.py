@@ -30,6 +30,8 @@ def _cell(v) -> str:
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, (datetime, date)):
+        if v != v:  # pd.NaT (the only datetime unequal to itself): a SQL
+            return "<NULL>"  # NULL that rode a datetime64 column
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_cell(x) for x in v) + "]"
@@ -109,7 +111,66 @@ def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
             },
             columns=cols,
         )
-    duck_pd = duck.execute(oracle_sql).fetchdf()
+    else:
+        # toPandas floats a NULLABLE long column exactly like fetchdf does
+        # (int64 -> float64), corrupting snowflake-scale ids past 2^53
+        # (--bigid x --nullkey: odd ids in [2^53, 2^54) are unrepresentable
+        # as doubles). If that happened, refetch the WHOLE frame as one row
+        # collect into object columns — a partial per-column refetch would
+        # re-execute the query and misalign rows against the first fetch.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        floated = any(
+            isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                    T.ShortType, T.ByteType))
+            and f.name in spark_pd.columns
+            and spark_pd[f.name].dtype.kind == "f"
+            for f in sdf.schema.fields
+        )
+        if floated:
+            rows = sdf.collect()
+            cols = sdf.columns
+            spark_pd = pd.DataFrame(
+                {
+                    c: pd.Series([r[i] for r in rows], dtype=object)
+                    for i, c in enumerate(cols)
+                },
+                columns=cols,
+            )
+    # fetchdf() floats a NULLABLE integer column (int64 -> float64), which
+    # corrupts snowflake-scale ids past 2^53 (--bigid x --nullkey: odd ids
+    # in [2^53, 2^54) are unrepresentable as doubles — the value itself
+    # changes, not just its formatting). Fetch through Arrow and restore
+    # every integer column as exact Python ints (object dtype, None for
+    # NULL); everything else keeps fetchdf's canonicalization.
+    duck_res = duck.execute(oracle_sql)
+    duck_tbl = duck_res.fetch_arrow_table()
+    # plain to_pandas keeps fetchdf's temporal behavior (arrow-backed:
+    # timestamp[us] stays datetime64[us], no ns overflow on the --dates
+    # axis; TIMESTAMPTZ stays tz-aware datetime64) — only integers and
+    # dates need post-passes to match the established canonical text
+    duck_pd = duck_tbl.to_pandas()
+    import pandas as pd
+    import pyarrow as pa
+
+    for field in duck_tbl.schema:
+        if pa.types.is_integer(field.type):
+            duck_pd[field.name] = pd.Series(
+                duck_tbl.column(field.name).to_pylist(),
+                dtype=object,
+                index=duck_pd.index,
+            )
+        elif pa.types.is_date(field.type):
+            # arrow gives object datetime.date; fetchdf gave datetime64 —
+            # keep the old midnight-datetime canonical text. Cast inside
+            # arrow at MICROSECOND resolution (pd.to_datetime coerces to
+            # ns and overflows on the --dates axis's year-2300 dates)
+            duck_pd[field.name] = (
+                duck_tbl.column(field.name)
+                .cast(pa.timestamp("us"))
+                .to_pandas()
+            )
 
     assert_hashable_cells(spark_pd, "spark result")
     assert_hashable_cells(duck_pd, "oracle result")

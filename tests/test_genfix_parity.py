@@ -970,3 +970,190 @@ def test_ctrl_fixture_has_the_edge_shapes(ctrl_duck):
              "WHERE contains(text, chr(13) || chr(10))") > 0
     assert n("SELECT COUNT(*) FROM documents WHERE source = ' src5 '") > 0
     assert n("SELECT COUNT(*) FROM documents WHERE lang = ''") > 0
+
+
+# r10 --nullkey sweep: NULL FOREIGN KEYS (orphan rows — anonymous events,
+# GDPR-deleted customers, unresolved part/supplier refs) caught six
+# queries, all in the predicted class: Spark plan and SQL oracle
+# expressing "per key" through constructs with DIFFERENT NULL semantics.
+# A window PARTITION BY groups NULLs into a real partition while an
+# equi-join matches nothing (q_join_asof carried events onto NULL-custkey
+# orders; q_join_point_in_time carried dimension state onto NULL-custkey
+# facts — both now drop NULL keys from the LOOKUP side so the NULL
+# partition carries nothing, exactly left-join semantics);
+# q_win_moving_distinct excludes orphans on both sides (a trailing
+# per-user window over anonymous rows lumps different people into one
+# pseudo-user); q_pivot's bare na.fill(0) rewrote the NULL group KEY to
+# 0, merging orphans into real user 0 (now fills only the pivot cells);
+# q_feature_hash's NULL band vanished from DuckDB's string_agg but
+# emitted a bare count term under Spark's concat_ws (now hashes the
+# literal 'null' missing-token on both sides); q_udf_cogroup's pandas
+# merge MATCHES NaN keys where SQL FULL OUTER never does, then crashed
+# casting NaN to int64 (now splits orphans out unmatched, one row per
+# side, and ships the key as nullable Int64).
+NULLKEY_SENSITIVE = [
+    "q_join_asof",
+    "q_join_point_in_time",
+    "q_win_moving_distinct",
+    "q_pivot",
+    "q_feature_hash",
+    "q_udf_cogroup",
+]
+
+
+@pytest.fixture(scope="module")
+def nullkey_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_nullkey")
+    build(spark, dst, 0.001, nullkey_on=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def nullkey_duck(nullkey_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(nullkey_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NULLKEY_SENSITIVE)
+def test_nullkey_sensitive_queries_match_on_nullkey_fixture(
+    spark, nullkey_duck, nullkey_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, nullkey_duck, registry.QUERIES[name], registry.ORACLES[name],
+        nullkey_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_nullkey_fixture_has_the_edge_shapes(nullkey_duck):
+    """Orphan FKs must actually be present on every warped column, and
+    PRIMARY ids must stay unique and non-NULL (identity is an upstream
+    contract — only references go dark)."""
+    n = lambda sql: nullkey_duck.execute(sql).fetchone()[0]  # noqa: E731
+    assert n("SELECT COUNT(*) FROM events WHERE user_id IS NULL") > 0
+    assert n("SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL") > 0
+    assert n("SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL") > 0
+    assert n("SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL") > 0
+    assert n("SELECT COUNT(*) FROM events WHERE event_id IS NULL") == 0
+    assert n(
+        "SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events"
+    ) == 0
+
+
+# r10 composed-axes sweep (all ten axes on one sf0.01 fixture) drew six
+# catches the single-axis sweeps could not populate. Four were ONE
+# harness hole, fixed in tests/oracle_utils.py: BOTH fetch paths
+# (DuckDB fetchdf and Spark toPandas) convert a NULLABLE integer column
+# to float64, which CORRUPTS snowflake-scale ids past 2^53 (odd ids in
+# [2^53, 2^54) are unrepresentable as doubles — the value changes, not
+# its formatting; needs --bigid x --nullkey composed). Both paths now
+# restore integer columns as exact Python ints. The other two were
+# engine fixes: q_join_asof_tolerance carried NULL-partition events onto
+# orphan orders (the same class the single-axis sweep caught in
+# q_join_asof — but here raw sf0.01 orderkeys put every order in the
+# first 4.2 h of the month, BEFORE the first orphan event; only
+# --bigid's huge keys spread order timestamps across the event month),
+# and q_win_rank_delta's rank tiebreak on a now-nullable custkey met
+# --dupes' revenue ties (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS
+# LAST — pinned NULLS LAST on both sides).
+COMPOSED_R10_SENSITIVE = [
+    "q_join_asof_tolerance",
+    "q_win_rank_delta",
+    # exercises the exact-int fetch path end-to-end (nullable bigid FKs
+    # straight off the scan)
+    "q_scan_parquet",
+]
+
+
+@pytest.fixture(scope="module")
+def combo_bnk_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_bigid_nullkey_dupes")
+    build(spark, dst, 0.001, bigid=True, nullkey_on=True, dupes=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def combo_bnk_duck(combo_bnk_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(combo_bnk_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", COMPOSED_R10_SENSITIVE)
+def test_composed_r10_catches_on_bigid_nullkey_dupes(
+    spark, combo_bnk_duck, combo_bnk_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, combo_bnk_duck, registry.QUERIES[name],
+        registry.ORACLES[name], combo_bnk_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_harness_keeps_nullable_bigids_exact(spark):
+    """The oracle_utils fetch paths must ship a NULLABLE int64 column
+    past 2^53 bit-exactly: an ODD id in [2^53, 2^54) is unrepresentable
+    as float64, so the old fetchdf/toPandas float coercion changed its
+    VALUE. Run the same (id, NULL) pair through both engines and the
+    full compare machinery."""
+    import duckdb
+
+    from tests.oracle_utils import compare_query
+
+    odd_big = 2**53 + 1  # unrepresentable as a double (rounds to 2^53)
+    con = duckdb.connect()
+    sql = (
+        f"SELECT * FROM (VALUES (CAST({odd_big} AS BIGINT)), "
+        "(CAST(NULL AS BIGINT))) t(k)"
+    )
+
+    def q(spark_, _sf):
+        return spark_.sql(
+            f"SELECT * FROM VALUES (CAST({odd_big} AS BIGINT)), "
+            "(CAST(NULL AS BIGINT)) AS t(k)"
+        )
+
+    ok, detail = compare_query(spark, con, q, sql, "")
+    con.close()
+    assert ok, detail
