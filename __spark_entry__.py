@@ -43,59 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed block below: queries whose implementation or oracle changed this
 # round after their last driver check, so the driver re-confirms them.
 _CHANGED_THIS_ROUND = [
-    # r10 (all 27 r6-r9 entries went green in CORRECTNESS_r09 and are
-    # cleared so the driver budget refreshes the stalest r1/r2 tier):
-    #
-    # promoted rows-only -> SQL-oracled: the sink read-back is the three
-    # embedded reference sample persons, stated inline by the oracle
-    "q_stream_convert",
-    # composed-sf0.1 sweep catches (BASELINE.md round-10 matrix row):
-    # zero running peak is ANSI DIVIDE_BY_ZERO vs DuckDB Inf -> mirrored
-    # peak > 0 domain guard on drawdown_pct
-    "q_win_drawdown",
-    # (s, e) tie groups sequenced independently by the flag and sum
-    # window passes split an island -> both passes now order by the
-    # TOTAL key (s, e, event_id) in both engines
-    "q_interval_merge",
-    # --bigid axis (snowflake-scale ids): reduce-first hash mixing, 1e19
-    # pack fields, empty-replicate guard. Semantics CHANGED only where
-    # malformed/degenerate input now yields NULL-and-continue (bootstrap
-    # empty replicates, corpus_mix unparseable source); the reduce-first
-    # rewrites are provably congruent (listed anyway: the oracle TEXT
-    # changed, so a driver re-hash is cheap insurance against a
-    # transcription slip).
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_sample_temperature",
-    "q_sample_weighted",
-    "q_sample_bootstrap",
-    "q_corpus_mix",
-    "q_corpus_shard",
-    "q_pack_sequences",
-    "q_eval_calibration",
-    "q_rank_mrr",
-    "q_join_salted",
-    "q_agg_ohlc",
-    "q_join_asof",
-    "q_join_nearest",
-    # --ctrl axis (byte-level text dirt): ANSI-crash -> NULL-and-continue
-    "q_fn_url",
-    "q_text_dedup_url",
-    # --nullkey axis (orphan FKs): window-partition-vs-equi-join NULL
-    # semantics pinned; q_pivot's fill no longer rewrites the group key
-    "q_join_point_in_time",
-    "q_win_moving_distinct",
-    "q_pivot",
-    "q_feature_hash",
-    "q_udf_cogroup",
-    # composed-axes catches (orphan carry at month spread; NULLS LAST
-    # rank tiebreak pinned)
-    "q_join_asof_tolerance",
-    "q_win_rank_delta",
-    # NOT listed: the ~30 fsec/fday sites rewritten from decimal to LONG
-    # floor-division this round — exact-identical output on every fixture
-    # (differential-swept on driver/dates/hotkey/composed fixtures), so a
-    # re-check spends a driver slot for zero information.
+    # r11 (all 26 r10 entries went green in CORRECTNESS_r10 and are
+    # cleared so the driver budget refreshes the last stale r1/r2 tier;
+    # entries below are queries whose implementation or oracle text
+    # changed THIS round — appended as the --rowdup/--manyfiles sweeps
+    # land fixes).
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

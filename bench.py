@@ -212,6 +212,17 @@ def main() -> int:
         "canary_query": "q_agg_groupby",
         "canary_start_sec": canary_start,
         "canary_end_sec": canary_end,
+        # the deflation applied FOR the reader (r10 lesson: the driver's
+        # raw 175.4 s vs 153.4 s looked like a 14% regression until manual
+        # canary arithmetic showed pure host load): total scaled by
+        # canary_ref / mean(canary_start, canary_end), canary_ref = 1.30 s
+        # from the r6 idle reference (BASELINE.md "Bench methodology")
+        "canary_ref_sec": 1.30,
+        "value_deflated": round(
+            sum(timings.values())
+            * 1.30 / ((canary_start + canary_end) / 2),
+            4,
+        ) if (canary_start + canary_end) > 0 else None,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         # repeated at the END of the line: the driver's stdout capture has

@@ -180,9 +180,10 @@ GNARLY = [
 ]
 
 
-#: --bigid affine warp: every key lands above 2^53 (min 9.1e15), max
-#: (vec_id/doc_id spaces are smallest; lineitem FKs dominate) stays
-#: far under LONG max even at sf 10 (1.5e8 * 1e6 + 9.1e15 ~ 1.6e17).
+#: --bigid affine warp: every key lands above 2^53 (min 9.1e15). Worst
+#: case is o_orderkey/l_orderkey at sf 100 (n_ord = 1.5e8):
+#: 1.5e8 * 1e6 + 9.1e15 ~ 1.5e14 + 9.1e15 ~ 9.3e15 — three decades
+#: under LONG max 9.22e18, so even a further 100x id space is safe.
 BIGID_MUL = 1_000_003
 BIGID_OFF = 9_100_000_000_000_000
 

@@ -121,11 +121,23 @@ def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
         import pandas as pd
         from pyspark.sql import types as T
 
+        # ... but only when precision is GENUINELY at risk: below 1e15 the
+        # float64 round-trip is exact AND _cell renders the float as the
+        # same integer text str(int(v)) the exact path would produce, so a
+        # re-collect (a second full execution + driver materialization)
+        # buys nothing. The gate is 1e15 — _cell's integer-rendering
+        # cutoff — NOT 2^53: a value in [1e15, 2^53) survives the float
+        # hop exactly but _cell renders it repr(2e+15) while the oracle's
+        # exact-int path renders 2000000000000000, a false mismatch.
         floated = any(
             isinstance(f.dataType, (T.LongType, T.IntegerType,
                                     T.ShortType, T.ByteType))
             and f.name in spark_pd.columns
             and spark_pd[f.name].dtype.kind == "f"
+            and (
+                spark_pd[f.name].abs().max(skipna=True) >= 1e15
+                if len(spark_pd) else False
+            )
             for f in sdf.schema.fields
         )
         if floated:
@@ -161,6 +173,13 @@ def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
                 dtype=object,
                 index=duck_pd.index,
             )
+        elif pa.types.is_decimal(field.type):
+            # arrow gives object-dtype Decimal cells, whose _cell text is
+            # scale-sensitive ('1.50' != '1.5'); fetchdf gave float64.
+            # Restore the float64 canonicalization so an oracle that emits
+            # an un-CAST DECIMAL compares like the Spark double path. (All
+            # current oracles cast to DOUBLE/BIGINT; this is a guard.)
+            duck_pd[field.name] = duck_pd[field.name].astype("float64")
         elif pa.types.is_date(field.type):
             # arrow gives object datetime.date; fetchdf gave datetime64 —
             # keep the old midnight-datetime canonical text. Cast inside
