@@ -44,10 +44,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # round after their last driver check, so the driver re-confirms them.
 _CHANGED_THIS_ROUND = [
     # r11 (all 26 r10 entries went green in CORRECTNESS_r10 and are
-    # cleared so the driver budget refreshes the last stale r1/r2 tier;
-    # entries below are queries whose implementation or oracle text
-    # changed THIS round — appended as the --rowdup/--manyfiles sweeps
-    # land fixes).
+    # cleared so the driver budget refreshes the last stale r1/r2 tier).
+    #
+    # --rowdup axis (at-least-once duplicate rows incl. primary ids):
+    # set-vs-bag shingle indexes — full-row dropDuplicates ingest guard
+    # before indexing (Spark side changed)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
+    "q_dedup_incremental",
+    "q_text_containment",
+    "q_text_decontaminate",
+    # oracle-side fixes (per-key regroups that merged re-delivered
+    # copies; Spark semantics unchanged but the oracle TEXT changed, so
+    # a driver re-hash is cheap insurance against a transcription slip)
+    "q_text_fingerprint",
+    "q_corpus_pipeline",
+    "q_feature_hash",
+    "q_win_moving_distinct",
+    "q_join_asof",
+    "q_join_interval_overlap",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -362,8 +362,18 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |eval grams| ≈ 10^5-10^6 rows × 32 B — tens of MB; an eval suite big
     enough to break that bound should shard into per-benchmark passes (or
     drop the hint → shuffled semi-join, corpus shuffles its gram hashes
-    once)."""
-    docs = load_table(spark, sf_dir, "documents")
+    once).
+
+    Ingest guard (--rowdup): n_shared_grams counts DISTINCT contaminated
+    grams per document, so at-least-once re-delivered rows (exact copies
+    incl. doc_id) dedup before gram extraction — otherwise a duplicated
+    training doc reports exactly 2x its true overlap. Mirrors the
+    oracle's DISTINCT (doc_id, h) train set."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .dropDuplicates()
+    )
     words = F.split("text", " ")
     gram = lambda i: F.md5(  # noqa: E731
         F.concat_ws(
@@ -652,22 +662,24 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT * FROM scored WHERE n_tokens >= 20
     ),
-    deduped AS (
-        SELECT * FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY h ORDER BY doc_id
-            ) AS rn
-            FROM kept
-        ) WHERE rn = 1
+    -- canonical-flag carried on the ROW, not re-derived via a doc_id
+    -- join-back: --rowdup re-delivers exact copies INCLUDING doc_id, and
+    -- a join back on doc_id matches every copy of the canonical row,
+    -- inflating n_kept — exactly one physical row per content hash must
+    -- count (the Spark twin's row_number semantics)
+    flagged AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY h ORDER BY doc_id
+        ) AS rn
+        FROM kept
     )
-    SELECT k.lang,
+    SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,
-           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN k.n_tokens
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens
                     ELSE 0 END) AS BIGINT) AS total_tokens
-    FROM kept k
-    LEFT JOIN deduped d ON k.doc_id = d.doc_id
+    FROM flagged
     GROUP BY 1
     """,
 )
@@ -1335,34 +1347,35 @@ def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_feature_hash",
     oracle="""
-    WITH feats AS (
+    -- row-LOCAL like the Spark twin (list functions, no unnest/GROUP BY
+    -- round-trip): the old per-key regroup silently merged --rowdup's
+    -- re-delivered copies of an order into one vector with doubled
+    -- counts — feature hashing is a per-ROW transform, so a duplicated
+    -- input row legitimately emits its (identical) vector twice
+    WITH rows_ AS (
         SELECT o_orderkey,
-               unnest([
+               list_transform([
                    'status=' || o_orderstatus,
                    'prio=' || o_orderpriority,
-                   -- missing-as-token: an orphan order's NULL band hashes as the
-               -- literal 'null' marker (the standard hashing-trick treatment
-               -- of missing categoricals) instead of vanishing from the
-               -- vector on one engine only (--nullkey axis catch)
-               'cust_band=' || COALESCE(CAST(o_custkey % 100 AS VARCHAR),
-                                        'null')
-               ]) AS feat
+                   -- missing-as-token: an orphan order's NULL band hashes
+                   -- as the literal 'null' marker (the standard
+                   -- hashing-trick treatment of missing categoricals)
+                   -- instead of vanishing from the vector on one engine
+                   -- only (--nullkey axis catch)
+                   'cust_band=' || COALESCE(CAST(o_custkey % 100 AS VARCHAR),
+                                            'null')
+               ], f -> CAST(md5_number_lower(f) % 16 AS BIGINT)) AS b
         FROM orders
-    ),
-    hashed AS (
-        SELECT o_orderkey,
-               CAST(md5_number_lower(feat) % 16 AS BIGINT) AS bucket
-        FROM feats
-    ),
-    cells AS (
-        SELECT o_orderkey, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM hashed GROUP BY 1, 2
     )
     SELECT o_orderkey,
-           CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)
-               AS feature_vec
-    FROM cells GROUP BY 1
+           CAST(len(list_distinct(b)) AS BIGINT) AS n_buckets,
+           array_to_string(
+               list_transform(
+                   list_sort(list_distinct(b)),
+                   x -> CAST(x AS VARCHAR) || ':' ||
+                        CAST(len(list_filter(b, y -> y = x)) AS VARCHAR)
+               ), ',') AS feature_vec
+    FROM rows_
     """,
 )
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,7 +294,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     best AS (
-        SELECT ue.user_id, ue.k,
+        -- DISTINCT: the payload join-back matches EVERY physical copy of
+        -- the winning event, and --rowdup re-delivers exact copies with
+        -- the same event_id — without it a duplicated winner fans the
+        -- LEFT JOIN below out to one extra (identical) row per copy
+        SELECT DISTINCT ue.user_id, ue.k,
                make_timestamp(CAST(ue.pk // 10000000000000000000
                                    AS BIGINT)
                               - 100000000000000000) AS last_event_ts,
@@ -1217,7 +1221,11 @@ def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_id AS i_id
         FROM events WHERE event_type = 'error' AND event_id % 50 = 0
     )
-    SELECT s.user_id, s.s_id, i.i_id,
+    -- DISTINCT: one row per overlapping (session, incident) PAIR — the
+    -- Spark twin's dropDuplicates([s_id, i_id]) already states this, and
+    -- --rowdup re-delivers copies of the same event_id that would
+    -- otherwise emit the pair once per copy-combination
+    SELECT DISTINCT s.user_id, s.s_id, i.i_id,
            CAST(LEAST(s.s_end, i.i_end)
                 - GREATEST(s.s_start, i.i_start) AS BIGINT) AS overlap_sec
     FROM s JOIN i

@@ -204,10 +204,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision, ~2^-64 per shingle pair). Document frequency is a window
     count fused onto the same pass, and the cached (doc, shingle-hash, df)
     table (a parquet stage table at 100 TB) feeds sizes, the prune, and
-    both self-join sides."""
+    both self-join sides.
+
+    Ingest guard (--rowdup): the shingle index is a SET per document, so
+    at-least-once re-delivered rows (exact copies incl. the doc_id) are
+    collapsed by a full-row dropDuplicates before indexing — without it a
+    doc duplicated on BOTH pair sides doubles n and quadruples c, and the
+    Jaccard denominator n_a + n_b - c hits exactly 0 (ANSI
+    DIVIDE_BY_ZERO). The oracle's DISTINCT (doc_id, shingle) index states
+    the same set semantics."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .dropDuplicates()
+    )
     words = F.split("text", " ")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
@@ -591,11 +603,14 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle=f"""
     WITH h AS (
+        -- one fingerprint per DOCUMENT, not per delivery: --rowdup
+        -- re-delivers exact copies (same doc_id, same text), which the
+        -- Spark twin's groupBy(doc_id) collapses — dedup here too
         SELECT doc_id,
                list_sort(list_distinct(
                    list_transform({_DUCK_SHINGLES}, s -> md5(s))
                )) AS hs
-        FROM documents
+        FROM (SELECT DISTINCT doc_id, text FROM documents)
         WHERE len(string_split(text, ' ')) >= 3
     )
     SELECT doc_id,
@@ -1172,10 +1187,17 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to the Jaccard pass (bounded bucket
     occupancy, hash-keyed index); in production both measures come off
-    the SAME cached pair-count table in one pass."""
+    the SAME cached pair-count table in one pass. Same --rowdup ingest
+    guard as q_dedup_ngram_jaccard: the index is a SET per doc, so
+    re-delivered copies dedup before indexing (containment c/n is
+    otherwise inflated asymmetrically around the 0.5 threshold)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .dropDuplicates()
+    )
     words = F.split("text", " ")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
@@ -1447,10 +1469,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the corpus side's (doc, shingle-hash) index is a persisted
     stage table partitioned by hash — the batch probes it like a fact
-    probing a dimension; only new docs' shingles shuffle."""
+    probing a dimension; only new docs' shingles shuffle. Same --rowdup
+    ingest guard as q_dedup_ngram_jaccard: a re-delivered batch doc must
+    screen identically to its first delivery, so copies dedup before
+    indexing (set semantics, mirroring the oracle's DISTINCT index)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .dropDuplicates()
+    )
     words = F.split("text", " ")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",

@@ -626,11 +626,15 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE user_id IS NOT NULL
     )
+    -- grouped by rn as well: a window function emits one output row per
+    -- PHYSICAL input row, and --rowdup re-delivers copies with the SAME
+    -- event_id — grouping by (user, event_id) alone merged the copies
+    -- (whose trailing frames sit at adjacent rn and can even disagree)
     SELECT a.user_id, a.event_id,
            CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS n_types_10
     FROM r a JOIN r b
       ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
-    GROUP BY 1, 2
+    GROUP BY a.user_id, a.event_id, a.rn
     """,
 )
 def q_win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

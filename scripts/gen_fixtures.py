@@ -140,14 +140,41 @@ band hashes them into the same buckets, so LSH candidate generation meets
 one enormous bucket), and ~50% of embedding vectors are near-identical
 (one hot SRP/IVF bucket, cosine ~1 ties).
 
+With --rowdup (r11), AT-LEAST-ONCE DUPLICATE ROWS: the reference IS an
+at-least-once system (it acks by deleting the SQS message only AFTER the
+parquet write, convertor/convertor.go:156-164 — a crash between the two
+re-delivers the whole input), so a production ingest sees EXACT duplicate
+rows including duplicated PRIMARY ids. --dupes collapses VALUE columns
+while keeping ids unique; this axis is the complement nothing else
+produces: a deterministic ~1/29 of every table's rows (dims included —
+any notification can be re-delivered) appear twice and ~1/197 three
+times, byte-identical copies selected by a full-row hash. It attacks
+every "UNIQUE by key" assumption: argmax tie-break chains that end at a
+no-longer-unique id, surrogate-id assignment, sequence-gap detection,
+upsert/CDC key-match semantics, version-history keys, and per-key
+accounting that divides by a row count it assumed equals the key count.
+
+With --manyfiles (r11), a pathological file LAYOUT with byte-identical
+CONTENT — the first axis stressing HOW the bytes sit on disk rather than
+what they are. A 100 TB table is never one tidy file: every table is
+fragmented into ~180-280 tiny parquet files (a few hundred rows each at
+sf0.01), plus one larger straggler file written with a tiny row-group
+size (mixed granularity within one directory), plus two EMPTY part
+files with schema only (an empty day/source partition is routine). It
+exercises file listing, per-file task scheduling, schema merge across
+0-row files, and every file-count-sensitive invariant (compaction
+accounting, per-file lineage, min/max pruning with hundreds of tiny
+footers).
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
-       [--hotkey] [--bigid] [--ctrl] [--nullkey]
+       [--hotkey] [--bigid] [--ctrl] [--nullkey] [--rowdup] [--manyfiles]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
-[_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey] — the
-variant
-suffix keeps adversarial sets from being mistaken for the plain one by
-consumers that reuse an existing dir (scale_probe_gen's exists-check).
+[_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey][_rowdup]
+[_manyfiles] — the
+variant suffix keeps adversarial sets from being mistaken for the plain
+one by consumers that reuse an existing dir (scale_probe_gen's
+exists-check).
 """
 
 from __future__ import annotations
@@ -202,7 +229,8 @@ def build(
     unicode_text: bool = False, empty: bool = False,
     dupes: bool = False, extreme: bool = False, dates: bool = False,
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
-    ctrl: bool = False, nullkey_on: bool = False,
+    ctrl: bool = False, nullkey_on: bool = False, rowdup: bool = False,
+    manyfiles: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -333,6 +361,22 @@ def build(
         return F.element_at(lit, idx + 1)
 
     def write(df, name, parts):
+        if rowdup:
+            # at-least-once re-delivery: EXACT duplicate rows including
+            # duplicated primary ids (module docstring). Selected by a
+            # deterministic full-row hash (pmod, not abs: ANSI abs throws
+            # on Integer.MIN_VALUE) so every axis composition duplicates
+            # reproducibly; applied BEFORE the --bigid warp so the same
+            # rows duplicate with and without it (the warp is a pure
+            # per-value map, so copies stay byte-identical either way).
+            h = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(5741))
+            twice = df.filter(h % 29 == 11)       # ~3.4%: delivered twice
+            thrice = df.filter(h % 197 == 13)     # ~0.5%: delivered 3x
+            df = (
+                df.unionByName(twice)
+                .unionByName(thrice)
+                .unionByName(thrice)
+            )
         if bigid:
             # post-pass, so the build logic above keeps operating on the
             # dense 0..n raw ids (its %-rules and rand-index FKs assume
@@ -348,9 +392,30 @@ def build(
             # zero rows, exact schema — limit(0) preserves every column
             # type the populated variant would have written
             df, parts = df.limit(0), 1
-        df.repartition(parts).write.mode("overwrite").parquet(
-            os.path.join(dst, f"{name}.parquet")
-        )
+        target = os.path.join(dst, f"{name}.parquet")
+        if manyfiles and not empty:
+            # pathological LAYOUT, identical content (module docstring):
+            # ~180-280 tiny files (round-robin; per-table count derived
+            # from the name so tables don't share a layout), one larger
+            # straggler with TINY row groups, two 0-row schema-only part
+            # files. Row-to-file assignment is not deterministic (round
+            # robin) — only the CONTENT multiset matters downstream.
+            import zlib
+
+            n_files = 181 + zlib.crc32(name.encode()) % 97
+            grainy = F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]), F.lit(7)
+            ) == 0
+            df.filter(~grainy).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(target)
+            df.filter(grainy).coalesce(1).write.option(
+                "parquet.block.size", 65536
+            ).mode("append").parquet(target)
+            for _ in range(2):
+                df.limit(0).coalesce(1).write.mode("append").parquet(target)
+        else:
+            df.repartition(parts).write.mode("overwrite").parquet(target)
         print(f"gen {name}", file=sys.stderr)
 
     # -- fixed dims: identical content to the driver fixtures -------------
@@ -791,6 +856,8 @@ def main() -> int:
     ap.add_argument("--bigid", action="store_true")
     ap.add_argument("--ctrl", action="store_true")
     ap.add_argument("--nullkey", action="store_true")
+    ap.add_argument("--rowdup", action="store_true")
+    ap.add_argument("--manyfiles", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -807,6 +874,8 @@ def main() -> int:
         "_hotkey" if args.hotkey else ""
     ) + ("_bigid" if args.bigid else "") + ("_ctrl" if args.ctrl else "") + (
         "_nullkey" if args.nullkey else ""
+    ) + ("_rowdup" if args.rowdup else "") + (
+        "_manyfiles" if args.manyfiles else ""
     )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
@@ -817,7 +886,8 @@ def main() -> int:
           unicode_text=args.unicode, empty=args.empty, dupes=args.dupes,
           extreme=args.extreme, dates=args.dates, negative=args.negative,
           hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
-          nullkey_on=args.nullkey)
+          nullkey_on=args.nullkey, rowdup=args.rowdup,
+          manyfiles=args.manyfiles)
     print(dst)
     return 0
 

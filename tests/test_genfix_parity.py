@@ -1157,3 +1157,192 @@ def test_harness_keeps_nullable_bigids_exact(spark):
     ok, detail = compare_query(spark, con, q, sql, "")
     con.close()
     assert ok, detail
+
+
+# r11 --rowdup sweep: AT-LEAST-ONCE DUPLICATE ROWS (exact copies
+# INCLUDING primary ids — the integrity violation the reference's own
+# delete-after-write ack loop produces on a crash between write and ack,
+# convertor/convertor.go:156-164) caught ELEVEN queries in two classes.
+# [1] Set-vs-bag shingle/gram indexes: the oracles built DISTINCT
+# (doc_id, shingle) indexes while Spark's explode kept one copy per
+# physical row — a doc duplicated on both pair sides doubles n and
+# quadruples c, so the Jaccard denominator n_a + n_b - c hits exactly 0
+# (ANSI DIVIDE_BY_ZERO in q_dedup_ngram_jaccard / q_dedup_cluster /
+# q_dedup_incremental) and containment/decontamination counts double.
+# Fixed with a full-row dropDuplicates ingest guard before indexing
+# (q_text_decontaminate too); q_text_fingerprint's oracle now dedups its
+# source (one fingerprint per DOCUMENT, like the Spark groupBy).
+# [2] Per-key regroup vs per-row/per-pair semantics: q_corpus_pipeline's
+# oracle re-derived the canonical flag via a doc_id JOIN-BACK that
+# matches every copy (now carries rn on the row); q_feature_hash's
+# oracle regrouped by o_orderkey, merging copies into doubled vectors
+# (now row-local list functions like the Spark twin); q_win_moving_
+# distinct's oracle grouped by (user, event_id), merging copies whose
+# trailing frames differ (now grouped by rn as well); q_join_asof's
+# payload join-back matched every copy of the winning event (now
+# DISTINCT); q_join_interval_overlap emits one row per overlapping PAIR
+# (oracle now DISTINCT, matching Spark's dropDuplicates).
+ROWDUP_SENSITIVE = [
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
+    "q_dedup_incremental",
+    "q_text_containment",
+    "q_text_decontaminate",
+    "q_text_fingerprint",
+    "q_corpus_pipeline",
+    "q_feature_hash",
+    "q_win_moving_distinct",
+    "q_join_asof",
+    "q_join_interval_overlap",
+]
+
+
+@pytest.fixture(scope="module")
+def rowdup_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    # 0.003, not 0.001: the ~1/29 full-row-hash dup rule deterministically
+    # duplicates ZERO of the 50 sf0.001 documents — the doc-keyed pins
+    # would not exercise their fix. At sf0.003, 6 doc_ids (and hundreds of
+    # event/order ids) are duplicated.
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.003_rowdup")
+    build(spark, dst, 0.003, rowdup=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def rowdup_duck(rowdup_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(rowdup_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ROWDUP_SENSITIVE)
+def test_rowdup_sensitive_queries_match_on_rowdup_fixture(
+    spark, rowdup_duck, rowdup_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, rowdup_duck, registry.QUERIES[name], registry.ORACLES[name],
+        rowdup_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_rowdup_fixture_has_duplicate_primary_ids(rowdup_duck):
+    """Re-delivered rows must actually be present — EXACT full-row copies
+    with duplicated PRIMARY ids (the violation --dupes never produces:
+    there, values collapse but ids stay unique)."""
+    n = lambda sql: rowdup_duck.execute(sql).fetchone()[0]  # noqa: E731
+    assert n(
+        "SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events"
+    ) > 0
+    assert n(
+        "SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders"
+    ) > 0
+    assert n(
+        "SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents"
+    ) > 0
+    # copies are byte-identical: every duplicated doc_id has exactly one
+    # distinct text
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT doc_id FROM documents GROUP BY doc_id"
+        " HAVING COUNT(DISTINCT text) > 1)"
+    ) == 0
+
+
+# r11 --manyfiles sweep: fragmented file LAYOUT (same content; ~180-280
+# tiny part files per table, one straggler with 64 KiB row groups, two
+# 0-row schema-only files) drew ZERO catches at sf0.01 — the
+# listing/scheduling/schema-merge posture held. Pinned here as
+# regression insurance on the file-count-sensitive family, plus the
+# layout-shape assertions that keep the axis honest.
+MANYFILES_SENSITIVE = [
+    "q_scan_parquet",
+    "q_scan_metadata",
+    "q_scan_pruned",
+    "q_sink_compacted",
+    "q_join_prune_dynamic",
+]
+
+
+@pytest.fixture(scope="module")
+def manyfiles_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_manyfiles")
+    build(spark, dst, 0.001, manyfiles=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def manyfiles_duck(manyfiles_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(manyfiles_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MANYFILES_SENSITIVE)
+def test_manyfiles_sensitive_queries_match_on_fragmented_layout(
+    spark, manyfiles_duck, manyfiles_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, manyfiles_duck, registry.QUERIES[name],
+        registry.ORACLES[name], manyfiles_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_manyfiles_fixture_has_the_layout_shapes(manyfiles_dir):
+    """The fragmentation must actually be present: many part files for
+    the big tables, at least two 0-row files per table, and a size
+    spread (tiny fragments next to the coarse straggler)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "orders", "events"):
+        files = glob.glob(os.path.join(manyfiles_dir, f"{t}.parquet",
+                                       "*.parquet"))
+        assert len(files) >= 20, f"{t}: only {len(files)} part files"
+        zero = sum(
+            1 for f in files if pq.ParquetFile(f).metadata.num_rows == 0
+        )
+        assert zero >= 2, f"{t}: only {zero} empty part files"
+        sizes = sorted(os.path.getsize(f) for f in files)
+        assert sizes[-1] > 4 * sizes[0], f"{t}: no size spread"
