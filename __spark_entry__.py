@@ -63,6 +63,12 @@ _CHANGED_THIS_ROUND = [
     "q_win_moving_distinct",
     "q_join_asof",
     "q_join_interval_overlap",
+    # sf1.0 twelve-axes composed sweep catch: the equi+range-post-filter
+    # plan degenerates to a per-key cartesian under hot-key skew (8.0e11
+    # pairs on one user) — rewritten to (user, day) pre-aggregated
+    # partials joined equi on the exploded day window, linear by
+    # construction; oracle rewritten to the same shape
+    "q_join_range",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

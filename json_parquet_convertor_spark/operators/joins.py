@@ -202,44 +202,84 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_range",
     oracle="""
-    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM (
+    -- events PRE-AGGREGATED to (user, day) partials before the join: the
+    -- window is whole days anchored at midnights (o_ts = 2024-01-01 +
+    -- k days), so day-grain partials are EXACT, and the join touches
+    -- |distinct (user, day)| rows instead of every event. The raw
+    -- equi+range formulation this replaces is quadratic under hot-key
+    -- skew (one key on both sides IS a cartesian: the sf1.0 composed
+    -- fixture put 0.78M orders and 1.03M events on ONE key = 8.0e11
+    -- post-filter pairs, hours in BOTH engines)
+    WITH ed AS (
+        SELECT user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s
+        FROM events
+        GROUP BY 1, 2
+    ),
+    o AS (
         SELECT o_orderkey, o_custkey,
-               TIMESTAMP '2024-01-01' + (o_orderkey % 23) * INTERVAL 1 DAY AS o_ts
+               19723 + o_orderkey % 23 AS o_day  -- epoch day of 2024-01-01
         FROM orders
-    ) o JOIN events e
-      ON e.user_id = o.o_custkey
-     AND e.ts >= o.o_ts
-     AND e.ts < o.o_ts + INTERVAL 7 DAY
+    )
+    SELECT o.o_orderkey, CAST(SUM(ed.c) AS BIGINT) AS n_events,
+           CAST(SUM(ed.s) AS DOUBLE) AS sum_value
+    FROM o JOIN ed
+      ON ed.user_id = o.o_custkey
+     AND ed.d >= o.o_day AND ed.d < o.o_day + 7
     GROUP BY 1
     """,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join on timestamps with an equi-key (user) — the equi part makes
-    it a plain shuffled hash/sort-merge join with the range as a post-filter,
-    which is exactly the scalable formulation (no nested loop). Order dates
-    (1995-2001) are remapped into the events window (Jan 2024) to make the
-    overlap non-vacuous."""
+    """Range join on timestamps with an equi-key (user): how many events
+    (and how much value) did each order's customer produce in the 7 days
+    from the order date? Order dates (1995-2001) are remapped into the
+    events window (Jan 2024) to make the overlap non-vacuous.
+
+    Scale formulation — aggregate THROUGH the join: the query only needs
+    per-order SUMs over the range, and the range is whole days anchored
+    at midnights, so events first collapse to (user, day) count/sum
+    partials (one map-side-combinable shuffle, output bounded by
+    |distinct user×day|, ~30 rows per user here) and each order joins at
+    most 7 partial rows via an explode of its day window into an
+    EQUI-join key (user, day) — candidates are bounded by construction,
+    never per-event. The plain 'equi-join on user + range post-filter'
+    this replaces is only scalable while keys are unskewed: one hot key
+    on both sides degenerates to a per-key cartesian (the sf1.0 composed
+    fixture — one user owning half of each side — put 8.0e11 pairs
+    through the post-filter; this plan does 7 partial rows per order).
+    Day-bucketing uses exact.fday (LONG floor of unix micros), exact for
+    pre-1970 and year-2300 dirty timestamps alike."""
+    ev = load_table(spark, sf_dir, "events")
+    ed = ev.groupBy(
+        "user_id", fday("ts").alias("d")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+    day0 = 19723  # floor(epoch('2024-01-01 UTC') / 86400)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.expr(
-            "TIMESTAMP '2024-01-01' + make_interval(0,0,0, CAST(o_orderkey % 23 AS INT))"
-        ).alias("o_ts"),
-    )
-    ev = load_table(spark, sf_dir, "events")
-    cond = (
-        (ev.user_id == orders.o_custkey)
-        & (ev.ts >= orders.o_ts)
-        & (ev.ts < orders.o_ts + F.expr("INTERVAL 7 DAY"))
+        (F.lit(day0) + F.col("o_orderkey") % 23).alias("o_day"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.sequence(F.col("o_day"), F.col("o_day") + 6)
+        ).alias("d"),
     )
     return (
-        orders.join(ev, cond)
+        orders.join(
+            ed,
+            (ed.user_id == orders.o_custkey) & (ed.d == orders.d),
+        )
         .groupBy("o_orderkey")
         .agg(
-            F.count("*").alias("n_events"),
-            dsum("value").alias("sum_value"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
         )
     )
 

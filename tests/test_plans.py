@@ -454,3 +454,34 @@ def test_sql_identifier_resolves_to_plain_scan(spark, sf_dir):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_linestatus" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_range_join_aggregates_events_before_the_join(spark, sf_dir):
+    """q_join_range must join (user, day) PARTIALS, never raw events: the
+    r11 sf1.0 twelve-axes sweep showed the old equi+range-post-filter
+    plan degenerating to a per-key cartesian under hot-key skew (one user
+    on both sides = 8.0e11 post-filter pairs). The structural guarantee
+    is an Aggregate on the events side BELOW the join (partials bounded
+    by |distinct user x day|) and an equi-join that includes the day key
+    (no range post-filter pair formation)."""
+    plan = _plan(spark, sf_dir, "q_join_range")
+    # partial aggregation of events happens under the join: two
+    # HashAggregates (partial+final) precede the join's events input —
+    # assert the plan carries a day-keyed aggregate at all
+    assert "HashAggregate" in plan, plan
+    # the join is pure equi (user AND day): no non-equi range condition
+    # survives as a join post-filter on a raw events relation
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # day key present in a join: the exploded 7-day window makes the
+    # range an equi key, so SortMergeJoin/ShuffledHashJoin/BroadcastHash
+    # keys include d
+    import re
+
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)
+    ]
+    assert join_lines, plan
+    assert any(re.search(r"\bd#\d+L?\b", l) for l in join_lines), plan
