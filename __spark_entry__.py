@@ -69,6 +69,11 @@ _CHANGED_THIS_ROUND = [
     # partials joined equi on the exploded day window, linear by
     # construction; oracle rewritten to the same shape
     "q_join_range",
+    # sf1.0 twelve-axes composed sweep catch: the (18,4)x(4,2) scale-6
+    # weighted sum crosses 2^53 in its scaled numerator at this volume,
+    # where DuckDB's direct decimal->double cast double-rounds — the
+    # oracle cast now routes through VARCHAR (the r6 rule)
+    "q_join_salted",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -537,13 +537,19 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_salted",
     oracle="""
+    -- the (18,4)x(4,2) product sums at SCALE 6, so the scaled numerator
+    -- crosses 2^53 at sf1.0 volumes (1.56e17 on the composed fixture)
+    -- where DuckDB's direct decimal->double cast double-rounds 1 ulp off
+    -- Spark's correctly-rounded BigDecimal conversion — route the cast
+    -- through VARCHAR (the r6 rule; string->double parses correctly
+    -- rounded in both engines)
     SELECT l_returnflag AS flag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (CASE l_returnflag WHEN 'A' THEN CAST(1.10 AS DECIMAL(4,2))
                                          WHEN 'N' THEN CAST(1.20 AS DECIMAL(4,2))
                                          ELSE CAST(1.30 AS DECIMAL(4,2)) END))
-                AS DOUBLE) AS weighted_price
+                AS VARCHAR) AS DOUBLE) AS weighted_price
     FROM lineitem
     GROUP BY 1
     """,

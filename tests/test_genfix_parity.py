@@ -65,6 +65,11 @@ AFFECTED = [
     # r6 gen-sf1.0 sweep, same 2^53 class at scale 8 ((18,4) x (5,4)):
     # the shared view SELECT routes its final cast through STRING
     "q_sql_view",
+    # r11 gen-sf1.0 composed sweep, same 2^53 class at scale 6
+    # ((18,4) x (4,2) weighted sum): oracle cast routed through VARCHAR;
+    # this tiny-sf run pins the routed oracle's equivalence — the 2^53
+    # crossing itself only reproduces at sf1.0 volumes
+    "q_join_salted",
     # r6 gen-sf1.0 oracle-feasibility rewrites (engine plans unchanged):
     # name-space closure, bucketed packed argmax, union-merge nearest,
     # native ASOF version lookup — pin the rewritten oracles' equivalence
