@@ -331,14 +331,19 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_decontaminate",
     oracle="""
     WITH grams AS (
+        -- split bound OUTSIDE the lambda and ELEMENT indexing only (r11,
+        -- --longtext): an inline string_split re-splits per element and a
+        -- list SLICE l[i:i+4] copies the bound list per element — both
+        -- O(len²) per doc in DuckDB 1.x
         SELECT doc_id, md5(g) AS h
         FROM (
             SELECT doc_id,
                    unnest(list_transform(
-                       generate_series(1, len(string_split(text, ' ')) - 4),
-                       i -> array_to_string(
-                           string_split(text, ' ')[i:i+4], ' '))) AS g
-            FROM documents)
+                       generate_series(1, len(l) - 4),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                            || ' ' || l[i + 3] || ' ' || l[i + 4])) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents))
     ),
     bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
     train AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 97 <> 0)
@@ -374,25 +379,29 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .dropDuplicates()
     )
-    words = F.split("text", " ")
+    # token array materialized BEFORE the HOF lambda indexes it (r11,
+    # --longtext): an inline split under transform() re-splits the text
+    # per element — O(len²) per doc; see _spark_shingles in pipeline.py
+    w = F.col("__w")
     gram = lambda i: F.md5(  # noqa: E731
         F.concat_ws(
             " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
-            F.element_at(words, i + 4),
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+            F.element_at(w, i + 3),
+            F.element_at(w, i + 4),
         )
     )
     grams = (
         spread(docs)
-        .filter(F.size(words) >= 5)
+        .select("doc_id", F.split("text", " ").alias("__w"))
+        .filter(F.size(w) >= 5)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.transform(F.sequence(F.lit(1), F.size(words) - 4), gram)
+                    F.transform(F.sequence(F.lit(1), F.size(w) - 4), gram)
                 )
             ).alias("h"),
         )

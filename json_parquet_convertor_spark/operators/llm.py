@@ -75,23 +75,26 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     One explode + one groupBy: the map side computes K hashes per shingle
     (all JVM xxhash64 with the hash index as seed column), the reduce side
     takes per-doc minima — a single linear shuffle on doc_id."""
-    docs = spread(docs)
-    words = F.split("text", " ")
+    # token array materialized BEFORE the HOF lambda indexes it (r11,
+    # --longtext): an inline split under transform() re-splits the text
+    # per element — O(len²) per doc; see _spark_shingles in pipeline.py
+    docs = spread(docs).select("doc_id", F.split("text", " ").alias("__w"))
+    w = F.col("__w")
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ",
-        F.element_at(words, i + 1),
-        F.element_at(words, i + 2),
-        F.element_at(words, i + 3),
+        F.element_at(w, i + 1),
+        F.element_at(w, i + 2),
+        F.element_at(w, i + 3),
     )
     # Docs with <3 tokens have no 3-shingles; without this guard element_at
     # would index past the array end and throw under Spark 4's default ANSI
     # mode (same guard as _spark_shingles in pipeline.py).
-    shingles = docs.filter(F.size(words) >= 3).select(
+    shingles = docs.filter(F.size(w) >= 3).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 3),
+                    F.sequence(F.lit(0), F.size(w) - 3),
                     shingle_at,
                 )
             )

@@ -124,32 +124,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: exact n-gram Jaccard (inverted index, fully oracled)
 # ---------------------------------------------------------------------------
 
-# 3-word shingle list as a DuckDB expression (docs with >= 3 tokens)
+# 3-word shingle list over a BOUND token-list column ``l`` (docs with
+# >= 3 tokens). The split must be bound OUTSIDE the index lambda (r11,
+# --longtext): DuckDB, like Spark codegen, does no subexpression
+# elimination inside lambdas, so an inline string_split re-splits the
+# text once per ELEMENT — O(len²) per doc, unfinishable on a 1.4 MB
+# megadoc. Splice sites read FROM {_DUCK_TOKENIZED}. Element indexing
+# only — a list SLICE (l[i:i+k]) inside a lambda copies the whole bound
+# list per element in DuckDB 1.x (measured 120 s for one 60k-word doc).
 _DUCK_SHINGLES = """
         list_transform(
-            generate_series(1, len(string_split(text, ' ')) - 2),
-            i -> string_split(text, ' ')[i] || ' '
-                 || string_split(text, ' ')[i + 1] || ' '
-                 || string_split(text, ' ')[i + 2])
+            generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
 """
+
+# the bound-tokens FROM clause _DUCK_SHINGLES indexes into
+_DUCK_TOKENIZED = (
+    "(SELECT doc_id, string_split(text, ' ') AS l FROM documents)"
+)
 
 
 def _spark_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct 3-word shingles for docs with >= 3 tokens."""
-    words = F.split("text", " ")
+    """(doc_id, sh) distinct 3-word shingles for docs with >= 3 tokens.
+
+    The token array is materialized as a real column BEFORE the
+    higher-order lambda indexes into it (r11, --longtext): codegen
+    subexpression elimination does not reach inside HOF lambdas, so an
+    inline ``split(text)`` under ``transform()`` re-splits the document
+    once per ELEMENT — O(len²) per row, >700x on a 60k-word doc (a
+    1.4 MB megadoc never finishes). Catalyst's CollapseProject keeps the
+    two projections apart because the array is referenced more than once
+    (pinned in tests/test_plans.py: no split() inside lambdafunction)."""
+    w = F.col("__w")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
-        F.element_at(words, i),
-        F.element_at(words, i + 1),
-        F.element_at(words, i + 2),
+        F.element_at(w, i),
+        F.element_at(w, i + 1),
+        F.element_at(w, i + 2),
     )
     return (
-        spread(docs).filter(F.size(words) >= 3)
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("__w"))
+        .filter(F.size(w) >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.transform(F.sequence(F.lit(1), F.size(words) - 2), tri)
+                    F.transform(F.sequence(F.lit(1), F.size(w) - 2), tri)
                 )
             ).alias("sh"),
         )
@@ -161,8 +182,8 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
 _DUCK_JACCARD_PAIRS = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
+        FROM {_DUCK_TOKENIZED}
+        WHERE len(l) >= 3
     ),
     rare AS (
         SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
@@ -220,22 +241,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .dropDuplicates()
     )
-    words = F.split("text", " ")
+    # token array materialized BEFORE the HOF lambda indexes it (r11,
+    # --longtext): an inline split under transform() re-splits the text
+    # per element — O(len²) per doc; see _spark_shingles
+    w = F.col("__w")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
-        F.element_at(words, i),
-        F.element_at(words, i + 1),
-        F.element_at(words, i + 2),
+        F.element_at(w, i),
+        F.element_at(w, i + 1),
+        F.element_at(w, i + 2),
     )
     sh = (
         spread(docs)
-        .filter(F.size(words) >= 3)
+        .select("doc_id", F.split("text", " ").alias("__w"))
+        .filter(F.size(w) >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(words) - 2),
+                        F.sequence(F.lit(1), F.size(w) - 2),
                         lambda i: F.xxhash64(tri(i)),
                     )
                 )
@@ -610,8 +635,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list_distinct(
                    list_transform({_DUCK_SHINGLES}, s -> md5(s))
                )) AS hs
-        FROM (SELECT DISTINCT doc_id, text FROM documents)
-        WHERE len(string_split(text, ' ')) >= 3
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM (SELECT DISTINCT doc_id, text FROM documents))
+        WHERE len(l) >= 3
     )
     SELECT doc_id,
            md5(array_to_string(hs[1:4], ',')) AS fingerprint,
@@ -1146,8 +1172,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_CONTAINMENT = f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
+        FROM {_DUCK_TOKENIZED}
+        WHERE len(l) >= 3
     ),
     rare AS (
         SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
@@ -1198,22 +1224,26 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .dropDuplicates()
     )
-    words = F.split("text", " ")
+    # token array materialized BEFORE the HOF lambda indexes it (r11,
+    # --longtext): an inline split under transform() re-splits the text
+    # per element — O(len²) per doc; see _spark_shingles
+    w = F.col("__w")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
-        F.element_at(words, i),
-        F.element_at(words, i + 1),
-        F.element_at(words, i + 2),
+        F.element_at(w, i),
+        F.element_at(w, i + 1),
+        F.element_at(w, i + 2),
     )
     sh = (
         spread(docs)
-        .filter(F.size(words) >= 3)
+        .select("doc_id", F.split("text", " ").alias("__w"))
+        .filter(F.size(w) >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(words) - 2),
+                        F.sequence(F.lit(1), F.size(w) - 2),
                         lambda i: F.xxhash64(tri(i)),
                     )
                 )
@@ -1418,8 +1448,8 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS sh
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 3
+        FROM {_DUCK_TOKENIZED}
+        WHERE len(l) >= 3
     ),
     rare AS (
         SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
@@ -1480,22 +1510,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .dropDuplicates()
     )
-    words = F.split("text", " ")
+    # token array materialized BEFORE the HOF lambda indexes it (r11,
+    # --longtext): an inline split under transform() re-splits the text
+    # per element — O(len²) per doc; see _spark_shingles
+    w = F.col("__w")
     tri = lambda i: F.concat_ws(  # noqa: E731
         " ",
-        F.element_at(words, i),
-        F.element_at(words, i + 1),
-        F.element_at(words, i + 2),
+        F.element_at(w, i),
+        F.element_at(w, i + 1),
+        F.element_at(w, i + 2),
     )
     sh = (
         spread(docs)
-        .filter(F.size(words) >= 3)
+        .select("doc_id", F.split("text", " ").alias("__w"))
+        .filter(F.size(w) >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(words) - 2),
+                        F.sequence(F.lit(1), F.size(w) - 2),
                         lambda i: F.xxhash64(tri(i)),
                     )
                 )

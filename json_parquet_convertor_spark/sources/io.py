@@ -29,6 +29,39 @@ TABLES = (
     "embeddings",
 )
 
+#: The catalog contract (TESTDATA.md): the columns every reader sees for
+#: each table, whatever any single part file carries. A 100 TB table is
+#: written by years of producer versions, so part files drift — old files
+#: miss late-added columns, new files carry fields the contract doesn't
+#: know yet. The reference handles exactly this at JSON ingest (A4:
+#: unknown keys dropped, missing fields filled, convertor/struct.go);
+#: ``load_table`` generalizes it to the parquet lake: missing-in-file →
+#: NULL, unknown → dropped, order irrelevant (parquet is name-addressed).
+EXPECTED_COLUMNS = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": (
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    ),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": (
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice",
+    ),
+    "orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
@@ -53,7 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_contract(spark, sf_dir, name)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
             return df.withColumn(
@@ -62,7 +95,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type != "timestamp":  # timestamp_ntz → session-UTC timestamp
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_contract(spark, sf_dir, name)
+
+
+def _read_contract(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table directory under the catalog contract (EXPECTED_COLUMNS).
+
+    The plain read infers its schema from ONE footer; on a homogeneous
+    layout that is the whole contract and costs nothing extra (the hot
+    path — zero change for clean directories, including fragmented
+    --manyfiles layouts, because Spark's vectorized reader already fills
+    a column missing from a *later* file with NULL). Only when the
+    inferred column set disagrees with the contract — the elected footer
+    was an old-generation or new-generation file — do we pay the
+    mergeSchema pass (a distributed footer merge, the schema-evolution
+    slow path), then clip to the contract: unknown producer columns are
+    dropped (reference A4 semantics, convertor/struct.go) and the select
+    is name-addressed so per-file column ORDER is irrelevant. A contract
+    column absent from every file stays absent — that table is broken and
+    the query should fail loudly, not silently compute on a phantom.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    expected = EXPECTED_COLUMNS.get(name)
+    if expected is None or set(df.columns) == set(expected):
+        return df
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.select(*[c for c in expected if c in df.columns])
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -47,12 +47,12 @@ con = duckdb.connect()
 # scripts/gen_fixtures.py output) — proves spark/duckdb agreement isn't an
 # artifact of the one driver-generated dataset
 SF = os.environ.get("JPC_SF_DIR", "/root/testdata/sf0.01")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    p = f"{SF}/{t}.parquet"
-    if os.path.isdir(p):  # Spark-written table = directory of part files
-        p = f"{p}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+# drift-aware registration: identical to the driver's plain SELECT * on its
+# homogeneous fixtures; on an --evolve layout it mirrors load_table's
+# catalog-contract read (see tests/oracle_utils.register_duck_views)
+from tests.oracle_utils import register_duck_views
+
+register_duck_views(con, SF)
 
 from tests.oracle_utils import compare_query
 

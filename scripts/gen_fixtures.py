@@ -166,12 +166,56 @@ exercises file listing, per-file task scheduling, schema merge across
 accounting, per-file lineage, min/max pruning with hundreds of tiny
 footers).
 
+With --longtext (r11), per-ROW text VOLUME skew — the crawl-outlier
+class no other axis produces (--extreme caps documents at ~4000 words;
+key skew is --hotkey's job; this is CELL-size skew): a deterministic
+~1/103 of documents become ~60k-word (~350 KB) book-length texts and
+~1/211 become ~250k-word (~1.4 MB) megadocs (both built from the normal
+vocabulary, so they are long but linguistically ordinary); ~1/109
+become SPAM docs — one word repeated 30,000 times (one distinct
+shingle/bigram/BPE pair at enormous multiplicity — the degenerate
+counting shape); and ~1/331 become a single 64 KiB TOKEN with no
+whitespace at all (binary blob / minified-JS class: 1 token whose
+LENGTH is the document). Every per-document explode (shingles, grams,
+BPE pairs, fingerprint windows), tokenizer, length-normalized score,
+and pandas batch that sizes itself per row meets cells 4 decades above
+the median; anything super-linear in document length dies here and
+nowhere else. Composition: --hotkey's even-id boilerplate pins win
+(longtext applies to its residues' odd ids only under --hotkey);
+--extreme's empty/1-token degeneracies win on residue collision;
+--ctrl's byte filth applies on top of whatever text stands.
+
+With --evolve (r11), SCHEMA DRIFT across part files of one table — the
+second layout axis, and the one closest to the reference's heart: its A4
+semantics (unknown JSON keys dropped, missing fields filled,
+convertor/struct.go) IS schema evolution, and a 100 TB lake lives it
+constantly — a column added last quarter is absent from every file
+written before, and a producer shipping a new field writes files the
+readers' contract doesn't know yet. Per fact table (region/nation
+excluded — queries reference their literal 5/25-row content), a
+deterministic ~25% of rows land in OLD-schema part files missing one
+late-added column (lineitem.l_tax, orders.o_orderpriority,
+customer.c_mktsegment, part.p_size, supplier.s_acctbal, events.props,
+documents.source, embeddings.label), and a disjoint ~10% land in
+NEW-schema part files carrying one UNKNOWN extra column
+(l_comment / o_clerk / c_phone / p_container / s_comment / ingest_ts /
+crawl_id / model_ver) with the column ORDER reversed (parquet is
+name-addressed; positional readers die here). The reader contract this
+enforces engine-side (sources/io.py): expected columns come from the
+CATALOG, missing-in-file reads as NULL, unknown columns are dropped
+(A4), column order is irrelevant. The catch surface is NULLs appearing
+in columns NO other axis nulls (l_tax inside every revenue formula,
+group keys like c_mktsegment/o_orderpriority/source, events.props in
+every JSON path) — the same NULL-semantics classes --nulls hunts, on
+virgin columns.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
        [--hotkey] [--bigid] [--ctrl] [--nullkey] [--rowdup] [--manyfiles]
+       [--longtext] [--evolve]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
 [_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey][_rowdup]
-[_manyfiles] — the
+[_manyfiles][_longtext][_evolve] — the
 variant suffix keeps adversarial sets from being mistaken for the plain
 one by consumers that reuse an existing dir (scale_probe_gen's
 exists-check).
@@ -223,6 +267,21 @@ BIGID_COLS = frozenset({
     "doc_id", "vec_id",
 })
 
+#: --evolve: the "late-added" column OLD part files are missing (read back
+#: as NULL under the catalog contract) and the UNKNOWN column NEW part
+#: files carry (dropped on read, reference A4). region/nation excluded:
+#: queries reference their literal 5/25-row content.
+EVOLVE_DROP = {
+    "customer": "c_mktsegment", "supplier": "s_acctbal", "part": "p_size",
+    "orders": "o_orderpriority", "lineitem": "l_tax", "events": "props",
+    "documents": "source", "embeddings": "label",
+}
+EVOLVE_EXTRA = {
+    "customer": "c_phone", "supplier": "s_comment", "part": "p_container",
+    "orders": "o_clerk", "lineitem": "l_comment", "events": "ingest_ts",
+    "documents": "crawl_id", "embeddings": "model_ver",
+}
+
 
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
@@ -230,7 +289,7 @@ def build(
     dupes: bool = False, extreme: bool = False, dates: bool = False,
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
     ctrl: bool = False, nullkey_on: bool = False, rowdup: bool = False,
-    manyfiles: bool = False,
+    manyfiles: bool = False, longtext: bool = False, evolve: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -393,6 +452,29 @@ def build(
             # type the populated variant would have written
             df, parts = df.limit(0), 1
         target = os.path.join(dst, f"{name}.parquet")
+        evolve_old = evolve_new = None
+        if evolve and not empty and name in EVOLVE_DROP:
+            # schema drift (module docstring): ~25% of rows into OLD-schema
+            # files missing the late-added column, a disjoint ~9% into
+            # NEW-schema files carrying one unknown extra column with the
+            # column order REVERSED (parquet is name-addressed; the layout
+            # must not care). Full-row-hash selection, so composition with
+            # --rowdup keeps every re-delivered copy in one generation.
+            g = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(10007))
+            extra = (
+                F.col("ts") if name == "events"
+                else F.col("doc_id") if name == "documents"
+                else F.format_string(
+                    "unk-%d",
+                    F.pmod(F.hash(F.col(df.columns[0])), F.lit(9973)),
+                )
+            )
+            evolve_old = df.filter(g % 4 == 1).drop(EVOLVE_DROP[name])
+            new = df.filter((g % 4 != 1) & (g % 11 == 3)).withColumn(
+                EVOLVE_EXTRA[name], extra
+            )
+            evolve_new = new.select(*reversed(new.columns))
+            df = df.filter((g % 4 != 1) & (g % 11 != 3))
         if manyfiles and not empty:
             # pathological LAYOUT, identical content (module docstring):
             # ~180-280 tiny files (round-robin; per-table count derived
@@ -416,6 +498,9 @@ def build(
                 df.limit(0).coalesce(1).write.mode("append").parquet(target)
         else:
             df.repartition(parts).write.mode("overwrite").parquet(target)
+        if evolve_old is not None:
+            evolve_old.coalesce(2).write.mode("append").parquet(target)
+            evolve_new.coalesce(2).write.mode("append").parquet(target)
         print(f"gen {name}", file=sys.stderr)
 
     # -- fixed dims: identical content to the driver fixtures -------------
@@ -663,6 +748,18 @@ def build(
             F.lit(10) + F.col("base") % 30,
         ),
     )
+    if longtext:
+        # per-row VOLUME skew (module docstring): book-length and megadoc
+        # texts from the normal vocabulary. Placed BEFORE the --extreme and
+        # --hotkey overrides so their pinned degeneracies (empty/1-token
+        # docs, even-id boilerplate) win on residue collision — both axes
+        # still populate, precedence is just defined.
+        docs = docs.withColumn(
+            "n_words",
+            F.when(F.col("doc_id") % 103 == 41, F.lit(60_000))
+            .when(F.col("doc_id") % 211 == 89, F.lit(250_000))
+            .otherwise(F.col("n_words")),
+        )
     if extreme:
         # length degeneracies a real crawl produces: empty documents,
         # single-token documents, and ~4000-word (tens-of-KB) outliers —
@@ -734,6 +831,37 @@ def build(
                     ),
                 ),
             ).otherwise(F.col("text")),
+        )
+    if longtext:
+        # post-build text replacements (module docstring): SPAM (one word
+        # x 30k — one distinct shingle at enormous multiplicity) and a
+        # single 64 KiB whitespace-free TOKEN. Skipped on --hotkey's even
+        # ids (their boilerplate shape is a pinned invariant); applied
+        # BEFORE --ctrl so byte filth lands on top of whatever text
+        # stands, and BEFORE the n_chars select so length stays true.
+        k = F.col("doc_id")
+        odd_ok = (k % 2 == 1) if hotkey else F.lit(True)
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                (k % 109 == 57) & odd_ok,
+                F.rtrim(
+                    F.repeat(
+                        F.concat(
+                            F.element_at(
+                                word_arr, (k % len(vocab)).cast("int") + 1
+                            ),
+                            F.lit(" "),
+                        ),
+                        30_000,
+                    )
+                ),
+            )
+            .when(
+                (k % 331 == 131) & odd_ok,
+                F.repeat(F.lit("qjxzvkwp"), 8192),  # 65536 chars, 1 token
+            )
+            .otherwise(F.col("text")),
         )
     if ctrl:
         # byte-level filth (module docstring) — warped BEFORE n_chars is
@@ -858,6 +986,8 @@ def main() -> int:
     ap.add_argument("--nullkey", action="store_true")
     ap.add_argument("--rowdup", action="store_true")
     ap.add_argument("--manyfiles", action="store_true")
+    ap.add_argument("--longtext", action="store_true")
+    ap.add_argument("--evolve", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -876,6 +1006,8 @@ def main() -> int:
         "_nullkey" if args.nullkey else ""
     ) + ("_rowdup" if args.rowdup else "") + (
         "_manyfiles" if args.manyfiles else ""
+    ) + ("_longtext" if args.longtext else "") + (
+        "_evolve" if args.evolve else ""
     )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
@@ -887,7 +1019,8 @@ def main() -> int:
           extreme=args.extreme, dates=args.dates, negative=args.negative,
           hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
           nullkey_on=args.nullkey, rowdup=args.rowdup,
-          manyfiles=args.manyfiles)
+          manyfiles=args.manyfiles, longtext=args.longtext,
+          evolve=args.evolve)
     print(dst)
     return 0
 

@@ -30,11 +30,8 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
-    from json_parquet_convertor_spark.sources.io import TABLES
+    from tests.oracle_utils import register_duck_views
 
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_duck_views(con, SF_DIR)
     yield con
     con.close()

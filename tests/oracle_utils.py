@@ -212,3 +212,61 @@ def compare_query(spark, duck, query_fn, oracle_sql: str, sf_dir: str):
         ][:5]
         return False, f"value mismatch (first diffs of {len(s_rows)} rows): {diffs}"
     return True, f"{len(s_rows)} rows match"
+
+
+def register_duck_views(con, sf_dir: str) -> None:
+    """Create the driver's table views, schema-drift-aware.
+
+    The real driver's registration is a plain ``SELECT * FROM
+    read_parquet(...)`` per table — correct for its homogeneous fixtures.
+    On an --evolve layout (scripts/gen_fixtures.py: part files missing a
+    late-added column / carrying an unknown one) that plain form is
+    silently WRONG or a hard error depending on which footer DuckDB
+    elects first (old-schema elected -> the late column vanishes from the
+    view; full-schema elected with old files later -> IO Error at scan).
+    Detection is metadata-only: one ``parquet_schema()`` pass per table —
+    if any two files disagree on their column-name multiset, rebuild the
+    view with ``union_by_name=true`` (missing-in-file -> NULL) projected
+    onto the catalog contract (unknown producer columns dropped —
+    reference A4 semantics), mirroring what the engine's ``load_table``
+    does on the Spark side.
+    """
+    import os
+
+    from json_parquet_convertor_spark.sources.io import (
+        EXPECTED_COLUMNS,
+        TABLES,
+    )
+
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        n_schemas = con.execute(
+            """
+            SELECT count(DISTINCT cols) FROM (
+                SELECT file_name, list_sort(list(name)) AS cols
+                FROM parquet_schema(?) GROUP BY file_name
+            )
+            """,
+            [p],
+        ).fetchone()[0]
+        if n_schemas <= 1:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+            continue
+        union = {
+            r[0]
+            for r in con.execute(
+                "DESCRIBE SELECT * FROM read_parquet(?, union_by_name=true)",
+                [p],
+            ).fetchall()
+        }
+        cols = ", ".join(
+            f'"{c}"' for c in EXPECTED_COLUMNS[t] if c in union
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT {cols} "
+            f"FROM read_parquet('{p}', union_by_name=true)"
+        )

@@ -129,6 +129,34 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_stats_anova",  # 1-row (k, N, ΣY) totals broadcast
             "q_feature_gini",  # 1-row total-count broadcast onto cells
         }, f"unexpected BNLJ in {name}:\n{plan}"
+    # HOF lambdas defeat codegen subexpression elimination (r11,
+    # --longtext): split(text) INSIDE a lambdafunction body re-splits the
+    # document once per ELEMENT — O(len²) per row; a 1.4 MB megadoc never
+    # finishes. The token array must be bound as a real attribute before
+    # the lambda indexes it (split as the transform INPUT — before the
+    # lambda — is the correct shape and is not flagged).
+    for body in _lambda_bodies(plan):
+        assert "split(" not in body, (
+            f"{name}: split() inside a HOF lambda (quadratic per row): "
+            f"{body[:300]}"
+        )
+
+
+def _lambda_bodies(plan: str):
+    """Yield the paren-balanced body of every lambdafunction( in a plan
+    (truncated lines yield up to end-of-line, erring toward inspection)."""
+    for line in plan.splitlines():
+        start = 0
+        while True:
+            idx = line.find("lambdafunction(", start)
+            if idx < 0:
+                break
+            i, depth = idx + len("lambdafunction("), 1
+            while i < len(line) and depth:
+                depth += {"(": 1, ")": -1}.get(line[i], 0)
+                i += 1
+            yield line[idx:i]
+            start = idx + 1
 
 
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
