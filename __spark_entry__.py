@@ -48,7 +48,11 @@ _CHANGED_THIS_ROUND = [
     #
     # --rowdup axis (at-least-once duplicate rows incl. primary ids):
     # set-vs-bag shingle indexes — full-row dropDuplicates ingest guard
-    # before indexing (Spark side changed)
+    # before indexing (Spark side changed). ALSO reshaped by the
+    # --longtext axis (crawl-outlier megadocs): every shingle/gram
+    # builder now binds the token array as a column BEFORE the HOF
+    # lambda indexes it (an inline split re-splits the text per element,
+    # O(len²) per doc) and the oracles bind string_split in a subquery.
     "q_dedup_ngram_jaccard",
     "q_dedup_cluster",
     "q_dedup_incremental",
@@ -74,6 +78,36 @@ _CHANGED_THIS_ROUND = [
     # where DuckDB's direct decimal->double cast double-rounds — the
     # oracle cast now routes through VARCHAR (the r6 rule)
     "q_join_salted",
+    # --longtext axis: MinHash shingling rewritten to the bound-token-
+    # array shape (rows-only query — the driver's ran+rows check is the
+    # re-confirmation) and q_text_fingerprint's _spark_shingles helper
+    # likewise (its oracle re-hash is covered above)
+    "q_dedup_near",
+    # --longtext oracle feasibility: the lateral generate_series bigram
+    # join carried the whole token list into every joined row (O(len²)
+    # per doc) — rewritten to list_zip of two top-level slices
+    "q_text_bigram_lm",
+    "q_text_collocations",
+    "q_text_repetition",
+    # --longtext sibling-projection re-split (size(split) next to
+    # explode(split) re-splits per OUTPUT row in both engines)
+    "q_text_tfidf",
+    "q_text_keywords",
+    # --longtext 32-bit overflow: the quality-score numerator crosses
+    # 2^31 near 220k tokens — stats promoted to LONG/BIGINT on both sides
+    "q_text_quality",
+    # --evolve axis (schema drift; late-added columns read NULL where no
+    # other axis nulls them): arg_max-skips-NULL-values vs max_by
+    # sentinel (q_agg_modern, q_join_point_in_time incl. a NULL-state
+    # version-boundary carry), missing-as-token hashing (q_feature_hash;
+    # DuckDB list_distinct strips NULL elements), NULL-objective domain
+    # guard (q_skyline_pareto), nullable-Int64 label groups
+    # (q_embed_whiten, rows-only); q_feature_hash (missing-as-token on
+    # every categorical) is already listed above
+    "q_agg_modern",
+    "q_join_point_in_time",
+    "q_skyline_pareto",
+    "q_embed_whiten",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

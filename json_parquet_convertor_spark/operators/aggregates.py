@@ -634,8 +634,17 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_totalprice > 500000) AS any_huge,
-           max_by(o_orderpriority, o_orderkey) AS last_priority,
-           min_by(o_orderpriority, o_orderkey) AS first_priority
+           -- value-NULL sentinel (r11, --evolve): DuckDB arg_max/arg_min
+           -- SKIP rows whose VALUE is NULL while Spark max_by/min_by
+           -- return the (possibly NULL) value at the true extreme key;
+           -- with o_orderpriority nullable (old-schema part files), the
+           -- honest answer is "the last order's priority, unknown if
+           -- unknown" — coalesce to a sentinel so DuckDB sees every row,
+           -- then map the sentinel back to NULL
+           NULLIF(max_by(COALESCE(o_orderpriority, chr(1)), o_orderkey),
+                  chr(1)) AS last_priority,
+           NULLIF(min_by(COALESCE(o_orderpriority, chr(1)), o_orderkey),
+                  chr(1)) AS first_priority
     FROM orders
     GROUP BY o_orderstatus
     """,

@@ -443,9 +443,13 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), g AS (
-        SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
-        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-        WHERE len(ws) >= 2
+        -- list_zip of two top-level slices, not a lateral generate_series
+        -- join (r11, --longtext): the lateral carries the WHOLE token
+        -- list into every joined row — O(len²) per doc on a megadoc
+        SELECT doc_id, z[1] || ' ' || z[2] AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS z
+              FROM w WHERE len(ws) >= 2)
     ), c AS (
         SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n
         FROM g GROUP BY 1, 2
@@ -2025,10 +2029,17 @@ def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_skyline_pareto",
     oracle="""
     WITH r AS (
+        -- objective-domain guard (r11, --evolve): a part with UNKNOWN
+        -- size cannot participate in a (price, size) skyline. Without
+        -- the filter the engines diverge structurally: NULL comparisons
+        -- make the oracle's NOT EXISTS vacuously TRUE (every NULL-size
+        -- row lands on the frontier) while Spark's min-window filter
+        -- drops the same rows
         SELECT p_partkey,
                CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
                CAST(p_size AS BIGINT) AS size
         FROM part
+        WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
     )
     SELECT a.p_partkey,
            floor(CAST(a.price_c AS DOUBLE) / 100 * 10000 + 0.5) / 10000
@@ -2068,7 +2079,11 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window
 
-    r = p.select(
+    # objective-domain guard (see oracle comment): NULL objectives are
+    # excluded on BOTH sides, not dropped implicitly by one engine
+    r = p.filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+    ).select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100, 0)
         .cast("bigint")

@@ -988,9 +988,14 @@ def q_corpus_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT string_split(text, ' ') AS l FROM documents
     ),
     bi AS (
-        SELECT l[g.i] AS w1, l[g.i + 1] AS w2
-        FROM toks CROSS JOIN unnest(generate_series(1, len(toks.l) - 1))
-            AS g(i)
+        -- list_zip of two top-level slices, not a lateral
+        -- generate_series join (r11, --longtext): the lateral carries
+        -- the WHOLE token list into every joined row — O(len²) per doc,
+        -- unfinishable on a 250k-token megadoc; top-level slices are
+        -- computed once per document
+        SELECT z[1] AS w1, z[2] AS w2
+        FROM (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+              FROM toks)
     ),
     c AS (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1091,9 +1096,14 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT string_split(text, ' ') AS l FROM documents
     ),
     bi AS (
-        SELECT l[g.i] AS w1, l[g.i + 1] AS w2
-        FROM toks CROSS JOIN unnest(generate_series(1, len(toks.l) - 1))
-            AS g(i)
+        -- list_zip of two top-level slices, not a lateral
+        -- generate_series join (r11, --longtext): the lateral carries
+        -- the WHOLE token list into every joined row — O(len²) per doc,
+        -- unfinishable on a 250k-token megadoc; top-level slices are
+        -- computed once per document
+        SELECT z[1] AS w1, z[2] AS w2
+        FROM (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+              FROM toks)
     ),
     c AS (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1363,14 +1373,16 @@ def q_label_future_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- input row legitimately emits its (identical) vector twice
     WITH rows_ AS (
         SELECT o_orderkey,
+               -- missing-as-token on EVERY categorical: a NULL band
+               -- (--nullkey orphan) or NULL priority (--evolve old-schema
+               -- part files) hashes as the literal 'null' marker — the
+               -- standard hashing-trick treatment of missing values.
+               -- Without it the engines diverge structurally: Spark keeps
+               -- a NULL bucket element where DuckDB's list_distinct
+               -- REMOVES NULLs, so n_buckets disagrees by one.
                list_transform([
-                   'status=' || o_orderstatus,
-                   'prio=' || o_orderpriority,
-                   -- missing-as-token: an orphan order's NULL band hashes
-                   -- as the literal 'null' marker (the standard
-                   -- hashing-trick treatment of missing categoricals)
-                   -- instead of vanishing from the vector on one engine
-                   -- only (--nullkey axis catch)
+                   'status=' || COALESCE(o_orderstatus, 'null'),
+                   'prio=' || COALESCE(o_orderpriority, 'null'),
                    'cust_band=' || COALESCE(CAST(o_custkey % 100 AS VARCHAR),
                                             'null')
                ], f -> CAST(md5_number_lower(f) % 16 AS BIGINT)) AS b
@@ -1411,17 +1423,13 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spread(load_table(spark, sf_dir, "orders"))
     bucket = lambda c: (md5_low64(c) % 16).cast("bigint")  # noqa: E731
+    # missing-as-token on every categorical (see oracle comment)
+    tok = lambda c: F.coalesce(c.cast("string"), F.lit("null"))  # noqa: E731
     buckets = F.array(
-        bucket(F.concat(F.lit("status="), F.col("o_orderstatus"))),
-        bucket(F.concat(F.lit("prio="), F.col("o_orderpriority"))),
+        bucket(F.concat(F.lit("status="), tok(F.col("o_orderstatus")))),
+        bucket(F.concat(F.lit("prio="), tok(F.col("o_orderpriority")))),
         bucket(
-            F.concat(
-                F.lit("cust_band="),
-                # missing-as-token (see oracle comment)
-                F.coalesce(
-                    (F.col("o_custkey") % 100).cast("string"), F.lit("null")
-                ),
-            )
+            F.concat(F.lit("cust_band="), tok(F.col("o_custkey") % 100))
         ),
     )
     rows = o.select("o_orderkey", buckets.alias("a"))

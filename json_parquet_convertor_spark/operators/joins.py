@@ -1569,7 +1569,13 @@ def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey AS custkey,
                CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
                     AS BIGINT) AS valid_from,
-               max_by(o_orderpriority, o_orderkey) AS state
+               -- sentinel-encoded (r11, --evolve): o_orderpriority is
+               -- nullable (old-schema part files) and DuckDB arg_max
+               -- SKIPS NULL values where Spark max_by returns the value
+               -- at the true extreme key; chr(1) makes every row visible
+               -- to arg_max and decodes back to NULL in the final select
+               max_by(COALESCE(o_orderpriority, chr(1)), o_orderkey)
+                   AS state
         FROM orders GROUP BY 1, 2
     ),
     versions AS (
@@ -1591,7 +1597,7 @@ def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- equi+range filter that ground through ~1e9 (fact x version) pairs
     -- under hot-custkey skew at gen sf1.0
     SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_day,
-           v.state AS state_asof
+           NULLIF(v.state, chr(1)) AS state_asof
     FROM facts f ASOF LEFT JOIN versions v
       ON f.custkey = v.custkey
      AND f.ship_day >= v.valid_from
@@ -1635,7 +1641,15 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"),
             day(F.col("o_orderdate")).alias("d"),
         )
-        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("state"))
+        # sentinel-encoded state (see oracle comment): a version whose
+        # argmax row carries a NULL priority must still act as a version
+        # BOUNDARY in the ignorenulls carry below (a bare NULL state
+        # would silently extend the previous version past its valid_to)
+        .agg(
+            F.coalesce(
+                F.max_by("o_orderpriority", "o_orderkey"), F.lit("\x01")
+            ).alias("state")
+        )
         .select("custkey", "d", F.lit(0).alias("kind"), "state",
                 F.lit(None).cast("bigint").alias("l_orderkey"),
                 F.lit(None).cast("bigint").alias("l_linenumber"))
@@ -1666,7 +1680,7 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "custkey",
         F.col("d").alias("ship_day"),
-        "state_asof",
+        F.nullif(F.col("state_asof"), F.lit("\x01")).alias("state_asof"),
     )
 
 

@@ -225,10 +225,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_tfidf",
     oracle="""
     WITH terms AS (
-        SELECT doc_id,
-               len(string_split(text, ' ')) AS doc_len,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
+        -- split bound ONCE below the unnest (r11, --longtext): DuckDB,
+        -- like Spark's Generate, re-evaluates an unnest's SIBLING
+        -- projections per OUTPUT row, so an inline len(string_split)
+        -- re-splits the document once per term — O(len²) per doc
+        SELECT doc_id, len(l) AS doc_len, unnest(l) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
     ),
     tf AS (
         SELECT doc_id, term, doc_len, CAST(COUNT(*) AS BIGINT) AS tf_raw
@@ -251,10 +253,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar joins in as a broadcast literal (crossJoin with a 1-row frame, the
     scale-safe way to attach a global constant)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # split bound ONCE before the explode (r11, --longtext): codegen
+    # re-evaluates the Generate's SIBLING projections per OUTPUT row, so
+    # an inline size(split(text)) next to explode(split(text)) re-splits
+    # the document once per term — O(len²) per doc (jstack showed the
+    # straggler task pinned in UTF8String.split under generate_doConsume)
     terms = docs.select(
+        "doc_id", F.split("text", " ").alias("__w")
+    ).select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("doc_len"),
-        F.explode(F.split("text", " ")).alias("term"),
+        F.size("__w").alias("doc_len"),
+        F.explode("__w").alias("term"),
     )
     tf = terms.groupBy("doc_id", "term", "doc_len").agg(
         F.count("*").alias("tf_raw")
@@ -715,10 +724,12 @@ def q_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_keywords",
     oracle="""
     WITH terms AS (
-        SELECT doc_id,
-               len(string_split(text, ' ')) AS doc_len,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents
+        -- split bound ONCE below the unnest (r11, --longtext): DuckDB,
+        -- like Spark's Generate, re-evaluates an unnest's SIBLING
+        -- projections per OUTPUT row, so an inline len(string_split)
+        -- re-splits the document once per term — O(len²) per doc
+        SELECT doc_id, len(l) AS doc_len, unnest(l) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
     ),
     tf AS (
         SELECT doc_id, term, doc_len, COUNT(*) AS tf
@@ -762,10 +773,17 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines: pure counts through identical op order) with the
     term string as the deterministic tiebreak."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # split bound ONCE before the explode (r11, --longtext): codegen
+    # re-evaluates the Generate's SIBLING projections per OUTPUT row, so
+    # an inline size(split(text)) next to explode(split(text)) re-splits
+    # the document once per term — O(len²) per doc (jstack showed the
+    # straggler task pinned in UTF8String.split under generate_doConsume)
     terms = docs.select(
+        "doc_id", F.split("text", " ").alias("__w")
+    ).select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("doc_len"),
-        F.explode(F.split("text", " ")).alias("term"),
+        F.size("__w").alias("doc_len"),
+        F.explode("__w").alias("term"),
     )
     tf = terms.groupBy("doc_id", "term", "doc_len").agg(
         F.count(F.lit(1)).alias("tf")

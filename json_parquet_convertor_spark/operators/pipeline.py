@@ -525,12 +525,18 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_quality",
     oracle="""
     WITH t AS (
+        -- BIGINT stats (r11, --longtext): the quality-score numerator
+        -- 2000*(4*uniq + 3*(tokens-stop)) + tokens*(60*min(tokens,100)+1)
+        -- crosses 2^31 near 220k tokens — a 250k-token megadoc hard-errors
+        -- 32-bit arithmetic in BOTH engines
         SELECT doc_id,
-               CAST(length(text) AS INT) AS n_chars_actual,
-               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_uniq,
                CAST(len(list_filter(string_split(text, ' '),
-                                    w -> w IN ('a', 'the'))) AS INT) AS n_stop
+                                    w -> w IN ('a', 'the'))) AS BIGINT)
+                   AS n_stop
         FROM documents
     )
     SELECT doc_id, n_chars_actual, n_tokens,
@@ -562,11 +568,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so floor of the identical double agrees bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n_tokens = F.size(words).cast("int")
-    n_uniq = F.size(F.array_distinct(words)).cast("int")
+    # LONG stats (see oracle comment): the score numerator overflows
+    # int32 near 220k tokens
+    n_tokens = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
     n_stop = F.size(
         F.filter(words, lambda w: w.isin("a", "the"))
-    ).cast("int")
+    ).cast("long")
 
     def q4(num, den):  # exact half-up of the rational num/den at 4 dp
         return F.floor((20000 * num + den) / (2.0 * den)) / 10000.0
@@ -576,7 +584,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.length("text").cast("int").alias("n_chars_actual"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         n_tokens.alias("n_tokens"),
         q4(n_uniq, n_tokens).alias("uniq_ratio"),
         q4(n_stop, n_tokens).alias("stop_ratio"),
@@ -1421,10 +1429,14 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
             z = (m - mu) @ w.T
             sq = (z * z).sum(axis=1)
+            # label is NULLABLE (r11, --evolve: old-schema part files miss
+            # it entirely) — ship it as pandas nullable Int64 (bare int32
+            # astype crashes on NaN) and keep the NULL group like a Spark
+            # GROUP BY would (dropna would silently drop those vectors)
             out = pd.DataFrame(
-                {"label": pdf["label"].astype("int32"), "sq": sq}
+                {"label": pdf["label"].astype("Int64"), "sq": sq}
             )
-            g = out.groupby("label", as_index=False).agg(
+            g = out.groupby("label", as_index=False, dropna=False).agg(
                 n=("sq", "size"), sum_sq=("sq", "sum")
             )
             yield g

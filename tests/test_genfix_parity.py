@@ -1351,3 +1351,214 @@ def test_manyfiles_fixture_has_the_layout_shapes(manyfiles_dir):
         assert zero >= 2, f"{t}: only {zero} empty part files"
         sizes = sorted(os.path.getsize(f) for f in files)
         assert sizes[-1] > 4 * sizes[0], f"{t}: no size spread"
+
+
+# r11 --longtext sweep: per-row text VOLUME skew (250k-word megadocs,
+# 30k-repeat spam docs, a 64 KiB single token) caught a whole CLASS of
+# quadratic-per-document shapes rather than value divergences. [1] HOF
+# lambdas defeat subexpression elimination in BOTH engines: an inline
+# split(text) under transform() re-splits the document once per ELEMENT
+# (Spark codegen AND DuckDB list_transform) — every shingle/gram builder
+# now binds the token array as a column/subquery first. [2] Generate/
+# unnest SIBLING projections re-evaluate per OUTPUT row: size(split)
+# next to explode(split) (Spark, jstack-proven) and len(string_split)
+# next to unnest(string_split) (DuckDB) re-split per term — bind once
+# below the explode. [3] A DuckDB list SLICE inside a lambda copies the
+# bound list per element (l[i:i+4] measured 120 s on ONE 60k-word doc) —
+# element indexing only. [4] A lateral generate_series join carries the
+# whole token list into every joined row (bigram/collocation oracles) —
+# list_zip of two top-level slices instead. The plan gate in
+# tests/test_plans.py pins [1]/[2] Spark-side for the whole registry.
+LONGTEXT_SENSITIVE = [
+    "q_dedup_ngram_jaccard",
+    "q_text_containment",
+    "q_text_fingerprint",
+    "q_text_decontaminate",
+    "q_text_bigram_lm",
+    "q_text_collocations",
+    "q_text_keywords",
+    "q_text_tfidf",
+]
+
+
+@pytest.fixture(scope="module")
+def longtext_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    # sf0.003 -> 150 docs: every longtext class populates (60k-word docs
+    # at ids 41/144, the 250k megadoc at 89, spam at 57, the 64 KiB
+    # single token at 131) while pytest wall time stays bounded
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.003_longtext")
+    build(spark, dst, 0.003, longtext=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def longtext_duck(longtext_dir):
+    import duckdb
+
+    from tests.oracle_utils import register_duck_views
+
+    con = duckdb.connect()
+    register_duck_views(con, longtext_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", LONGTEXT_SENSITIVE)
+def test_longtext_sensitive_queries_match_on_megadoc_fixture(
+    spark, longtext_duck, longtext_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, longtext_duck, registry.QUERIES[name],
+        registry.ORACLES[name], longtext_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_longtext_fixture_has_the_volume_shapes(longtext_duck):
+    """The outliers must actually be present: a >1M-char megadoc, a spam
+    doc with one distinct token at huge multiplicity, and a single
+    whitespace-free 64 KiB token."""
+    n = lambda sql: longtext_duck.execute(sql).fetchone()[0]  # noqa: E731
+    assert n("SELECT max(n_chars) FROM documents") > 1_000_000
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT doc_id FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 30000 "
+        "AND len(list_distinct(string_split(text, ' '))) = 1)"
+    ) >= 1
+    assert n(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE length(text) >= 65536 AND NOT contains(text, ' ')"
+    ) >= 1
+
+
+# r11 --evolve sweep: SCHEMA DRIFT across part files (old files missing a
+# late-added column, new files carrying an unknown one with reversed
+# column order) caught FIVE queries — all NULL-semantics divergences on
+# columns NO other axis nulls. q_agg_modern / q_join_point_in_time:
+# DuckDB arg_max SKIPS NULL values where Spark max_by returns the value
+# at the true extreme key (sentinel chr(1) coalesce; point-in-time also
+# needed the sentinel so a NULL-state version stays a version BOUNDARY
+# in the ignorenulls carry). q_feature_hash: Spark kept a NULL bucket
+# element where DuckDB list_distinct REMOVES NULLs (missing-as-token on
+# every categorical now). q_skyline_pareto: NULL objectives made the
+# oracle's NOT EXISTS vacuously true (frontier of 513 instead of 4) —
+# mirrored domain guard. q_embed_whiten: bare astype(int32) crashed on
+# NULL labels (nullable Int64 + dropna=False NULL group).
+EVOLVE_SENSITIVE = [
+    "q_agg_modern",
+    "q_join_point_in_time",
+    "q_feature_hash",
+    "q_skyline_pareto",
+]
+
+
+@pytest.fixture(scope="module")
+def evolve_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_evolve")
+    build(spark, dst, 0.001, evolve=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def evolve_duck(evolve_dir):
+    import duckdb
+
+    from tests.oracle_utils import register_duck_views
+
+    con = duckdb.connect()
+    register_duck_views(con, evolve_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVOLVE_SENSITIVE)
+def test_evolve_sensitive_queries_match_on_drifted_schema(
+    spark, evolve_duck, evolve_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, evolve_duck, registry.QUERIES[name], registry.ORACLES[name],
+        evolve_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_evolve_whiten_handles_null_label_groups(spark, evolve_dir):
+    """rows-only twin: NULL labels form their own group (GROUP BY
+    semantics), never crash the pandas int cast, never silently drop."""
+    out = registry.QUERIES["q_embed_whiten"](spark, evolve_dir)
+    rows = out.collect()
+    assert len(rows) >= 2
+
+
+def test_evolve_load_table_reads_under_the_catalog_contract(
+    spark, evolve_dir
+):
+    """The reader contract (reference A4 generalized): missing-in-file
+    reads as NULL, unknown producer columns are dropped, per-file column
+    order is irrelevant — and the DuckDB harness view agrees exactly."""
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import (
+        EXPECTED_COLUMNS,
+        load_table,
+    )
+    from tests.oracle_utils import register_duck_views
+
+    con = duckdb.connect()
+    register_duck_views(con, evolve_dir)
+    for t, dropped in [("lineitem", "l_tax"), ("orders", "o_orderpriority"),
+                       ("documents", "source"), ("embeddings", "label")]:
+        df = load_table(spark, evolve_dir, t)
+        assert df.columns == list(EXPECTED_COLUMNS[t]), t
+        from pyspark.sql import functions as F
+
+        srow = df.agg(
+            F.count("*").alias("n"), F.count(dropped).alias("nn")
+        ).collect()[0]
+        dn, dnn = con.execute(
+            f'SELECT count(*), count("{dropped}") FROM {t}'
+        ).fetchone()
+        assert (srow.n, srow.nn) == (dn, dnn), t
+        assert srow.nn < srow.n, f"{t}: drift slice did not populate"
+    con.close()
+
+
+def test_evolve_fixture_has_the_drift_shapes(evolve_dir):
+    """Part files must actually disagree: at least one file missing the
+    late-added column, at least one carrying the unknown extra with
+    reversed column order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(evolve_dir, "lineitem.parquet",
+                                   "*.parquet"))
+    schemas = [tuple(pq.ParquetFile(f).schema_arrow.names) for f in files]
+    assert any("l_tax" not in s for s in schemas), "no old-schema file"
+    assert any("l_comment" in s for s in schemas), "no new-schema file"
+    new = next(s for s in schemas if "l_comment" in s)
+    assert new[0] == "l_comment" and new[-1] == "l_orderkey", (
+        "new-schema file should be column-order-reversed"
+    )
