@@ -96,6 +96,12 @@ _CHANGED_THIS_ROUND = [
     # --longtext 32-bit overflow: the quality-score numerator crosses
     # 2^31 near 220k tokens — stats promoted to LONG/BIGINT on both sides
     "q_text_quality",
+    # --longtext Generate-sibling carry: the chunker's start-posexplode
+    # replicated the whole token array per chunk row (quadratic per
+    # megadoc) — chunk md5s now build inside one transform over the
+    # bound array; oracle regroups per token, keyed by physical row so
+    # --rowdup copies still emit per delivery
+    "q_text_chunk",
     # --evolve axis (schema drift; late-added columns read NULL where no
     # other axis nulls them): arg_max-skips-NULL-values vs max_by
     # sentinel (q_agg_modern, q_join_point_in_time incl. a NULL-state

@@ -472,22 +472,37 @@ _CHUNK, _STRIDE = 128, 96
 @query(
     "q_text_chunk",
     oracle=f"""
-    WITH d AS (
-        SELECT doc_id, string_split(text, ' ') AS words,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    ),
-    s AS (
-        SELECT doc_id, words, n,
-               unnest(generate_series(0, n - 1, {_STRIDE})) AS start
+    -- per-token regroup, not a start-unnest that CARRIES the token list
+    -- (r11, --longtext): unnest sibling projections replicate the whole
+    -- 250k-element list per chunk row (quadratic per megadoc), and a
+    -- slice inside a lambda copies the bound list per call in DuckDB.
+    -- Each token belongs to <= 2 overlapping chunks (stride {_STRIDE},
+    -- width {_CHUNK}), so the regroup is exactly linear.
+    -- rid keeps the regroup PER PHYSICAL ROW: chunking is a row-local
+    -- transform, so --rowdup re-delivered copies (same doc_id, same
+    -- text) must each emit their chunks, like the Spark twin — a bare
+    -- GROUP BY doc_id would merge the copies into doubled token streams
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
+                      row_number() OVER () AS rid
+               FROM documents),
+    t AS (
+        SELECT rid, doc_id, len(words) AS n,
+               generate_subscripts(words, 1) - 1 AS p,
+               unnest(words) AS w
         FROM d
+    ),
+    m AS (
+        SELECT rid, doc_id, n, p, w, p // {_STRIDE} AS k FROM t
+        UNION ALL
+        SELECT rid, doc_id, n, p, w, p // {_STRIDE} - 1 FROM t
+        WHERE p % {_STRIDE} < {_CHUNK} - {_STRIDE}
+          AND p // {_STRIDE} >= 1
     )
-    SELECT doc_id,
-           CAST(start // {_STRIDE} AS INT) AS chunk_idx,
-           CAST(least({_CHUNK}, n - start) AS BIGINT) AS n_chunk_tokens,
-           md5(array_to_string(words[start + 1:start + {_CHUNK}], ' '))
-               AS chunk_md5
-    FROM s
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, n - {_STRIDE} * k) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(string_agg(w, ' ' ORDER BY p)) AS chunk_md5
+    FROM m GROUP BY rid, doc_id, k, n
     """,
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,25 +522,37 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan → explode → write with no exchange anywhere. Fan-out is bounded
     per row (≤ n/96 + 1 chunks), so no task ever ballooons."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = F.split("text", " ")
-    d = docs.select("doc_id", words.alias("words"), F.size(words).alias("n"))
-    s = d.select(
+    # chunk signatures built inside ONE transform over the bound token
+    # array (r11, --longtext): the previous start-posexplode carried the
+    # whole array as a Generate sibling, which copies the multi-MB
+    # UnsafeArray once per CHUNK row (quadratic per megadoc). Spark's
+    # slice on a bound array copies only the requested window, so the
+    # lambda is O(chunk) per element and the explode fans out 32-char
+    # md5 strings instead of megabyte arrays.
+    d = docs.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", "words", F.size("words").alias("n")
+    )
+    chunks = d.select(
         "doc_id",
-        "words",
         "n",
         F.posexplode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
-        ).alias("chunk_idx", "start"),
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE)),
+                lambda st: F.md5(
+                    F.array_join(F.slice("words", st + 1, _CHUNK), " ")
+                ),
+            )
+        ).alias("chunk_idx", "chunk_md5"),
     )
-    return s.select(
+    return chunks.select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.least(F.lit(_CHUNK), F.col("n") - F.col("start"))
+        F.least(
+            F.lit(_CHUNK), F.col("n") - F.col("chunk_idx") * _STRIDE
+        )
         .cast("bigint")
         .alias("n_chunk_tokens"),
-        F.md5(
-            F.array_join(F.slice("words", F.col("start") + 1, _CHUNK), " ")
-        ).alias("chunk_md5"),
+        "chunk_md5",
     )
 
 

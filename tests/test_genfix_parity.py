@@ -1188,6 +1188,9 @@ def test_harness_keeps_nullable_bigids_exact(spark):
 # DISTINCT); q_join_interval_overlap emits one row per overlapping PAIR
 # (oracle now DISTINCT, matching Spark's dropDuplicates).
 ROWDUP_SENSITIVE = [
+    # chunking is row-local: re-delivered copies each emit their chunks
+    # (the oracle regroups per PHYSICAL ROW via row_number, r11b)
+    "q_text_chunk",
     "q_dedup_ngram_jaccard",
     "q_dedup_cluster",
     "q_dedup_incremental",
@@ -1370,6 +1373,7 @@ def test_manyfiles_fixture_has_the_layout_shapes(manyfiles_dir):
 # list_zip of two top-level slices instead. The plan gate in
 # tests/test_plans.py pins [1]/[2] Spark-side for the whole registry.
 LONGTEXT_SENSITIVE = [
+    "q_text_chunk",
     "q_dedup_ngram_jaccard",
     "q_text_containment",
     "q_text_fingerprint",
