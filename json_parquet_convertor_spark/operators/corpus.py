@@ -498,10 +498,17 @@ _CHUNK, _STRIDE = 128, 96
         WHERE p % {_STRIDE} < {_CHUNK} - {_STRIDE}
           AND p // {_STRIDE} >= 1
     )
+    -- unordered list() + per-group list_sort, NOT string_agg ORDER BY
+    -- (r11, gen sf1.0): DuckDB buffers an ORDERED aggregate's entire
+    -- input without spilling — 106M token rows OOM'd a 100 GB budget —
+    -- while hash-aggregated unordered states spill, and the sort then
+    -- runs on <= {_CHUNK}-element lists
     SELECT doc_id, CAST(k AS INT) AS chunk_idx,
            CAST(least({_CHUNK}, n - {_STRIDE} * k) AS BIGINT)
                AS n_chunk_tokens,
-           md5(string_agg(w, ' ' ORDER BY p)) AS chunk_md5
+           md5(array_to_string(
+               list_transform(list_sort(list({{'p': p, 'w': w}})),
+                              s -> s.w), ' ')) AS chunk_md5
     FROM m GROUP BY rid, doc_id, k, n
     """,
 )
