@@ -26,7 +26,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from json_parquet_convertor_spark.sources.io import read_json, write_parquet
+from json_parquet_convertor_spark.sources.io import (
+    read_json,
+    read_parquet_policy,
+    write_parquet,
+)
 
 # the reference's input schema: convertor/struct.go:4-9
 PERSON_JSON_SCHEMA = StructType(
@@ -59,7 +63,10 @@ def json_to_parquet(
     raw = read_json(spark, src, schema=schema, multiline=True, drop_malformed=True)
     converted = person_to_parquet_df(raw) if schema is PERSON_JSON_SCHEMA else raw
     write_parquet(converted, dst, compression="snappy")
-    return spark.read.parquet(dst)
+    # read-back honors the partial-file policy (r12): our own
+    # write is commit-protocol-atomic, but a REUSED dst may carry
+    # foreign dirt (the reference's non-atomic loop leaves exactly that)
+    return read_parquet_policy(spark, dst)
 
 
 # The reference's sample inputs (sample_json/person{2,3,4}.json), embedded so
@@ -140,4 +147,7 @@ def json_to_parquet_per_file(
             os.path.join(dst, f"{key}.parquet"),
         )
     shutil.rmtree(staging)
-    return spark.read.parquet(dst)
+    # read-back honors the partial-file policy (r12): our own
+    # write is commit-protocol-atomic, but a REUSED dst may carry
+    # foreign dirt (the reference's non-atomic loop leaves exactly that)
+    return read_parquet_policy(spark, dst)

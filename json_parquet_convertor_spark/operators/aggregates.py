@@ -640,7 +640,10 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- with o_orderpriority nullable (old-schema part files), the
            -- honest answer is "the last order's priority, unknown if
            -- unknown" — coalesce to a sentinel so DuckDB sees every row,
-           -- then map the sentinel back to NULL
+           -- then map the sentinel back to NULL. Collision assumption:
+           -- no genuine o_orderpriority value is the bare \x01 byte —
+           -- pinned by tests/test_genfix_parity.py::
+           -- test_nul_sentinel_absent_from_orders_priority
            NULLIF(max_by(COALESCE(o_orderpriority, chr(1)), o_orderkey),
                   chr(1)) AS last_priority,
            NULLIF(min_by(COALESCE(o_orderpriority, chr(1)), o_orderkey),

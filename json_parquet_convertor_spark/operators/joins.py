@@ -1644,7 +1644,12 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sentinel-encoded state (see oracle comment): a version whose
         # argmax row carries a NULL priority must still act as a version
         # BOUNDARY in the ignorenulls carry below (a bare NULL state
-        # would silently extend the previous version past its valid_to)
+        # would silently extend the previous version past its valid_to).
+        # Collision assumption: no genuine o_orderpriority value is the
+        # bare control byte \x01 — pinned by
+        # tests/test_genfix_parity.py::test_nul_sentinel_absent_from_
+        # orders_priority; a future fixture axis that dirties orders
+        # strings must avoid \x01 (or this decode must switch sentinel)
         .agg(
             F.coalesce(
                 F.max_by("o_orderpriority", "o_orderkey"), F.lit("\x01")

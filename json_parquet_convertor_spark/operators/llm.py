@@ -379,7 +379,14 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple independent tables (union of T such plans) and precision by the
     exact-cosine refilter."""
     planes = _srp_hyperplanes()
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    # full-row INGEST GUARD (r12, --rowdup 10x probe): an at-least-once
+    # ingest re-delivers exact copies including vec_id; without the
+    # dedup, a vector duplicated on both sides of the bucket self-join
+    # emits the SAME (vec_a, vec_b) pair once per physical-row
+    # combination — caught by the invariant twin's uniqueness assert
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").dropDuplicates()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bits = [

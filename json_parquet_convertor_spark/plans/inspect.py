@@ -52,6 +52,68 @@ def audit(df: DataFrame) -> dict:
     }
 
 
+#: expression classes that re-tokenize a string; inside a HOF lambda each
+#: is re-evaluated once per array ELEMENT — O(len²) per row (the r11
+#: --longtext killer). StringSplitSQL backs split_part()/sentences-style
+#: SQL splits — same cost shape as StringSplit.
+_SPLIT_CLASSES = ("StringSplit", "StringSplitSQL")
+
+
+def _iter_tree_lists(obj):
+    """Yield every flat pre-order TreeNode list inside a parsed
+    ``TreeNode.toJSON()`` structure (the top-level plan list, and every
+    expression tree embedded in a plan-node field)."""
+    if isinstance(obj, list):
+        if obj and all(
+            isinstance(n, dict) and "class" in n and "num-children" in n
+            for n in obj
+        ):
+            yield obj
+        for v in obj:
+            yield from _iter_tree_lists(v)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            yield from _iter_tree_lists(v)
+
+
+def _subtree_end(nodes: list[dict], i: int) -> int:
+    """End index (exclusive) of the pre-order subtree rooted at ``i``."""
+    j = i + 1
+    for _ in range(int(nodes[i].get("num-children", 0))):
+        j = _subtree_end(nodes, j)
+    return j
+
+
+def lambda_split_violations(df: DataFrame) -> list[str]:
+    """Class paths of every split() evaluated INSIDE a HOF lambda body.
+
+    Catalyst does no subexpression elimination across a lambda boundary, so
+    ``transform(seq, i -> split(text)[i])`` re-splits the whole document per
+    element — quadratic in document length (r11 --longtext). The correct
+    shape binds the split as the HOF *input* (a sibling, not a descendant,
+    of the LambdaFunction) and is not flagged.
+
+    Walks the optimized logical plan via ``toJSON()`` — one py4j call, never
+    truncated — so ``spark.sql.debug.maxToStringFields`` plan-string
+    truncation can't hide a violation and a sibling split() on the same
+    formatted line can't false-positive (r11 ADVICE on the old line-scan).
+    """
+    import json
+
+    tree = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    hits: list[str] = []
+    for nodes in _iter_tree_lists(tree):
+        for i, node in enumerate(nodes):
+            if not node["class"].endswith(".LambdaFunction"):
+                continue
+            end = _subtree_end(nodes, i)
+            for k in range(i + 1, end):
+                cls = nodes[k]["class"]
+                if cls.rsplit(".", 1)[-1] in _SPLIT_CLASSES:
+                    hits.append(cls)
+    return hits
+
+
 def assert_scan_pruned(df: DataFrame, must_have: list[str], must_not: list[str]) -> None:
     """Assert column pruning reached the scan's ReadSchema."""
     schemas = audit(df)["read_schemas"]

@@ -42,39 +42,24 @@ assert set(oracles) <= set(qs)
 
 import duckdb
 
-con = duckdb.connect()
 # JPC_SF_DIR: point the whole differential check at any fixture dir (e.g.
 # scripts/gen_fixtures.py output) — proves spark/duckdb agreement isn't an
 # artifact of the one driver-generated dataset
 SF = os.environ.get("JPC_SF_DIR", "/root/testdata/sf0.01")
-# drift-aware registration: identical to the driver's plain SELECT * on its
-# homogeneous fixtures; on an --evolve layout it mirrors load_table's
-# catalog-contract read (see tests/oracle_utils.register_duck_views)
-from tests.oracle_utils import register_duck_views
 
-register_duck_views(con, SF)
+from tests.oracle_utils import register_duck_views, sweep_queries
 
-from tests.oracle_utils import compare_query
+
+def con_factory():
+    """Fresh connection with the driver's (drift-aware) view registration —
+    rebuilt by sweep_queries whenever a failed oracle may have poisoned the
+    previous one (a DuckDB OOM leaves every later allocation failing)."""
+    c = duckdb.connect()
+    register_duck_views(c, SF)
+    return c
+
 
 sample = sys.argv[1:] or sorted(qs)
-fails = []
-for name in sample:
-    if name not in oracles:
-        # rows-only query: driver records a weaker ran+rows check
-        try:
-            n = qs[name](spark, SF).count()
-            print(f"OK  {name}: rows-only, {n} rows")
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: rows-only raised {exc!r:.200}")
-            fails.append(name)
-        continue
-    try:
-        ok, detail = compare_query(spark, con, qs[name], oracles[name], SF)
-    except Exception as exc:  # noqa: BLE001 — one bad query must not
-        ok, detail = False, f"raised {exc!r}"  # abort the whole sweep
-    status = "OK " if ok else "FAIL"
-    print(f"{status} {name}: {detail[:200]}")
-    if not ok:
-        fails.append(name)
+fails = sweep_queries(spark, con_factory, qs, oracles, sample, SF)
 print(f"\n{len(sample)-len(fails)}/{len(sample)} matched at {SF}")
 sys.exit(1 if fails else 0)

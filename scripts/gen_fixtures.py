@@ -207,12 +207,30 @@ CATALOG, missing-in-file reads as NULL, unknown columns are dropped
 in columns NO other axis nulls (l_tax inside every revenue formula,
 group keys like c_mktsegment/o_orderpriority/source, events.props in
 every JSON path) — the same NULL-semantics classes --nulls hunts, on
-virgin columns.
+virgin columns. Since r12 the OLD-generation files of customer/part
+additionally store one measure (c_acctbal / p_retailprice) as FLOAT32
+— physical TYPE drift riding the name drift — exercising the widened
+footer-union read (Spark mergeSchema hard-errors on float/double) and
+the oracle's typed drift probe.
+
+With --filedirt (r12), CORRUPT/PARTIAL/FOREIGN FILES — the third layout
+axis, and the write-side complement of --evolve: the reference's loop is
+not atomic (convertor/convertor.go:148-153 can die between create and
+flush), so a production directory accumulates zero-byte parts, truncated
+footers, wrong-format bytes under .parquet keys, stray operator files,
+and commit-protocol leftovers. Injected per table with the CLEAN content
+preserved byte-for-byte (see _inject_filedirt), so the quarantine read
+of the dirty layout must equal the clean build exactly. Semantics under
+test (sources/io.py): the DEFAULT read fails LOUDLY (silent data loss at
+100 TB is worse than dying); JPC_FILE_POLICY=quarantine probes every
+visible file (16 bytes IO each), reads only the intact ones, and REPORTS
+the quarantined list; hidden files are ignored by the listing rule alone;
+a mixed-codec directory is read transparently under either policy.
 
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
        [--hotkey] [--bigid] [--ctrl] [--nullkey] [--rowdup] [--manyfiles]
-       [--longtext] [--evolve]
+       [--longtext] [--evolve] [--filedirt]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
 [_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey][_rowdup]
 [_manyfiles][_longtext][_evolve] — the
@@ -281,6 +299,93 @@ EVOLVE_EXTRA = {
     "orders": "o_clerk", "lineitem": "l_comment", "events": "ingest_ts",
     "documents": "crawl_id", "embeddings": "model_ver",
 }
+#: --evolve narrow mode (r12): the same OLD-generation files also store one
+#: measure in the narrower physical type the ancient producer used
+#: (float32 pre-migration) — the layout a widened column leaves behind in
+#: a real lake. Spark's mergeSchema refuses to merge float/double
+#: (CANNOT_MERGE_SCHEMAS), so this exercises the footer-union widened read
+#: (sources/io.py read_widened) and the oracle's typed drift probe
+#: (tests/oracle_utils.register_duck_views). The float round-trip changes
+#: the stored VALUE identically for both engines (same bits, widened), so
+#: cross-engine parity is unaffected.
+EVOLVE_NARROW = {"customer": "c_acctbal", "part": "p_retailprice"}
+
+
+def _inject_filedirt(target: str) -> None:
+    """--filedirt (r12): corrupt/partial/foreign FILES as a layout axis.
+
+    The reference's write loop is not atomic (convertor/convertor.go:
+    148-153 can die between create and flush), so a production directory
+    accumulates exactly this dirt. Injected per table, with the CLEAN
+    content preserved byte-for-byte (dirt files add zero readable rows;
+    the codec rewrite keeps its rows), so a quarantine read of the dirty
+    layout must equal the same build without --filedirt:
+
+    - one existing part file REWRITTEN as gzip (mixed-codec directory —
+      codec is per-column-chunk metadata; both engines must read it
+      transparently, no quarantine);
+    - a zero-byte ``part-*.parquet`` (crash before the first byte);
+    - a TRUNCATED copy of a real part file (mid-write crash: leading
+      magic intact, footer gone);
+    - JSON bytes under a ``.parquet`` name (producer wrote the wrong
+      format);
+    - a stray visible ``stray-notes.json`` (Spark's directory read
+      attempts EVERY visible file regardless of extension — under the
+      strict default this kills the read loudly; quarantine probes and
+      skips it);
+    - hidden commit-protocol leftovers both engines must ignore by the
+      LISTING rule alone: ``_SUCCESS``, a ``.crc``, and — the trap — a
+      VALID parquet duplicate of a real part file under a leading
+      underscore (``_committed_dup.parquet``): any lister that keys on
+      the extension instead of Spark's hidden rule silently
+      double-counts those rows.
+    """
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(target, "part-*.parquet")))
+    assert parts, target
+    pf = pq.ParquetFile(parts[0])
+    # preserve the PHYSICAL timestamp layout: Spark writes LTZ timestamps
+    # as INT96 by default; a plain pyarrow round-trip would re-emit them
+    # as INT64(NANOS), changing the column's type across part files —
+    # that's the --evolve axis's job, not this one (codec ONLY must vary)
+    phys = {
+        pf.schema.column(i).physical_type for i in range(len(pf.schema))
+    }
+    tbl = pf.read()
+    os.remove(parts[0])
+    gz = os.path.join(target, "part-00000-gz-dirt.parquet")
+    pq.write_table(
+        tbl, gz, compression="gzip",
+        use_deprecated_int96_timestamps="INT96" in phys,
+    )
+    open(os.path.join(target, "part-zzz-zero-dirt.parquet"), "wb").close()
+    with open(gz, "rb") as f:
+        blob = f.read()
+    with open(
+        os.path.join(target, "part-zzz-trunc-dirt.parquet"), "wb"
+    ) as f:
+        f.write(blob[: max(4, len(blob) * 2 // 3)])
+    with open(
+        os.path.join(target, "part-zzz-json-dirt.parquet"), "wb"
+    ) as f:
+        f.write(b'{"rows": "this is not parquet"}\n')
+    with open(os.path.join(target, "stray-notes.json"), "wb") as f:
+        f.write(b'{"note": "operator scratch file"}\n')
+    shutil.copyfile(gz, os.path.join(target, "_committed_dup.parquet"))
+    open(os.path.join(target, "_SUCCESS"), "wb").close()
+    # the checksum sidecar is named for a GHOST data file: Hadoop's
+    # LocalFileSystem (ChecksumFileSystem) VERIFIES a matching `.crc`
+    # against its data file, so a garbage sidecar for a real part would
+    # poison a perfectly valid read — a Hadoop-local quirk, not the
+    # listing-rule property this axis pins (HDFS/S3A don't use sidecars)
+    with open(
+        os.path.join(target, ".part-zzz-ghost.parquet.crc"), "wb"
+    ) as f:
+        f.write(b"\x00" * 8)
 
 
 def build(
@@ -290,6 +395,7 @@ def build(
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
     ctrl: bool = False, nullkey_on: bool = False, rowdup: bool = False,
     manyfiles: bool = False, longtext: bool = False, evolve: bool = False,
+    filedirt: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -470,6 +576,11 @@ def build(
                 )
             )
             evolve_old = df.filter(g % 4 == 1).drop(EVOLVE_DROP[name])
+            if name in EVOLVE_NARROW:
+                evolve_old = evolve_old.withColumn(
+                    EVOLVE_NARROW[name],
+                    F.col(EVOLVE_NARROW[name]).cast("float"),
+                )
             new = df.filter((g % 4 != 1) & (g % 11 == 3)).withColumn(
                 EVOLVE_EXTRA[name], extra
             )
@@ -501,6 +612,8 @@ def build(
         if evolve_old is not None:
             evolve_old.coalesce(2).write.mode("append").parquet(target)
             evolve_new.coalesce(2).write.mode("append").parquet(target)
+        if filedirt and not empty:
+            _inject_filedirt(target)
         print(f"gen {name}", file=sys.stderr)
 
     # -- fixed dims: identical content to the driver fixtures -------------
@@ -988,6 +1101,7 @@ def main() -> int:
     ap.add_argument("--manyfiles", action="store_true")
     ap.add_argument("--longtext", action="store_true")
     ap.add_argument("--evolve", action="store_true")
+    ap.add_argument("--filedirt", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -1008,7 +1122,7 @@ def main() -> int:
         "_manyfiles" if args.manyfiles else ""
     ) + ("_longtext" if args.longtext else "") + (
         "_evolve" if args.evolve else ""
-    )
+    ) + ("_filedirt" if args.filedirt else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -1020,7 +1134,7 @@ def main() -> int:
           hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
           nullkey_on=args.nullkey, rowdup=args.rowdup,
           manyfiles=args.manyfiles, longtext=args.longtext,
-          evolve=args.evolve)
+          evolve=args.evolve, filedirt=args.filedirt)
     print(dst)
     return 0
 

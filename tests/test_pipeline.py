@@ -151,10 +151,17 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
     want_cum = 100.0 * np.cumsum(evals[:8]) / total
     np.testing.assert_allclose(got_cum, want_cum, rtol=1e-4, atol=1e-3)
 
-    # explained shares are positive and descending
+    # explained shares are nonnegative and descending; strictly positive
+    # only where the data has rank to give (r12, 10x generated probe: the
+    # generated embeddings are a sin(a + b_i) family — near rank-2 — so
+    # components past the effective rank legitimately explain ~0%; the
+    # full-rank driver fixtures keep the strict check)
     expl = [r["explained_pct"] for r in rows]
     assert all(a >= b for a, b in zip(expl, expl[1:]))
-    assert expl[-1] > 0
+    rank = int((evals > evals.max() * 1e-9).sum())
+    assert min(expl) >= 0
+    if rank >= len(expl):
+        assert expl[-1] > 0
 
 
 def test_whitened_covariance_is_identity(spark, sf_dir):
@@ -184,15 +191,31 @@ def test_whitened_covariance_is_identity(spark, sf_dir):
     evals, evecs = np.linalg.eigh(cov)
     w = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T
     z = (m - mu) @ w.T
+    # whitening gives IDENTITY covariance only in the non-degenerate
+    # directions: an eigenvalue at ~0 (rank-deficient data — the r12 10x
+    # generated probe's sin-family embeddings are near rank-2) is clamped
+    # by the fit, so its direction keeps ~0 variance instead of 1. Assert
+    # I on the whitened subspace; ~0 elsewhere.
+    live = evals > evals.max() * 1e-9
+    zcov = np.cov(z, rowvar=False, bias=True)
     np.testing.assert_allclose(
-        np.cov(z, rowvar=False, bias=True), np.eye(d), atol=1e-8
+        zcov[np.ix_(live, live)], np.eye(int(live.sum())), atol=1e-8
     )
-    # global mean squared norm = trace of whitened covariance = d exactly;
-    # per-label means scatter around d
+    # degenerate directions: float32-storage noise amplified by the
+    # clamp's 1e6 scale can reach ~2e-3 — assert they stay far below the
+    # unit variance of a whitened direction, not at literal zero
+    assert float(np.abs(zcov[~live][:, ~live]).max(initial=0.0)) < 0.05
+    # global mean squared norm = trace of the whitened covariance = the
+    # EFFECTIVE rank (d exactly when full-rank); per-label means scatter
+    # around that same trace
+    expected = float(np.trace(zcov))
     global_msn = float((z * z).sum(axis=1).mean())
-    assert abs(global_msn - d) < 1e-6
+    assert abs(global_msn - expected) < 1e-6
+    assert expected > 0.5
     for label, msn in out.items():
-        assert 0.5 * d < msn < 2.0 * d, (label, msn)
+        assert 0.4 * expected < msn < 2.5 * expected, (
+            label, msn, expected,
+        )
 
 
 def test_incremental_dedup_agrees_with_full_pass(spark, sf_dir):
@@ -304,3 +327,42 @@ def test_multimodal_decode_independent_of_media_libs(spark, sf_dir):
             len(b) % 640,
             (len(b) * 7) % 480,
         )
+
+
+def test_sim_pairs_lsh_cosines_buckets_and_order_verified(spark, sf_dir):
+    """q_sim_pairs_lsh's invariant twin (r12: the one rows-only query
+    without one). LSH recall is probabilistic by design, so the twin pins
+    what IS deterministic: every returned pair's cos_sim equals a numpy
+    recomputation on the raw vectors, both members really hash to the
+    same SRP bucket under the fixed seeded hyperplanes, the pair key is
+    canonical (vec_a < vec_b), and the emission is the top-50 by
+    (cos_sim DESC, vec_a, vec_b) over what the buckets admitted."""
+    import numpy as np
+
+    from json_parquet_convertor_spark.operators.llm import _srp_hyperplanes
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    rows = registry.QUERIES["q_sim_pairs_lsh"](spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("no co-bucketed pairs at this scale factor")
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    planes = _srp_hyperplanes()
+
+    def bucket(v):
+        bits = (planes @ v >= 0).astype(int)
+        return int(sum(b << i for i, b in enumerate(bits)))
+
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert (r["vec_a"], r["vec_b"]) not in seen
+        seen.add((r["vec_a"], r["vec_b"]))
+        a, b = emb[r["vec_a"]], emb[r["vec_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(cos, 4) - r["cos_sim"]) < 1e-9
+        assert bucket(a) == bucket(b)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)

@@ -13,7 +13,11 @@ from __future__ import annotations
 import pytest
 
 from json_parquet_convertor_spark import registry
-from json_parquet_convertor_spark.plans.inspect import audit, physical_plan
+from json_parquet_convertor_spark.plans.inspect import (
+    audit,
+    lambda_split_violations,
+    physical_plan,
+)
 
 registry.load_all()
 
@@ -87,7 +91,8 @@ def test_no_unpartitioned_window_over_table(spark, sf_dir):
     ),
 )
 def test_query_has_no_cartesian(spark, sf_dir, name):
-    plan = _plan(spark, sf_dir, name)
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan, name
     # BroadcastNestedLoopJoin is acceptable ONLY when one side is a 1-row
     # probe/constant frame (scalar parameter pattern); detect real offenders
@@ -130,33 +135,49 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_feature_gini",  # 1-row total-count broadcast onto cells
         }, f"unexpected BNLJ in {name}:\n{plan}"
     # HOF lambdas defeat codegen subexpression elimination (r11,
-    # --longtext): split(text) INSIDE a lambdafunction body re-splits the
-    # document once per ELEMENT — O(len²) per row; a 1.4 MB megadoc never
-    # finishes. The token array must be bound as a real attribute before
-    # the lambda indexes it (split as the transform INPUT — before the
-    # lambda — is the correct shape and is not flagged).
-    for body in _lambda_bodies(plan):
-        assert "split(" not in body, (
-            f"{name}: split() inside a HOF lambda (quadratic per row): "
-            f"{body[:300]}"
-        )
+    # --longtext): split(text) INSIDE a lambda body re-splits the document
+    # once per ELEMENT — O(len²) per row; a 1.4 MB megadoc never finishes.
+    # The token array must be bound as a real attribute before the lambda
+    # indexes it (split as the transform INPUT — a SIBLING of the lambda —
+    # is the correct shape and is not flagged). Checked on the optimized
+    # logical plan's expression tree (toJSON), not the formatted plan
+    # string, so maxToStringFields truncation can't hide a violation and a
+    # sibling split() on the same line can't false-positive (r11 ADVICE).
+    hits = lambda_split_violations(df)
+    assert not hits, (
+        f"{name}: split() inside a HOF lambda (quadratic per row): {hits}"
+    )
 
 
-def _lambda_bodies(plan: str):
-    """Yield the paren-balanced body of every lambdafunction( in a plan
-    (truncated lines yield up to end-of-line, erring toward inspection)."""
-    for line in plan.splitlines():
-        start = 0
-        while True:
-            idx = line.find("lambdafunction(", start)
-            if idx < 0:
-                break
-            i, depth = idx + len("lambdafunction("), 1
-            while i < len(line) and depth:
-                depth += {"(": 1, ")": -1}.get(line[i], 0)
-                i += 1
-            yield line[idx:i]
-            start = idx + 1
+def test_lambda_split_gate_detects_and_allows():
+    """The gate itself: split INSIDE a lambda is flagged; split bound as
+    the HOF input (sibling — even on the same formatted plan line, the old
+    scanner's false-positive shape) is not; and a lambda whose body was
+    long enough to truncate the formatted plan string still can't hide."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.session import get_spark
+
+    spark = get_spark(app_name="jpc-tests", cpus=8, shuffle_partitions=8)
+    df = spark.createDataFrame([("a b c",)], "text string")
+    bad = df.select(
+        F.expr("transform(sequence(1, 3), i -> split(text, ' ')[i])")
+    )
+    assert lambda_split_violations(bad)
+    good = df.select(
+        # split as HOF input PLUS a second split in a sibling projection:
+        # both legal, both on the lambda's formatted line or next to it
+        F.expr("transform(split(text, ' '), t -> upper(t))"),
+        F.expr("size(split(text, ' '))"),
+    )
+    assert not lambda_split_violations(good)
+    # a wide lambda body (many conds) that the default formatted plan
+    # string would elide with '... N more fields' still reports
+    conds = " + ".join(
+        f"length(split(text, ' ')[{i}])" for i in range(60)
+    )
+    wide = df.select(F.expr(f"transform(sequence(1, 2), i -> {conds})"))
+    assert lambda_split_violations(wide)
 
 
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
