@@ -640,9 +640,17 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE len(w) >= 2
         GROUP BY 1
+    ), chars AS (
+        -- bind the char list ONCE per word, pair via list_zip of two
+        -- top-level slices (the r11 rule): substring(w, i, 2) under a
+        -- lateral i re-seeks from the string start per position —
+        -- O(len²) per word, unfinishable on a 64 KiB single-token doc
+        SELECT string_split(w, '') AS c, freq FROM words
     ), pairs AS (
-        SELECT substring(w, i, 2) AS pair, freq
-        FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        SELECT z[1] || z[2] AS pair, freq
+        FROM (SELECT unnest(list_zip(c[1:len(c) - 1], c[2:len(c)])) AS z,
+                     freq
+              FROM chars)
     ), agg AS (
         SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
         FROM pairs GROUP BY 1
@@ -676,11 +684,18 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    pairs = words.select(
+    # bind the char array ONCE, pair via zip_with of two slices (r12,
+    # sf1.0 composed sweep): substring(w, i, 2) inside the HOF lambda
+    # re-seeks the UTF8 string from the start per position — O(len²) per
+    # word, 23 CPU-minutes on ONE task for the --longtext 64 KiB
+    # single-token docs; the bound-array shape is O(len) (same class as
+    # the r11 split-in-lambda fixes, with substring as the re-evaluated
+    # scanner — now also plan-gated)
+    pairs = words.withColumn("c", F.split("w", "")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, length(w) - 1),"
-                " i -> substring(w, i, 2))"
+                "zip_with(slice(c, 1, size(c) - 1), slice(c, 2, size(c) - 1),"
+                " (a, b) -> concat(a, b))"
             )
         ).alias("pair"),
         "freq",
@@ -889,11 +904,13 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    pairs = vocab.select(
+    # bound-chars zip_with, not substring-in-lambda (r12 — see
+    # q_bpe_merge: O(len²) per word on 64 KiB single-token docs)
+    pairs = vocab.withColumn("c", F.split("w", "")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, length(w) - 1),"
-                " i -> substring(w, i, 2))"
+                "zip_with(slice(c, 1, size(c) - 1), slice(c, 2, size(c) - 1),"
+                " (a, b) -> concat(a, b))"
             )
         ).alias("pair"),
         "freq",
@@ -915,6 +932,19 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             out_w, out_f, out_pieces, out_n = [], [], [], []
             for w, f in zip(pdf["w"], pdf["freq"]):
+                # segmentation cap (r12, --longtext 64 KiB single-token
+                # docs): the greedy loop is O(len²) per word — every
+                # production tokenizer bounds per-word input the same way
+                # (cf. WordPiece max_input_chars_per_word); an over-cap
+                # "word" is binary-blob class and stays ATOMIC (one
+                # piece). Mirrored in the python twin
+                # (tests/test_corpus.py).
+                if len(w) > 512:
+                    out_w.append(w)
+                    out_f.append(int(f))
+                    out_pieces.append(w)
+                    out_n.append(1)
+                    continue
                 pieces = list(w)
                 while True:
                     best, best_i = None, -1

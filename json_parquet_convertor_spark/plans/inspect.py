@@ -85,20 +85,38 @@ def _subtree_end(nodes: list[dict], i: int) -> int:
 
 
 def lambda_split_violations(df: DataFrame) -> list[str]:
-    """Class paths of every split() evaluated INSIDE a HOF lambda body.
+    """Class paths of every quadratic-per-row string scan inside a HOF
+    lambda body.
 
-    Catalyst does no subexpression elimination across a lambda boundary, so
-    ``transform(seq, i -> split(text)[i])`` re-splits the whole document per
-    element — quadratic in document length (r11 --longtext). The correct
-    shape binds the split as the HOF *input* (a sibling, not a descendant,
-    of the LambdaFunction) and is not flagged.
+    Catalyst does no subexpression elimination across a lambda boundary,
+    and flat-string scanners restart from the string HEAD, so two shapes
+    are O(len²) per row on --longtext megadocs/giant tokens:
 
-    Walks the optimized logical plan via ``toJSON()`` — one py4j call, never
-    truncated — so ``spark.sql.debug.maxToStringFields`` plan-string
+    - ``transform(seq, i -> split(text)[i])`` — re-splits the whole
+      document per element (r11). The correct shape binds the split as
+      the HOF *input* (a sibling, not a descendant, of the lambda).
+    - ``transform(sequence(1, n), i -> substring(w, i, k))`` where ``w``
+      comes from OUTER scope and the position depends on the lambda
+      variable — UTF8 substring seeks character boundaries from the
+      string start, so position-proportional cost × len elements (r12,
+      q_bpe_merge: 23 CPU-minutes on one 64 KiB token). The correct
+      shape binds ``split(w, '')`` once and pairs via zip_with/slice.
+      ``substring(tok, ...)`` where ``tok`` IS the lambda variable is
+      linear in the element and not flagged; a lambda-independent
+      position is constant work per element and not flagged either.
+
+    Walks the optimized logical plan via ``toJSON()`` — one py4j call,
+    never truncated — so ``spark.sql.debug.maxToStringFields`` plan-string
     truncation can't hide a violation and a sibling split() on the same
     formatted line can't false-positive (r11 ADVICE on the old line-scan).
     """
     import json
+
+    def subtree_has(nodes, i, suffix) -> bool:
+        return any(
+            nodes[k]["class"].endswith(suffix)
+            for k in range(i, _subtree_end(nodes, i))
+        )
 
     tree = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
     hits: list[str] = []
@@ -107,10 +125,24 @@ def lambda_split_violations(df: DataFrame) -> list[str]:
             if not node["class"].endswith(".LambdaFunction"):
                 continue
             end = _subtree_end(nodes, i)
-            for k in range(i + 1, end):
+            k = i + 1
+            while k < end:
                 cls = nodes[k]["class"]
-                if cls.rsplit(".", 1)[-1] in _SPLIT_CLASSES:
+                short = cls.rsplit(".", 1)[-1]
+                if short in _SPLIT_CLASSES:
                     hits.append(cls)
+                elif short == "Substring":
+                    # children in pre-order: str, pos, len
+                    c_str = k + 1
+                    c_pos = _subtree_end(nodes, c_str)
+                    c_len = _subtree_end(nodes, c_pos)
+                    if c_len <= end and not subtree_has(
+                        nodes, c_str, ".NamedLambdaVariable"
+                    ) and subtree_has(
+                        nodes, c_pos, ".NamedLambdaVariable"
+                    ):
+                        hits.append(cls)
+                k += 1
     return hits
 
 

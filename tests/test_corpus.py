@@ -145,6 +145,8 @@ def test_bpe_apply_matches_python_reference(spark, sf_dir):
     rank = {p: i for i, p in enumerate(merges)}
 
     def ref_segment(w):
+        if len(w) > 512:  # mirror the engine's per-word cap (r12,
+            return [w]  # --longtext): over-cap blobs stay atomic
         pieces = list(w)
         while True:
             best, best_i = None, -1

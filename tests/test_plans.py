@@ -178,6 +178,20 @@ def test_lambda_split_gate_detects_and_allows():
     )
     wide = df.select(F.expr(f"transform(sequence(1, 2), i -> {conds})"))
     assert lambda_split_violations(wide)
+    # r12 class: substring over an OUTER string at a lambda-dependent
+    # position re-seeks from the string head per element — O(len²)
+    bad_sub = df.select(
+        F.expr("transform(sequence(1, length(text) - 1),"
+               " i -> substring(text, i, 2))")
+    )
+    assert lambda_split_violations(bad_sub)
+    # linear substring shapes stay legal: position independent of the
+    # lambda var; or the string IS the lambda element
+    ok_sub = df.select(
+        F.expr("transform(split(text, ' '), t -> substring(t, 1, 3))"),
+        F.expr("transform(sequence(1, 3), i -> substring(text, 1, 2))"),
+    )
+    assert not lambda_split_violations(ok_sub)
 
 
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
