@@ -1022,19 +1022,29 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                TIMESTAMP '2024-01-01'
                    + to_seconds(CAST(o_orderkey % 2678400 AS BIGINT)) AS ts
         FROM orders
-    ), m AS (
-        SELECT o.o_orderkey,
-               MAX(e.ts) AS ev_ts
-        FROM o JOIN events e
-          ON e.user_id = o.u
-         AND CAST(e.ts AS TIMESTAMP) <= o.ts
-         AND CAST(e.ts AS TIMESTAMP) >= o.ts - INTERVAL 6 HOUR
-        GROUP BY 1
+    ), e AS (
+        -- orphan (NULL-user) events can never match an equi-key; the
+        -- engine drops them from the lookup side identically
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ets FROM events
+        WHERE user_id IS NOT NULL
+    ), j AS (
+        -- native ASOF (latest event at-or-before), tolerance as a
+        -- post-filter — NOT the naive bounded join+MAX: that
+        -- materializes every in-window (order × event) pair per user,
+        -- which the r12 sf1.0 composed sweep proved infeasible under
+        -- --extreme/--hotkey key collapse (one user × 10M events ×
+        -- 750k orders). Equivalent by construction: the latest event
+        -- <= ts IS the window max when in tolerance, and when it is
+        -- older than the bound the window is empty.
+        SELECT o.o_orderkey, o.ts, e.ets
+        FROM o ASOF LEFT JOIN e ON e.user_id = o.u AND e.ets <= o.ts
     )
-    SELECT o.o_orderkey,
-           CAST(floor(epoch(m.ev_ts)) AS BIGINT) AS ev_epoch,
-           CAST(m.ev_ts IS NOT NULL AS INT) AS matched
-    FROM o LEFT JOIN m USING (o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN ets >= ts - INTERVAL 6 HOUR
+                THEN CAST(floor(epoch(ets)) AS BIGINT) END AS ev_epoch,
+           CAST(ets IS NOT NULL AND ets >= ts - INTERVAL 6 HOUR AS INT)
+               AS matched
+    FROM j
     """,
 )
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,8 +1058,10 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     user key, O(1) state per row, no quadratic pair blow-up): carry the
     last event time forward per user, then APPLY THE TOLERANCE as a
     post-filter that nulls out matches older than the bound. The oracle
-    uses the naive bounded join+MAX formulation — quadratic per user,
-    fine at test scale, and exactly what the union-merge must reproduce.
+    uses DuckDB's native ASOF join with the same tolerance post-filter
+    (r12: its former naive bounded join+MAX was quadratic per user —
+    fine at pytest scale, infeasible at sf1.0 composed where the
+    --extreme/--hotkey axes collapse the key space).
 
     Order timestamps spread over the whole event month (seconds
     granularity) so tolerance hits and misses both occur."""
