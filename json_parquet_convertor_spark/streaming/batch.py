@@ -497,8 +497,17 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05'
     ),
-    c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
-    p AS (SELECT user_id, ts AS buy_ts, value FROM e WHERE event_type = 'purchase')
+    -- DISTINCT on each side = the engine's streaming dropDuplicates
+    -- ingest guard (r12): pair multiplicity under at-least-once
+    -- re-delivery and instant-collapse is multiplicative (n_c × n_p per
+    -- (user, instant) — the sf1.0 composed fixture's single-user
+    -- 48-instant events make the bag-pair set ~1e10 rows in BOTH
+    -- engines); the distinct attribution-pair set is the well-defined,
+    -- scale-bounded contract
+    c AS (SELECT DISTINCT user_id, ts AS click_ts
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id, ts AS buy_ts, value
+          FROM e WHERE event_type = 'purchase')
     SELECT c.user_id,
            CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
            CAST(floor(epoch(buy_ts)) AS BIGINT) AS buy_epoch,
@@ -519,7 +528,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Real readStream on both sides (same replay source, filtered per side),
     watermarks on both, append mode. AvailableNow drains everything, so the
     emitted matches equal the batch interval join and DuckDB can oracle a
-    stream-stream join exactly."""
+    stream-stream join exactly.
+
+    Output contract (r12): the DISTINCT attribution pair set — each side
+    passes a streaming dropDuplicates on its output-identity columns
+    first (state watermark-bounded), because bag-pair multiplicity is
+    n_clicks × n_buys per (user, instant): quadratic under duplicate
+    delivery or instant collapse, in any engine."""
     # four days of events gives thousands of attribution matches; replaying
     # the full month only inflates the per-invocation state warm-up (the
     # interval-join state contract is time-bounded, not volume-bounded).
@@ -546,11 +561,30 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "10 minutes")
         )
 
-    clicks = side("click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    # streaming dropDuplicates ingest guard on each side (r12, sf1.0
+    # composed sweep): the emitted contract is the DISTINCT attribution
+    # pair set. Bag pairs are multiplicative — n_clicks × n_buys per
+    # (user, instant) — so at-least-once re-delivery (--rowdup) and
+    # instant/user collapse (--dupes × --extreme: one user, 48 distinct
+    # instants, 1.3M events in the window) make the bag output ~1e10
+    # rows in ANY engine. Dedup keyed on the OUTPUT identity columns,
+    # pushed to the inputs where the watermark bounds the dedup state —
+    # the join then emits distinct pairs by construction.
+    clicks = (
+        side("click")
+        .dropDuplicates(["user_id", "ts"])
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
     )
-    buys = side("purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts"), "value"
+    buys = (
+        side("purchase")
+        .dropDuplicates(["user_id", "ts", "value"])
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("buy_ts"),
+            "value",
+        )
     )
     joined = clicks.join(
         buys,
