@@ -58,13 +58,20 @@ _CHANGED_THIS_ROUND: list[str] = [
     # exotic joins, zorder, r3 windows, and the r2 rows-only pair) —
     # judge r12 task 1.
     #
-    # The two exceptions — real r12 query changes (the sf1.0 composed
-    # sweep's substring-in-lambda catch): char pairing rewritten to
+    # The exceptions — real r12 query changes. [1] The sf1.0 composed
+    # sweep's substring-in-lambda catch: char pairing rewritten to
     # zip_with over a bound char array on BOTH sides (was O(len²) per
     # word — 23 CPU-minutes on one 64 KiB single-token doc), plus the
     # 512-char segmentation cap in q_bpe_apply (rows-only).
     "q_bpe_merge",
     "q_bpe_apply",
+    # [2] The r12 --unicode case-fold traps' catches: q_text_dedup_url
+    # now folds URL case ASCII-only (translate, both sides — JVM full
+    # vs utf8proc simple case mapping diverge on ß/ﬁ/İ) with a mirrored
+    # non-ASCII-host NULL guard, and q_fn_url's oracle mirrors
+    # java.net.URI's component-local host rejection.
+    "q_text_dedup_url",
+    "q_fn_url",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -389,7 +389,12 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           CASE WHEN bad THEN NULL
+           -- component-level mirror (r12, --unicode case-fold traps):
+           -- java.net.URI NULLs the HOST of an authority carrying
+           -- non-ASCII ('srcß4' sources) while PATH/QUERY/PROTOCOL still
+           -- parse — guard host alone, not the whole URL
+           CASE WHEN bad OR regexp_matches(source, '[^\\x00-\\x7f]')
+                THEN NULL
                 ELSE source || '.example.com' END AS host,
            CASE WHEN bad THEN NULL
                 ELSE '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR)

@@ -783,20 +783,37 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_dedup_url",
     oracle="""
     WITH u AS (
+        -- case variance is synthesized ASCII-ONLY (translate, not
+        -- upper): full-vs-simple Unicode case mapping disagrees across
+        -- engines (JVM upper('ß')='SS', utf8proc='ẞ'), so upper() on an
+        -- adversarial source would diverge before dedup even starts
         SELECT doc_id,
-               'HTTPS://Crawl-' || upper(source) || '.Example.COM/' || lang
+               'HTTPS://Crawl-'
+                   || translate(source, 'abcdefghijklmnopqrstuvwxyz',
+                                        'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+                   || '.Example.COM/' || lang
                    || '/page-' || CAST(doc_id % 40 AS VARCHAR)
                    || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
                    || '#sec' AS raw_url
         FROM documents
     ),
     canon AS (
-        -- whitespace guard mirrors Spark's try_parse_url: java.net.URI
-        -- rejects any URL with embedded whitespace (--ctrl plants
-        -- ' src5 ' sources), so those rows canonicalize to NULL and
-        -- fall through to content dedup instead of crashing the scan
+        -- two guards mirror Spark's try_parse_url: java.net.URI rejects
+        -- any URL with embedded whitespace (--ctrl plants ' src5 '
+        -- sources) and NULLs the HOST of any authority carrying
+        -- non-ASCII (--unicode plants 'srcß3'-style case-fold traps);
+        -- both classes canonicalize to NULL and fall through to content
+        -- dedup instead of crashing the scan. Host folding is ASCII-only
+        -- (RFC 3986 defines scheme/host case-insensitivity over ASCII;
+        -- IDN folding is UTS46/punycode, out of scope) — and the Spark
+        -- side's lower() only ever sees ASCII anyway, because URI
+        -- already NULLed every non-ASCII host.
         SELECT doc_id,
                CASE WHEN regexp_matches(raw_url, '\s') THEN NULL
+                    WHEN regexp_matches(
+                        regexp_extract(raw_url,
+                                       '^([A-Za-z]+)://([^/?#]+)', 2),
+                        '[^\\x00-\\x7f]') THEN NULL
                     ELSE
                lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 1))
                    || '://'
@@ -833,13 +850,27 @@ def q_text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB has no parse_url, so the oracle states the same
     canonicalization as three anchored regexps — engine-independent
-    semantics, twin-checked."""
+    semantics, twin-checked. Case-fold contract (r12, --unicode traps):
+    key normalization over adversarial text folds ASCII-ONLY
+    (translate a-z↔A-Z) — never upper()/lower(), whose full-vs-simple
+    Unicode mappings ('ß'→'SS' vs 'ẞ', 'İ'→'i̇' vs 'i') disagree across
+    engines; and java.net.URI NULLs non-ASCII hosts, mirrored in the
+    oracle as an explicit guard so IDN-trap URLs fall through to
+    content dedup on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     raw = docs.select(
         "doc_id",
         F.concat(
             F.lit("HTTPS://Crawl-"),
-            F.upper("source"),
+            # ASCII-only case variance (NOT F.upper): the JVM's full case
+            # mapping rewrites 'ß'→'SS' (length-changing) where DuckDB's
+            # simple mapping gives 'ẞ' — the synthesized INPUT would
+            # differ across engines before canonicalization even runs
+            F.translate(
+                "source",
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
             F.lit(".Example.COM/"),
             F.col("lang"),
             F.lit("/page-"),

@@ -32,6 +32,14 @@ COALESCE paths) the all-populated driver fixtures never exercise.
 With --unicode, the document vocabulary gains GNARLY tokens (accents, CJK,
 Cyrillic, emoji, quotes, CSV/JSON/regex metacharacters, a literal tab) —
 stressing every text operator's escaping, tokenization, and round-trips.
+Since r12 it also plants CASE-FOLD traps (ß ﬁ İ — codepoints where the
+JVM's full case mapping and DuckDB's simple 1:1 mapping disagree, some
+length-changing: upper('ß')='SS' vs 'ẞ') in the text vocabulary AND in a
+deterministic slice of documents.source, the group key that flows through
+upper()/lower() in URL-synthesis queries: any case fold applied to
+adversarial text must be ASCII-only (translate a-z↔A-Z) to be
+cross-engine stable, and java.net.URI NULLs any non-ASCII host where a
+regexp oracle would happily extract it.
 
 With --empty, every table is written with ZERO rows but its exact schema
 (r5 verdict #5): at 100 TB an empty partition/day/source is routine, and
@@ -266,6 +274,12 @@ GNARLY = [
     "don't", 'say"this"', "comma,word", "semi;colon", "tab\tchar",
     "back\\slash", "a+b*", "[bracket]", "(paren)", "per%cent",
     "{brace}", "pipe|char", "question?", "dollar$sign",
+    # r12 case-fold traps: codepoints where FULL Unicode case mapping
+    # (JVM/Spark: ß→SS, ﬁ→FI, ﬆ→ST, İ→i+U+0307 — length-changing) and
+    # SIMPLE 1:1 mapping (DuckDB/utf8proc: ß→ẞ, ﬁ→ﬁ, İ→i) disagree.
+    # Any upper()/lower() a query applies to adversarial text diverges
+    # cross-engine on these; key-normalization must fold ASCII-only.
+    "straße", "ﬁnance", "İstanbul", "Σίσυφος", "ﬆop", "weiß",
 ]
 
 
@@ -975,6 +989,29 @@ def build(
                 F.repeat(F.lit("qjxzvkwp"), 8192),  # 65536 chars, 1 token
             )
             .otherwise(F.col("text")),
+        )
+    if unicode_text:
+        # r12 case-fold traps in the GROUP-KEY column (GNARLY covers the
+        # text vocabulary; this covers keys that flow through upper()/
+        # lower()): a deterministic slice of sources carries codepoints
+        # where full (JVM) and simple (utf8proc) case mapping disagree.
+        # Applied BEFORE --ctrl so its ' src5 ' byte-filth rule wins on
+        # residue collision (the documented precedence convention). The
+        # digit suffix stays so source-suffix parsers meet 'ß3'-style
+        # unparseable-but-defined input (try_cast → NULL, both engines).
+        k = F.col("doc_id")
+        docs = docs.withColumn(
+            "source",
+            F.when(
+                k % 79 == 37, F.concat(F.lit("srcß"), (k % 7).cast("string"))
+            )
+            .when(
+                k % 83 == 41, F.concat(F.lit("srcﬁ"), (k % 5).cast("string"))
+            )
+            .when(
+                k % 89 == 43, F.concat(F.lit("srcİ"), (k % 3).cast("string"))
+            )
+            .otherwise(F.col("source")),
         )
     if ctrl:
         # byte-level filth (module docstring) — warped BEFORE n_chars is

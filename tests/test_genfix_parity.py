@@ -77,6 +77,16 @@ AFFECTED = [
     "q_join_asof",
     "q_join_nearest",
     "q_join_point_in_time",
+    # r12 --unicode case-fold traps ('srcß3' sources; ß/ﬁ/İ vocabulary):
+    # JVM FULL case mapping (upper('ß')='SS', length-changing) vs
+    # DuckDB's SIMPLE 1:1 mapping ('ẞ') diverges at any upper()/lower()
+    # over adversarial text, and java.net.URI NULLs a non-ASCII HOST
+    # where a regexp oracle extracts it. Contract: key normalization
+    # folds ASCII-only (translate a-z↔A-Z, both engines); the oracle
+    # mirrors URI's non-ASCII-host rejection component-locally. q_fn_url
+    # (already pinned above) caught the host-NULL half; this query
+    # caught both halves (upper(source) synthesis + lower(host) fold).
+    "q_text_dedup_url",
 ]
 
 
@@ -975,6 +985,33 @@ def test_ctrl_fixture_has_the_edge_shapes(ctrl_duck):
              "WHERE contains(text, chr(13) || chr(10))") > 0
     assert n("SELECT COUNT(*) FROM documents WHERE source = ' src5 '") > 0
     assert n("SELECT COUNT(*) FROM documents WHERE lang = ''") > 0
+
+
+def test_unicode_fixture_has_casefold_traps(gen_duck):
+    """r12: the --unicode axis must plant case-fold traps in BOTH the
+    text vocabulary and the source group key, and the divergence premise
+    must hold in this environment — DuckDB/utf8proc folds SIMPLE (1:1,
+    upper('ß')='ẞ') where the JVM/Python folds FULL ('SS',
+    length-changing). If either side of the premise ever changes (DuckDB
+    adopting full mapping would make the mirrored guards over-strict),
+    this trips before a sweep mis-attributes the divergence."""
+    n = lambda sql: gen_duck.execute(sql).fetchone()[0]  # noqa: E731
+    assert n("SELECT COUNT(*) FROM documents WHERE source LIKE 'srcß%'") > 0
+    assert n("SELECT COUNT(*) FROM documents WHERE source LIKE 'srcﬁ%'") > 0
+    assert n("SELECT COUNT(*) FROM documents WHERE source LIKE 'srcİ%'") > 0
+    assert n("SELECT COUNT(*) FROM documents "
+             "WHERE text LIKE '%straße%' OR text LIKE '%ﬁnance%'") > 0
+    assert gen_duck.execute("SELECT upper('ß')").fetchone()[0] != "SS"
+    assert "ß".upper() == "SS"  # the JVM agrees with Python here
+    # the q_fn_string/q_fn_collation upper/lower DEMOS keep plain
+    # upper()/lower() under a documented input assumption: the part
+    # vocabulary columns they fold are pure ASCII on every axis — pin it
+    # so a future axis that dirties part strings trips here first
+    for col in ("p_name", "p_type", "p_brand"):
+        assert n(
+            "SELECT COUNT(*) FROM part "
+            f"WHERE regexp_matches({col}, '[^\\x00-\\x7f]')"
+        ) == 0
 
 
 def test_nul_sentinel_absent_from_orders_priority(ctrl_duck, duck):
