@@ -72,6 +72,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # java.net.URI's component-local host rejection.
     "q_text_dedup_url",
     "q_fn_url",
+    # [3] The sf0.1 fifteen-axes composed sweep's catch: streaming
+    # dropDuplicates keys state on raw binary rows where -0.0 != +0.0
+    # (batch grouping and DuckDB DISTINCT both normalize), so a
+    # -0.0-valued purchase twin made the interval join emit its pair
+    # twice. q_stream_join now canonicalizes the sign bit before state
+    # and dedups the sink on output identity.
+    "q_stream_join",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

@@ -504,6 +504,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- 48-instant events make the bag-pair set ~1e10 rows in BOTH
     -- engines); the distinct attribution-pair set is the well-defined,
     -- scale-bounded contract
+    -- DuckDB DISTINCT already collapses -0.0 with +0.0 (value
+    -- equality), matching the engine's explicit signed-zero
+    -- canonicalization before its streaming dedup state
     c AS (SELECT DISTINCT user_id, ts AS click_ts
           FROM e WHERE event_type = 'click'),
     p AS (SELECT DISTINCT user_id, ts AS buy_ts, value
@@ -579,6 +582,21 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buys = (
         side("purchase")
+        # signed-zero canonicalization BEFORE streaming state (r12 sf0.1
+        # fifteen-axes catch): batch grouping normalizes -0.0 == +0.0
+        # (NormalizeFloatingNumbers) and DuckDB DISTINCT collapses them,
+        # but streaming dropDuplicates keys its state store on the raw
+        # binary row, where the two zeros differ by a sign bit — a
+        # -0.0-valued purchase survives dedup as a SECOND state entry
+        # next to its +0.0 twin and the join emits the attribution pair
+        # twice. Any float that becomes a stream-state key must be
+        # bit-canonicalized first.
+        .withColumn(
+            "value",
+            F.when(F.col("value") == 0, F.lit(0.0)).otherwise(
+                F.col("value")
+            ),
+        )
         .dropDuplicates(["user_id", "ts", "value"])
         .select(
             F.col("user_id").alias("p_user"),
@@ -607,7 +625,20 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink)
+    # Idempotent sink (r12): exactly-once for an at-least-once stream is
+    # always in-flight dedup PLUS an idempotent sink keyed on output
+    # identity (a Delta/Iceberg MERGE in production; a keyed distinct on
+    # the memory table here). Two escape classes it closes: [1] a copy
+    # re-delivered later than the watermark delay (at-least-once makes no
+    # lateness promise) re-enters after its dedup state expired; [2] any
+    # residual binary-unequal-but-value-equal state keys (the signed-zero
+    # class above — this batch-side dedup normalizes floats where the
+    # stream-state key does not). The streaming dedup still does the
+    # load-bearing work: it bounds in-flight pair multiplicity so the
+    # sink dedups near-distinct rows, not the n_c × n_p bag.
+    return spark.table(sink).dropDuplicates(
+        ["user_id", "click_epoch", "buy_epoch", "value"]
+    )
 
 
 @query(

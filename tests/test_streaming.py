@@ -239,6 +239,80 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3], ids
 
 
+def test_streaming_dedup_state_does_not_normalize_signed_zero(spark, tmp_path):
+    """The r12 sf0.1 fifteen-axes catch's PREMISE, pinned directly: batch
+    grouping normalizes -0.0 == +0.0 (NormalizeFloatingNumbers) and DuckDB
+    DISTINCT collapses them, but streaming dropDuplicates keys its state
+    store on the raw binary row, where the two zeros differ by a sign bit
+    — both survive as separate state entries. If a future Spark version
+    normalizes stream-state keys too, this trips and q_stream_join's
+    explicit signed-zero canonicalization can be retired."""
+    src = tmp_path / "nz_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 0.0), (1, "2024-01-01 10:00:00", -0.0)],
+        ["user_id", "ts_s", "value"],
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        F.col("value").cast("double"),
+    )
+    _write_single_parquet(df, str(src / "a.parquet"))
+
+    sink = f"jpc_nz_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "ts", "value"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.table(sink).count()
+    # batch dedup on the same rows normalizes to ONE survivor
+    n_batch = df.dropDuplicates(["user_id", "ts", "value"]).count()
+    assert n_batch == 1
+    assert n_stream == 2, (
+        "streaming dedup state now normalizes signed zeros — drop the "
+        "explicit canonicalization in q_stream_join"
+    )
+
+
+def test_stream_join_is_exactly_once_under_signed_zero_twin(spark, tmp_path):
+    """r12 sf0.1 fifteen-axes catch, end-to-end: a purchase re-delivered
+    with value -0.0 next to its +0.0 twin (--negative zeros × --rowdup
+    re-delivery) survived the streaming dedup as a second state entry and
+    q_stream_join emitted its attribution pair TWICE where the batch
+    oracle's DISTINCT emitted it once. The query now canonicalizes the
+    sign bit before state and dedups the sink on output identity; drive
+    the real query over a micro events table carrying the twin and assert
+    the pair emits exactly once."""
+    from json_parquet_convertor_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf_dir = str(tmp_path / "sf_micro")
+    os.makedirs(sf_dir)
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-02 10:00:00", 7, "click", 0.0, "{}"),
+            (2, "2024-01-02 10:05:00", 7, "purchase", 0.0, "{}"),
+            (3, "2024-01-02 10:05:00", 7, "purchase", -0.0, "{}"),
+            (4, "2024-01-02 11:00:00", 8, "click", 1.0, "{}"),
+        ],
+        ["event_id", "ts_s", "user_id", "event_type", "value", "props"],
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id",
+        "event_type", F.col("value").cast("double"), "props",
+    )
+    ev.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = [tuple(r) for r in QUERIES["q_stream_join"](spark, sf_dir).collect()]
+    pair = (7, 1704189600, 1704189900, 0.0)
+    assert out.count(pair) == 1, out
+
+
 def test_foreachbatch_partials_are_idempotent_on_replay(spark, tmp_path):
     """q_stream_foreachbatch's exactly-once claim rests on overwrite-by-
     batchId idempotence: a batch replayed after a crash-before-commit must
