@@ -481,15 +481,21 @@ def build(
         return e.otherwise(col)
 
     def neg_warp(col, key, salt):
-        """With --negative, negate ~1/59 of values and zero ~1/101
-        (refunds / credit memos / freebies). ``key`` is the row id so the
-        warp is reproducible and scale-free; the salt de-aliases bands
-        across columns of the same table."""
+        """With --negative, negate ~1/59 of values, zero ~1/101
+        (refunds / credit memos / freebies), and plant exact IEEE -0.0
+        in ~1/149 (r12: a voided transaction recorded with the negative
+        sign — the signed-zero twin that caught q_stream_join's binary
+        stream-state key; before this band -0.0 only arose when a raw
+        zero randomly met the negate band, populating at sf0.1+ only).
+        ``key`` is the row id so the warp is reproducible and
+        scale-free; the salt de-aliases bands across columns of the
+        same table."""
         if not negative:
             return col
         return (
             F.when((key + salt) % 59 == 7, -col)
             .when((key + salt) % 101 == 13, F.lit(0.0))
+            .when((key + salt) % 149 == 11, F.lit(-0.0))
             .otherwise(col)
         )
 

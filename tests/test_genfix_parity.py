@@ -615,7 +615,13 @@ def test_negative_fixture_has_the_edge_shapes(negative_duck, negative_dir):
                (SELECT count(*) FROM lineitem WHERE l_quantity < 0),
                (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0),
                (SELECT count(*) FROM events WHERE value < 0),
-               (SELECT count(*) FROM events WHERE value = 0.0)
+               (SELECT count(*) FROM events WHERE value = 0.0),
+               -- r12: exact IEEE -0.0 (the signed-zero twin that caught
+               -- q_stream_join's binary stream-state key) must be
+               -- deterministically present, not an sf0.1+ accident
+               (SELECT count(*) FROM events WHERE value = 0 AND signbit(value)),
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity = 0 AND signbit(l_quantity))
         """
     ).fetchone()
     assert all(n > 0 for n in rows), rows
