@@ -79,6 +79,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # twice. q_stream_join now canonicalizes the sign bit before state
     # and dedups the sink on output identity.
     "q_stream_join",
+    # [4] The sf1.0 fifteen-axes composed sweep's catch: at 150k-row
+    # segments percent_rank's exact rational lands ON a .00005 boundary
+    # (11989/15200 = 0.788750) and ROUND(double, 4) splits half-up vs
+    # nearest-double across engines — pct_rank now uses the house
+    # integer-rational 4-dp quantization on both sides.
+    "q_win_rank",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))

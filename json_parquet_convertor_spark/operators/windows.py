@@ -21,14 +21,25 @@ from json_parquet_convertor_spark.sources.io import load_table
 @query(
     "q_win_rank",
     oracle="""
+    -- pct_rank is the exact rational (rnk-1)/(n-1) quantized to 4 dp
+    -- with the integer-numerator formula (r12, gen sf1.0: at 150k-row
+    -- segments the rational lands ON a .00005 boundary — 11989/15200 =
+    -- 0.788750 exactly — and ROUND(double, 4) splits half-up vs
+    -- nearest-double across engines; raw unrounded emission is safe,
+    -- rounding is not). n = 1 has no rank span; percent_rank is 0.
     SELECT c_custkey, c_mktsegment, c_acctbal,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(RANK() OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank
+           CASE WHEN COUNT(*) OVER p = 1 THEN 0.0
+                ELSE floor((20000 * (RANK() OVER w - 1)
+                            + (COUNT(*) OVER p - 1))
+                           / (2.0 * (COUNT(*) OVER p - 1))) / 10000.0
+           END AS pct_rank
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_mktsegment)
     """,
 )
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,15 +47,28 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), "c_custkey"
     )
+    p = Window.partitionBy("c_mktsegment")
+    rnk = F.rank().over(w).cast("bigint")
+    n = F.count("*").over(p).cast("bigint")
     return cust.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
         F.row_number().over(w).cast("bigint").alias("rn"),
-        F.rank().over(w).cast("bigint").alias("rnk"),
+        rnk.alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        # exact integer-rational 4-dp quantization of (rnk-1)/(n-1) —
+        # see the oracle comment; F.round(percent_rank, 4) is 1-ulp
+        # fragile exactly ON .00005 boundaries, which big partitions hit
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                (F.lit(20000) * (rnk - 1) + (n - 1)) / (2.0 * (n - 1))
+            )
+            / 10000.0
+        )
+        .alias("pct_rank"),
     )
 
 

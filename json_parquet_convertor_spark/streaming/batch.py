@@ -195,7 +195,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout; every 10th event is re-delivered here). Batch dropDuplicates is
     deterministic because redelivered rows are bit-identical; the streaming
     twin (dropDuplicates within a watermark, bounded state) is exercised in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Invariant this query's engine/oracle agreement rests on: copies of a
+    primary id are IDENTICAL rows (the at-least-once model — redelivery
+    re-sends the same bytes), so per-id dropDuplicates and the oracle's
+    full-row DISTINCT pick the same survivors. A same-id row with a
+    DIFFERENT payload is an upstream id-collision bug, not legal input —
+    when the r12 sf1.0 sweep fed one in (a fixture-injector INT96→ns
+    wrap forged 30 such rows), per-id dedup kept an arbitrary variant
+    while full-row DISTINCT kept both, and the differential flagged it
+    exactly as an id-integrity check should."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )

@@ -361,7 +361,15 @@ def _inject_filedirt(target: str) -> None:
 
     parts = sorted(glob.glob(os.path.join(target, "part-*.parquet")))
     assert parts, target
-    pf = pq.ParquetFile(parts[0])
+    # coerce INT96 to MICROSECOND on read (r12 sf1.0 catch): pyarrow's
+    # default reads INT96 into nanosecond timestamps, and any --dates
+    # instant past the int64-ns ceiling (2262-04-11) silently WRAPS
+    # (2262-04-14 -> 1677-09-23, a full 2^64 ns turn) — the rewritten
+    # file then carries a same-primary-id row with a DIFFERENT payload,
+    # violating this injector's clean-content-preserved contract (and
+    # the at-least-once model's identical-copies invariant). Spark
+    # writes µs-quantized values into INT96, so µs coercion is lossless.
+    pf = pq.ParquetFile(parts[0], coerce_int96_timestamp_unit="us")
     # preserve the PHYSICAL timestamp layout: Spark writes LTZ timestamps
     # as INT96 by default; a plain pyarrow round-trip would re-emit them
     # as INT64(NANOS), changing the column's type across part files —

@@ -1757,8 +1757,14 @@ def filedirt_dirs(spark, tmp_path_factory):
 
     root = tmp_path_factory.mktemp("genfix")
     clean, dirty = str(root / "sf0.001"), str(root / "sf0.001_filedirt")
-    build(spark, clean, 0.001)
-    build(spark, dirty, 0.001, filedirt=True)
+    # dates=True on BOTH builds (r12 sf1.0 catch): the injector's gzip
+    # rewrite must preserve --dates instants past the int64-ns ceiling
+    # (2262+) byte-for-byte — pyarrow's default ns read WRAPPED them to
+    # 1677, forging same-primary-id rows with different payloads; the
+    # recover-equals-clean comparison below only proves the contract if
+    # the dangerous instants are actually in the rewritten file
+    build(spark, clean, 0.001, dates=True)
+    build(spark, dirty, 0.001, dates=True, filedirt=True)
     return clean, dirty
 
 
