@@ -60,7 +60,11 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
         # exact integer-rational 4-dp quantization of (rnk-1)/(n-1) —
         # see the oracle comment; F.round(percent_rank, 4) is 1-ulp
-        # fragile exactly ON .00005 boundaries, which big partitions hit
+        # fragile exactly ON .00005 boundaries, which big partitions hit.
+        # Exactness bound (r12 ADVICE): the numerator 20000*(rnk-1)+(n-1)
+        # must stay below 2^53 for the double division to be exact, i.e.
+        # partition size n ≲ 4.5e8 rows — far above any fixture scale, but
+        # an extreme-scale axis that crosses it must switch to DECIMAL.
         F.when(n == 1, F.lit(0.0))
         .otherwise(
             F.floor(

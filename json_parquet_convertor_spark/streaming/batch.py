@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import uuid
 from contextlib import contextmanager
 
@@ -646,9 +647,29 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-state key does not). The streaming dedup still does the
     # load-bearing work: it bounds in-flight pair multiplicity so the
     # sink dedups near-distinct rows, not the n_c × n_p bag.
-    return spark.table(sink).dropDuplicates(
+    #
+    # Observability (r12 ADVICE): the sink dedup must not SILENTLY absorb
+    # a genuine duplicate-emission regression in the streaming path — only
+    # the two documented escape classes are expected to hit it, and on the
+    # driver fixtures neither populates, so any non-zero removal in a
+    # sweep is a signal worth seeing. Count before/after and print to
+    # stderr whenever rows were removed (always-on: the memory table is
+    # micro-batch sized, the two counts are cheap, and a silent guard is
+    # exactly what the advice flags).
+    raw = spark.table(sink)
+    deduped = raw.dropDuplicates(
         ["user_id", "click_epoch", "buy_epoch", "value"]
     )
+    n_raw, n_dedup = raw.count(), deduped.count()
+    if n_raw != n_dedup:
+        print(
+            f"[q_stream_join] sink dedup removed {n_raw - n_dedup} "
+            f"duplicate pair(s) ({n_raw} -> {n_dedup}); expected only for "
+            "post-watermark re-delivery or binary-unequal state keys — "
+            "investigate if neither axis is active",
+            file=sys.stderr,
+        )
+    return deduped
 
 
 @query(

@@ -497,7 +497,11 @@ def build(
         zero randomly met the negate band, populating at sf0.1+ only).
         ``key`` is the row id so the warp is reproducible and
         scale-free; the salt de-aliases bands across columns of the
-        same table."""
+        same table. When-chain precedence (r12 ADVICE): the bands are
+        evaluated in order, so rows where %149==11 coincides with the
+        earlier %59==7 or %101==13 bands take THOSE branches — the
+        effective -0.0 density is slightly below 1/149 (parity tests
+        assert presence, not exact density, so this is by design)."""
         if not negative:
             return col
         return (
