@@ -136,16 +136,41 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS hll_within_rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct — THE cardinality operator at 100 TB
-    (fixed-size sketch, no expand). Estimates differ across engines, so the
-    driver records a rows-only check; the value is asserted within rsd in
-    tests/."""
+    (fixed-size sketch, no expand). The raw estimate is engine-specific,
+    so the driver contract emits the INVARIANT instead (r12 verdict task
+    2): the exact distinct count plus a 0/1 flag asserting the HLL++
+    estimate landed within 3×rsd (15 % — rsd=0.05 is one standard error,
+    so 3σ; HLL++ bias correction keeps realistic error ≪ that) of it.
+    The DuckDB oracle states the exact counts and expects every flag to
+    be 1 — a real hash-green row without pretending sketches are
+    cross-engine-exact. A group whose keys are all NULL has exact = 0 and
+    the sketch agrees exactly (both ignore NULLs)."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.05)
+    exact = F.countDistinct("l_partkey")
+    within = F.when(
+        (exact == 0) & (approx == 0), F.lit(1)
+    ).otherwise(
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.15 * exact.cast("double")
+        ).cast("bigint")
+    )
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.cast("bigint").alias("exact_parts"),
+        within.alias("hll_within_rsd"),
     )
 
 
@@ -339,25 +364,71 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_sketch_quantiles")  # rows-only: sketch values are engine-specific
+@query(
+    "q_agg_sketch_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n_prices,
+           CAST(1 AS BIGINT) AS in_band_q25,
+           CAST(1 AS BIGINT) AS in_band_q50,
+           CAST(1 AS BIGINT) AS in_band_q75,
+           CAST(1 AS BIGINT) AS in_band_q95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group via the Greenwald-Khanna sketch
     (percentile_approx) — the mergeable, bounded-memory path at 100 TB
-    where exact percentiles would sort each group. Deterministic for a
-    fixed accuracy but engine-specific, so the driver records rows-only;
-    tests bound the error against the exact percentile."""
+    where exact percentiles would sort each group. Sketch values are
+    engine-specific, so the driver contract emits the INVARIANT instead
+    (r12 verdict task 2): per group, the non-null count plus one 0/1
+    flag per requested quantile asserting the sketch value landed inside
+    the exact [p−0.02, p+0.02] quantile band — 20× the sketch's
+    guaranteed rank error (accuracy 1000 → ε = 0.001). The flag is
+    computed entirely Spark-side (both the sketch and the exact band are
+    deterministic for fixed input), so only exact integers cross the
+    engine boundary; the DuckDB oracle states the counts and expects
+    every flag to be 1. A group with no non-null prices yields NULL
+    sketch and NULL band — flagged 1 ("vacuously in band") on both
+    sides."""
     from json_parquet_convertor_spark.sources.io import spread
 
     # sketch building is CPU-bound per row — spread past the single-file scan
     li = spread(load_table(spark, sf_dir, "lineitem"))
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 1000)
-        .cast("array<double>")
-        .getItem(1)
-        .alias("approx_median"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "exact_median"
-        ),
+    ps = [0.25, 0.5, 0.75, 0.95]
+    approx = F.percentile_approx(
+        "l_extendedprice", ps, 1000
+    ).cast("array<double>")
+    lo = F.percentile("l_extendedprice", F.array(*[F.lit(p - 0.02) for p in ps]))
+    hi = F.percentile("l_extendedprice", F.array(*[F.lit(p + 0.02) for p in ps]))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").cast("bigint").alias("n_prices"),
+        approx.alias("__a"),
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+
+    def band(i: int, name: str):
+        a = F.col("__a").getItem(i)
+        return (
+            F.when(F.col("__a").isNull(), F.lit(1))
+            .otherwise(
+                (
+                    (a >= F.col("__lo").getItem(i))
+                    & (a <= F.col("__hi").getItem(i))
+                ).cast("bigint")
+            )
+            .alias(name)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n_prices",
+        band(0, "in_band_q25"),
+        band(1, "in_band_q50"),
+        band(2, "in_band_q75"),
+        band(3, "in_band_q95"),
     )
 
 
@@ -442,27 +513,72 @@ def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll_union")  # rows-only: sketch estimates are engine-specific
+@query(
+    "q_agg_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events
+    """,
+)
 def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches of
     user_id (hll_sketch_agg, Apache DataSketches) plus an 'ALL' row whose
     sketch is the UNION of the partials (hll_union_agg) — never a rescan.
     This mergeability is the 100 TB primitive: sketch each partition/day
     once, combine partials for any rollup after the fact. Estimates are
-    engine-specific (rows-only check); tests bound them against exact
-    distinct counts."""
+    engine-specific, so the driver contract emits the INVARIANT instead
+    (r12 verdict task 2): the exact distinct count plus a 0/1 flag
+    asserting the sketch estimate (and, on the 'ALL' row, the estimate
+    from the MERGED partials — the mergeability property itself) landed
+    within 5 % of it (default lgConfigK=12 → rsd ≈ 1.6 %, so 3σ). The
+    flag is computed Spark-side; only exact integers cross the engine
+    boundary."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     # partials are read twice (per-group estimates + union) — cache the
     # 5-row sketch table, not the events scan
     partials = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
     ).cache()
+
+    def within(est, exact):
+        return F.when((exact == 0) & (est == 0), F.lit(1)).otherwise(
+            (
+                F.abs(est.cast("double") - exact.cast("double"))
+                <= 0.05 * exact.cast("double")
+            ).cast("bigint")
+        )
+
     per_group = partials.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+        "event_type",
+        "exact_users",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
     )
-    overall = partials.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    # the union row's exact count needs one exact global pass (the sketch
+    # side is the point: it reuses the partials, never rescanning events)
+    exact_all = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    overall = (
+        partials.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            within(
+                F.hll_sketch_estimate("sk"), F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
     return per_group.unionByName(overall)
 
@@ -1070,7 +1186,24 @@ def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_sketch_cms")  # rows-only: xxhash64 positions are Spark-side
+@query(
+    "q_agg_sketch_cms",
+    oracle="""
+    WITH probes AS (
+        SELECT unnest(generate_series(1, 10)) AS probe_key
+    ),
+    e AS (
+        SELECT l_partkey AS probe_key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM lineitem WHERE l_partkey BETWEEN 1 AND 10 GROUP BY 1
+    )
+    SELECT p.probe_key,
+           COALESCE(e.exact_cnt, 0) AS exact_cnt,
+           CAST(1 AS BIGINT) AS never_under,
+           CAST(1 AS BIGINT) AS within_4eps
+    FROM probes p LEFT JOIN e USING (probe_key)
+    ORDER BY p.probe_key
+    """,
+)
 def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch built from pure DataFrame ops: d=4 hash rows ×
     w=1024 counters, the mergeable frequency sketch for heavy-hitter
@@ -1086,10 +1219,18 @@ def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combining, and two sketches merge by cell-wise addition
     (streaming/window rollups get the same property q_agg_incremental
     exploits). Probing broadcasts the 10-key probe set's positions onto
-    the 4 096-row sketch — no second scan of the fact table. Driver
-    check is rows-only because DuckDB cannot replicate xxhash64
-    positions, but the output is fully deterministic (exact integer
-    counters + fixed seeds)."""
+    the 4 096-row sketch — no second scan of the fact table.
+
+    Driver contract (r12 verdict task 2): counter values are Spark-side
+    (DuckDB cannot replicate xxhash64 positions), so the emitted row is
+    the INVARIANT — the exact count per probe key plus two 0/1 flags:
+    ``never_under`` (cms_est >= exact, the sketch's HARD guarantee,
+    deterministic on any input) and ``within_4eps`` (overshoot <=
+    4·εN = 8N/w — 4× the standard bound, missed with probability
+    ≤ (1/2)^(3d) ≈ 2e-4 per key under Markov, and deterministic for a
+    fixed fixture). The oracle states the exact counts and expects both
+    flags to be 1; the sketch itself stays fully deterministic (exact
+    integer counters + fixed seeds)."""
     d_rows, width = 4, 1024
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
     cells = li.select(
@@ -1135,12 +1276,29 @@ def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_key")
         .agg(F.min("cnt").alias("cms_est"))
     )
-    exact = li.filter(F.col("l_partkey") <= 10).groupBy(
+    exact = li.filter(
+        (F.col("l_partkey") >= 1) & (F.col("l_partkey") <= 10)
+    ).groupBy(
         F.col("l_partkey").alias("probe_key")
     ).agg(F.count("*").alias("exact_cnt"))
+    total = li.agg(F.count("*").alias("__n"))
     return (
         est.join(exact, "probe_key", "left")
         .fillna(0, subset=["exact_cnt"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "probe_key",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("cms_est") >= F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("never_under"),
+            (
+                F.col("cms_est") - F.col("exact_cnt")
+                <= F.ceil(F.lit(8.0) * F.col("__n") / F.lit(width))
+            )
+            .cast("bigint")
+            .alias("within_4eps"),
+        )
         .orderBy("probe_key")
     )
 

@@ -103,34 +103,85 @@ def test_shards_are_balanced(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """HLL estimate within its declared 2% rsd (5 sigma slack)."""
-    for r in registry.QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect():
-        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
-            5, 0.1 * r["exact_parts"]
+    """HLL estimate within its declared rsd band: the promoted contract
+    (r13) emits exact counts + a 0/1 in-band flag, so the twin re-derives
+    the raw estimate independently and re-checks the bound itself."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    rows = registry.QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    raw = {
+        r["l_returnflag"]: (r["approx"], r["exact"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
         )
+        .collect()
+    }
+    for r in rows:
+        assert r["hll_within_rsd"] == 1, r
+        approx, exact = raw[r["l_returnflag"]]
+        assert r["exact_parts"] == exact
+        assert abs(approx - exact) <= max(5, 0.15 * exact), (r, approx)
 
 
 def test_sketch_quantile_near_exact(spark, sf_dir):
     """Greenwald-Khanna approx median within 1% of the exact median at
-    accuracy=1000."""
-    for r in registry.QUERIES["q_agg_sketch_quantiles"](spark, sf_dir).collect():
-        rel = abs(r["approx_median"] - r["exact_median"]) / r["exact_median"]
-        assert rel < 0.01, r
+    accuracy=1000 (re-derived raw — the promoted r13 contract emits
+    in-band flags), and every emitted band flag is 1."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    rows = registry.QUERIES["q_agg_sketch_quantiles"](spark, sf_dir).collect()
+    assert rows
+    raw = {
+        r["l_returnflag"]: (r["approx"], r["exact"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        )
+        .collect()
+    }
+    for r in rows:
+        for flag in ("in_band_q25", "in_band_q50", "in_band_q75", "in_band_q95"):
+            assert r[flag] == 1, r
+        approx, exact = raw[r["l_returnflag"]]
+        if exact:
+            assert abs(approx - exact) / abs(exact) < 0.01, (r, approx, exact)
 
 
 def test_hll_union_estimates_near_exact(spark, sf_dir):
     """Per-group DataSketches HLL estimates and the union-merged ALL row
     must land within 5% of exact distinct counts (default lgK=12 gives
-    ~1.6% rsd), and the union must be >= the largest partial."""
+    ~1.6% rsd; re-derived raw — the promoted r13 contract emits in-band
+    flags), and the union estimate must be >= the largest partial."""
     from pyspark.sql import functions as F
 
     from json_parquet_convertor_spark.sources.io import load_table
 
-    est = {
-        r["event_type"]: r["est_users"]
-        for r in registry.QUERIES["q_agg_hll_union"](spark, sf_dir).collect()
-    }
+    rows = registry.QUERIES["q_agg_hll_union"](spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = {
+        r["event_type"]: r["est"]
+        for r in partials.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    est["ALL"] = (
+        partials.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
@@ -138,8 +189,11 @@ def test_hll_union_estimates_near_exact(spark, sf_dir):
         .collect()
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
+    emitted = {r["event_type"]: r for r in rows}
     for k, ex in exact.items():
         assert abs(est[k] - ex) <= max(2, 0.05 * ex), (k, est[k], ex)
+        assert emitted[k]["exact_users"] == ex
+        assert emitted[k]["within_bound"] == 1, emitted[k]
     assert est["ALL"] >= max(v for k, v in est.items() if k != "ALL")
 
 
@@ -268,11 +322,20 @@ def test_cms_bounds_hold_against_exact_counts(spark, sf_dir):
 
     rows = registry.QUERIES["q_agg_sketch_cms"](spark, sf_dir).collect()
     assert len(rows) == 10
-    n_total = load_table(spark, sf_dir, "lineitem").count()
-    eps_n = 2.0 / 1024 * n_total
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["k"]: r["n"]
+        for r in li.filter("l_partkey BETWEEN 1 AND 10")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     for r in rows:
-        assert r["cms_est"] >= r["exact_cnt"], r
-        assert r["cms_est"] <= r["exact_cnt"] + eps_n, (r, eps_n)
+        # the promoted r13 contract emits the invariant flags directly;
+        # the twin re-derives the exact side independently
+        assert r["exact_cnt"] == exact.get(r["probe_key"], 0), r
+        assert r["never_under"] == 1, r
+        assert r["within_4eps"] == 1, r
 
 
 def test_linreg_r2_equals_corr_squared(spark, sf_dir):
