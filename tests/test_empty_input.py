@@ -108,8 +108,14 @@ def test_write_once_scratch_is_fixture_keyed(spark, empty_dir, sf_dir):
 
 
 def test_kmeans_returns_empty_cleanly(spark, empty_dir):
-    """rows-only query (no DuckDB twin): zero seed vectors must yield an
-    empty result with the normal schema, not np.vstack's ValueError."""
+    """Zero seed vectors must yield an empty result with the normal
+    schema, not np.vstack's ValueError (and the r13 promoted oracle's
+    WHERE n_vectors > 0 mirrors the 0-row shape)."""
     out = registry.QUERIES["q_embed_kmeans"](spark, empty_dir)
-    assert out.columns == ["centroid_id", "n_members", "mean_inertia"]
+    assert out.columns == [
+        "centroid_id",
+        "n_vectors",
+        "inertia_monotone",
+        "assignment_complete",
+    ]
     assert out.count() == 0
