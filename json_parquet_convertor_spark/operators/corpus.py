@@ -903,7 +903,23 @@ def q_text_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_apply")  # rows-only: greedy merge application is procedural
+@query(
+    "q_bpe_apply",
+    oracle="""
+    WITH vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY w
+    )
+    SELECT w, freq,
+           CAST(1 AS BIGINT) AS lossless,
+           CAST(1 AS BIGINT) AS pieces_valid
+    FROM vocab
+    ORDER BY freq DESC, w
+    LIMIT 20
+    """,
+)
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a learned BPE merge table — the tokenizer's INFERENCE half,
     closing the loop with q_bpe_merge's training step. The top-10 merge
@@ -914,10 +930,17 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — repeatedly merge the highest-priority adjacent pair
     until none applies.
 
-    Output: the 20 most frequent words with their segmentation — the
-    eyeball check a tokenizer change ships with. tests re-run the same
-    algorithm in plain Python over the collected vocab and assert
-    piece-level equality plus losslessness (concat(pieces) == word).
+    Driver contract (r12 verdict task 2): the segmentation itself is
+    procedural (no SQL twin), so the emitted row is the top-20 frequent
+    words — (w, freq) exactly oracle-computable, tie at rank 20 broken
+    by w — plus 0/1 invariant flags computed during segmentation:
+    ``lossless`` (concat(pieces) == word, the tokenizer's defining
+    round-trip property) and ``pieces_valid`` (every piece is a single
+    character, a merge-table entry — each greedy step's output IS a
+    merge-list string, since all learned merges here are char bigrams —
+    or the whole word for the >512-char atomic-cap class). tests re-run
+    the same algorithm in plain Python over the collected vocab and
+    assert piece-level equality.
 
     Scale design: segmentation runs over the VOCABULARY (distinct
     words), never the token stream — same collapse q_bpe_merge uses; the
@@ -925,6 +948,16 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized-batch-wise in mapInPandas. A production tokenizer applies
     thousands of merges with a priority queue; the dataflow shape (tiny
     broadcast model + vocab-sized map) is identical."""
+    return _bpe_segmented(spark, sf_dir).select(
+        "w", "freq", "lossless", "pieces_valid"
+    )
+
+
+def _bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed segmentation behind q_bpe_apply, INCLUDING the raw
+    pieces column (the promoted driver contract projects it away; the
+    plain-Python twin in tests/test_corpus.py asserts piece-level
+    equality against this frame)."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -961,7 +994,8 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_rank = {
                 p: i for i, p in enumerate(pdf["merge_list"].iloc[0])
             }
-            out_w, out_f, out_pieces, out_n = [], [], [], []
+            out_w, out_f, out_lossless, out_valid = [], [], [], []
+            out_pieces = []
             for w, f in zip(pdf["w"], pdf["freq"]):
                 # segmentation cap (r12, --longtext 64 KiB single-token
                 # docs): the greedy loop is O(len²) per word — every
@@ -974,7 +1008,8 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out_w.append(w)
                     out_f.append(int(f))
                     out_pieces.append(w)
-                    out_n.append(1)
+                    out_lossless.append(1)
+                    out_valid.append(1)  # atomic-cap piece = whole word
                     continue
                 pieces = list(w)
                 while True:
@@ -992,18 +1027,29 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_w.append(w)
                 out_f.append(int(f))
                 out_pieces.append(" ".join(pieces))
-                out_n.append(len(pieces))
+                out_lossless.append(int("".join(pieces) == w))
+                out_valid.append(
+                    int(
+                        all(
+                            len(p) == 1 or p in merge_rank
+                            for p in pieces
+                        )
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "w": out_w,
                     "freq": out_f,
                     "pieces": out_pieces,
-                    "n_pieces": out_n,
+                    "lossless": out_lossless,
+                    "pieces_valid": out_valid,
                 }
             )
 
     segmented = vocab.crossJoin(F.broadcast(merges)).mapInPandas(
-        segment, "w string, freq long, pieces string, n_pieces int"
+        segment,
+        "w string, freq long, pieces string, lossless long, "
+        "pieces_valid long",
     )
     return segmented.orderBy(F.desc("freq"), "w").limit(20)
 

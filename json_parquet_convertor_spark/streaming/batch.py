@@ -246,14 +246,19 @@ def _stream_shuffle(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
 _REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _replay_source(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+def _replay_source(
+    spark: SparkSession, sf_dir: str, name: str, build, nfiles: int = 4
+) -> str:
     """Materialize ``build()`` as a parquet dir usable as a stream source;
-    memoized per (sf_dir, name) for the process lifetime."""
+    memoized per (sf_dir, name) for the process lifetime. ``nfiles=1``
+    pins a SINGLE source file — one data micro-batch under AvailableNow,
+    so watermark-vs-arrival-order effects cannot occur (q_stream_watermark's
+    promoted oracle depends on that determinism)."""
     key = (sf_dir, name)
     if key not in _REPLAY_CACHE:
         safe = sf_dir.strip("/").replace("/", "_")
         path = run_tmp(os.path.join("replay", safe, name))
-        build().coalesce(4).write.mode("overwrite").parquet(path)
+        build().coalesce(nfiles).write.mode("overwrite").parquet(path)
         _REPLAY_CACHE[key] = path
     return _REPLAY_CACHE[key]
 
@@ -318,23 +323,61 @@ def q_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("id")
 
 
-@query("q_stream_watermark")  # rows-only
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events
+        WHERE epoch(CAST(ts AS TIMESTAMP)) >= 1704067200
+          AND epoch(CAST(ts AS TIMESTAMP)) < 1704240000
+    ),
+    wm AS (
+        SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM b
+    ),
+    w AS (
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b GROUP BY 1, 2
+    )
+    SELECT w.win_start, w.event_type, w.n_events
+    FROM w, wm
+    WHERE (w.win_start + 600) * 1000 <= wm.wm_ms
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling via watermark on a real stream: events replayed
-    through a file source, 10-minute watermark, tumbling count, update-mode
-    memory sink. The watermark bounds the aggregation state (windows older
-    than max(ts) - 10 min are finalized and dropped); the late-drop behavior
-    itself is asserted in tests/test_streaming.py with a crafted two-batch
-    out-of-order replay."""
-    # two days of events is plenty to exercise the watermark mechanics
-    # (hundreds of windows advancing the watermark); replaying the whole
-    # table only slows the smoke check down
+    through a file source, 10-minute watermark, tumbling count,
+    APPEND-mode memory sink — only FINALIZED windows (window end at or
+    below the final watermark = max event time − 10 min) ever emit; the
+    still-open tail windows stay in state and are discarded with the
+    query. The watermark bounds the aggregation state exactly as at
+    100 TB (windows older than the watermark are finalized and dropped
+    from the store); the late-DROP behavior is asserted separately in
+    tests/test_streaming.py with a crafted two-batch out-of-order replay.
+
+    Driver contract (r12 verdict task 2, promoted from rows-only): the
+    replay is bounded on BOTH ends in epoch seconds (2024-01-01 to
+    2024-01-03 UTC — dirty pre-1970/2304 instants from adversarial
+    fixtures drop deterministically BEFORE the stream) and written as a
+    SINGLE source file, so AvailableNow processes exactly one data
+    micro-batch — nothing is ever late relative to an earlier batch's
+    watermark, and the emitted set is exactly the closed-form the DuckDB
+    oracle states: tumbling counts for windows with
+    (win_end)·1000 ≤ epoch_ms(max ts) − 600000 (Spark tracks event-time
+    watermarks in milliseconds)."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        # bounded replay window, both ends, stated in epoch seconds so
+        # no engine-local timestamp-literal parsing is involved
+        .filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(1704067200)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(1704240000)))
+        )
         .select("ts", "event_type", "value")
     )
-    src = _replay_source(spark, sf_dir, "watermark", lambda: ev)
+    src = _replay_source(spark, sf_dir, "watermark1f", lambda: ev, nfiles=1)
 
     sink = f"jpc_wm_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -352,7 +395,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
-            .outputMode("update")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )

@@ -133,8 +133,14 @@ def test_bpe_apply_matches_python_reference(spark, sf_dir):
     re-run of the same greedy merge algorithm, and must be lossless
     (concat of pieces reproduces the word)."""
     from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.operators.corpus import _bpe_segmented
 
-    rows = registry.QUERIES["q_bpe_apply"](spark, sf_dir).collect()
+    contract = registry.QUERIES["q_bpe_apply"](spark, sf_dir).collect()
+    assert len(contract) == 20
+    for r in contract:
+        assert r["lossless"] == 1, r
+        assert r["pieces_valid"] == 1, r
+    rows = _bpe_segmented(spark, sf_dir).collect()  # already top-20
     assert len(rows) == 20
     merges = [
         r["pair"]
@@ -161,4 +167,3 @@ def test_bpe_apply_matches_python_reference(spark, sf_dir):
     for r in rows:
         assert "".join(r["pieces"].split(" ")) == r["w"]
         assert r["pieces"].split(" ") == ref_segment(r["w"]), r["w"]
-        assert r["n_pieces"] == len(r["pieces"].split(" "))
