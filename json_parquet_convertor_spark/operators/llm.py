@@ -362,7 +362,50 @@ def _srp_hyperplanes(dim: int = 64):
     return rng.standard_normal((_SRP_PLANES, dim))
 
 
-@query("q_sim_pairs_lsh")  # rows-only: bucketing recall is engine-specific
+def _plane_sql(plane) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal. repr() round-trips
+    doubles exactly, so both engines bind bit-identical constants."""
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+
+# The bucket key as SQL: the SAME sign-bit construction the Spark side
+# builds from higher-order-function dots. Both engines evaluate the
+# identical expression tree over identical double constants with
+# correctly-rounded IEEE ops (sequential in-order dot fold on both
+# sides — the q_sim_cosine_topk precedent), so the signs, buckets, pair
+# set, and 4-dp cosines are bit-equal — which is what lets this LSH
+# query carry a full value-hash oracle instead of a rows-only check.
+_SRP_BUCKET_SQL = "\n             + ".join(
+    f"(CASE WHEN list_inner_product(e, {_plane_sql(p)}) >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_srp_hyperplanes())
+)
+
+
+@query(
+    "q_sim_pairs_lsh",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    s AS (
+        SELECT vec_id, e,
+               {_SRP_BUCKET_SQL} AS bucket
+        FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+               list_inner_product(a.e, b.e)
+               / (sqrt(list_inner_product(a.e, a.e))
+                  * sqrt(list_inner_product(b.e, b.e))), 4) AS cos_sim
+    FROM s a JOIN s b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC NULLS LAST, vec_a, vec_b
+    LIMIT 50
+    """,
+)
 def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs similarity via signed-random-projection LSH.
 
@@ -377,17 +420,30 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical plan shape — signatures are a map-only pass, the
     bucket join is a standard shuffle join; recall is tuned by running
     multiple independent tables (union of T such plans) and precision by the
-    exact-cosine refilter."""
+    exact-cosine refilter.
+
+    Driver contract (r12 verdict task 2, promoted from rows-only): the
+    hyperplanes are bound as literal double arrays in BOTH engines, the
+    dot products fold sequentially in both (HOF aggregate ↔
+    list_inner_product), and every IEEE op is correctly rounded — so
+    signs, buckets, the candidate pair set, and the 4-dp cosines are
+    bit-equal cross-engine and the oracle is a full value-hash twin of
+    the whole algorithm (candidate rule stated on both sides, the
+    q_dedup_ngram_jaccard df-pruning precedent). Rank-50 ties break on
+    (vec_a, vec_b) on both sides."""
     planes = _srp_hyperplanes()
-    # full-row INGEST GUARD (r12, --rowdup 10x probe): an at-least-once
-    # ingest re-delivers exact copies including vec_id; without the
-    # dedup, a vector duplicated on both sides of the bucket self-join
-    # emits the SAME (vec_a, vec_b) pair once per physical-row
-    # combination — caught by the invariant twin's uniqueness assert
+    # INGEST GUARD (r12, --rowdup 10x probe): an at-least-once ingest
+    # re-delivers exact copies including vec_id; without the dedup, a
+    # vector duplicated on both sides of the bucket self-join emits the
+    # SAME (vec_a, vec_b) pair once per physical-row combination. Set
+    # semantics on (vec_id, embedding) — mirrored by the oracle's
+    # SELECT DISTINCT; NULL embeddings carry no geometry and are
+    # excluded on both sides.
     emb = spread(
-        load_table(spark, sf_dir, "embeddings").dropDuplicates()
-    ).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .filter(F.col("e").isNotNull())
+        .dropDuplicates()
     )
     bits = [
         F.when(
@@ -415,7 +471,7 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.e").alias("eb"),
         )
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .orderBy(F.col("cos_sim").desc_nulls_last(), "vec_a", "vec_b")
         .limit(50)
     )
 

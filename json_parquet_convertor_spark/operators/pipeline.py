@@ -376,7 +376,73 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_dedup_embed")  # rows-only: LSH recall is engine-specific
+def _de_hyperplanes():
+    """4 tables × 8 signed-random-projection planes (fixed seed 42)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((32, 64))
+
+
+def _de_plane_sql(plane) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+
+_DE_PLANES = _de_hyperplanes()
+
+# per-table 8-bit bucket keys as SQL — the same sign-bit construction the
+# Spark side builds from HOF dots (see q_sim_pairs_lsh: sequential-fold
+# dots over identical literal doubles are bit-equal cross-engine)
+_DE_BUCKET_SQL = [
+    "\n               + ".join(
+        f"(CASE WHEN list_inner_product(e, {_de_plane_sql(_DE_PLANES[t * 8 + i])}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    for t in range(4)
+]
+
+_DE_CAND_SQL = "\n        UNION\n".join(
+    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM s a JOIN s b
+          ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
+    for t in range(4)
+)
+
+
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    s AS (
+        SELECT vec_id, e,
+               {_DE_BUCKET_SQL[0]} AS b0,
+               {_DE_BUCKET_SQL[1]} AS b1,
+               {_DE_BUCKET_SQL[2]} AS b2,
+               {_DE_BUCKET_SQL[3]} AS b3
+        FROM e
+    ),
+    cand AS (
+{_DE_CAND_SQL}
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(
+                   list_inner_product(ea.e, eb.e)
+                   / (sqrt(list_inner_product(ea.e, ea.e))
+                      * sqrt(list_inner_product(eb.e, eb.e))), 4) AS cos_sim
+        FROM cand c
+        JOIN e ea ON c.vec_a = ea.vec_id
+        JOIN e eb ON c.vec_b = eb.vec_id
+    )
+    WHERE cos_sim >= 0.35
+    """,
+)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates with MULTI-TABLE signed-random-
     projection LSH: T=4 independent tables of 8 sign bits each; a pair is a
@@ -385,47 +451,57 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: T map-only signature passes + T bucket equi-joins — still no
     all-pairs anything; union-distinct of candidate pairs shuffles only id
-    pairs."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    pairs.
 
-    rng = np.random.default_rng(42)
-    hyperplanes = rng.standard_normal((32, 64))  # 4 tables x 8 planes
-
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-    ).withColumn(
-        # precompute each vector's norm ONCE — the pair refilter then needs a
-        # single interpreted-HOF dot per pair instead of three
-        "nrm",
-        F.sqrt(_dot("e", "e")),
+    Driver contract (r12 verdict task 2, promoted from rows-only): the
+    hyperplanes are bound as literal double arrays in BOTH engines and
+    the dots fold sequentially in both (HOF aggregate ↔
+    list_inner_product, the q_sim_cosine_topk precedent), so signs,
+    buckets, the candidate pair set, and the 4-dp cosines are bit-equal
+    cross-engine — a full value-hash oracle of the whole algorithm, the
+    candidate rule stated on both sides. The signature pass therefore
+    computes its 32 dots as HOF expressions instead of the earlier
+    Arrow-matmul pandas_udf: BLAS reassociates the sum, which is the one
+    step of the pipeline that is NOT bit-portable (a production
+    deployment that needs no SQL twin would switch the signature pass
+    back to the Arrow matmul; every other stage is unchanged). Set
+    semantics on (vec_id, embedding) via the --rowdup ingest guard,
+    mirrored by the oracle's SELECT DISTINCT; NULL embeddings carry no
+    geometry and are excluded on both sides."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .filter(F.col("e").isNotNull())
+        .dropDuplicates()
     ).cache()  # read by the bucket join sides + the exact-cosine refilter
 
-    # 32 per-row hyperplane dots as interpreted higher-order functions would
-    # be the slow shape (HOFs don't enter whole-stage codegen); one Arrow
-    # batch + numpy matmul computes all 4 bucket keys per vector at memory
-    # bandwidth — the standard embedding-pipeline pattern at scale.
-    def _srp(col):
-        mat = np.vstack(col.to_numpy())  # (n, 64)
-        signs = (mat @ hyperplanes.T) >= 0  # (n, 32)
-        weights = 1 << np.arange(8)
-        packed = signs.reshape(len(mat), 4, 8) @ weights  # (n, 4)
-        return pd.Series(list(packed.astype(np.int64)))
+    planes = _DE_PLANES
 
-    # this module uses `from __future__ import annotations`, which stringizes
-    # literal hints and breaks pandas_udf eval-type inference — attach real
-    # type objects instead
-    _srp.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    srp_buckets = pandas_udf(_srp, "array<long>")
+    def bucket(t: int):
+        bits = [
+            F.when(
+                _dot(
+                    "e",
+                    F.array(
+                        *[F.lit(float(v)) for v in planes[t * 8 + i]]
+                    ),
+                )
+                >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(8)
+        ]
+        return sum(bits[1:], bits[0]).cast("bigint")
 
     # the bucket self-join reads sigs twice, and self-joins recompute the
-    # whole upstream plan per side — cache the signature table so the Arrow
-    # pass runs once (at 100 TB this is the materialized signature stage)
+    # whole upstream plan per side — cache the signature table so the
+    # 32-dot pass runs once (at 100 TB this is the materialized
+    # signature stage)
     sigs = emb.select(
         "vec_id",
-        F.posexplode(srp_buckets("e")).alias("table_idx", "bucket"),
+        F.posexplode(F.array(*[bucket(t) for t in range(4)])).alias(
+            "table_idx", "bucket"
+        ),
     ).cache()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -441,17 +517,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot("ea", "eb") / (
+        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
