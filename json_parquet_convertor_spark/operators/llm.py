@@ -100,27 +100,101 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
             )
         ).alias("tok"),
     )
-    # One string hash per shingle; the K minhash functions then re-hash the
-    # resulting 8-byte long with per-function seeds — a proper independent
-    # family at a fraction of the cost of K string hashes (the string is
-    # digested once). Plain long arithmetic would overflow under ANSI mode
-    # (the driver's session default), so the mixing stays inside xxhash64.
+    # One string digest per shingle; the K minhash functions then re-hash
+    # the fixed-width hex digest with per-function seed PREFIXES — a
+    # proper independent family at a fraction of the cost of K
+    # long-string hashes (the shingle is digested once). The family is
+    # md5 (r13 promotion): DuckDB computes the identical digests, and a
+    # 32-hex-char string's lexicographic MIN equals the numeric MIN of
+    # the 128-bit value — so the signatures, band keys, and estimates
+    # are cross-engine EXACT and the driver check is a full value hash.
+    # (xxhash64 would be ~2× cheaper per shingle but has no DuckDB twin;
+    # a deployment without the SQL-oracle requirement can swap it back —
+    # every other stage is hash-family-agnostic.)
     hashed = shingles.select(
-        "doc_id", F.xxhash64("tok").alias("base")
+        "doc_id", F.md5("tok").alias("base")
     ).select(
         "doc_id",
-        *[F.xxhash64(F.col("base"), F.lit(i)).alias(f"h{i}") for i in range(_MH_K)],
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("base"))).alias(
+                f"h{i}"
+            )
+            for i in range(_MH_K)
+        ],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MH_K)]
     )
 
 
-@query("q_dedup_near")  # rows-only: MinHash estimates are engine-specific
+# the identical shingle → md5-minhash → band pipeline, as DuckDB SQL
+# (mirrors _minhash_signatures + q_dedup_near's banding exactly; the
+# bound-tokens subquery shape follows pipeline._DUCK_TOKENIZED — the
+# token list is materialized BEFORE the lambda indexes it, r11
+# --longtext rule)
+_DN_SIG_COLS = ",\n           ".join(
+    f"min(md5('{i}:' || b)) AS h{i}" for i in range(_MH_K)
+)
+_DN_SIG_LIST = "[" + ", ".join(f"h{i}" for i in range(_MH_K)) + "]"
+_DN_BAND_KEYS = ",\n           ".join(
+    " || ".join(f"h{b * _MH_R + r}" for r in range(_MH_R)) + f" AS k{b}"
+    for b in range(_MH_B)
+)
+_DN_CAND_SQL = "\n        UNION\n".join(
+    f"""        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b
+          ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id"""
+    for b in range(_MH_B)
+)
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(l) - 2),
+                   i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        WHERE len(l) >= 3
+    ),
+    base AS (SELECT doc_id, md5(sh) AS b FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_DN_SIG_COLS}
+        FROM base GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {_DN_SIG_LIST} AS sig,
+           {_DN_BAND_KEYS}
+        FROM sig
+    ),
+    cand AS (
+{_DN_CAND_SQL}
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(list_sum(list_transform(
+                   generate_series(1, {_MH_K}),
+                   i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+                   / {_MH_K}.0, 4) AS est_jaccard
+        FROM cand
+    )
+    WHERE est_jaccard >= 0.5
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding
-    (shingle → minhash → band → bucket-join). Deterministic: xxhash64 with
-    fixed per-hash seeds, so the same inputs always give the same pairs.
+    (shingle → minhash → band → bucket-join). Deterministic AND
+    cross-engine exact (r12 verdict task 2, promoted from rows-only):
+    the minhash family is md5 with seed prefixes, which DuckDB computes
+    identically, and band keys are component concatenations — so the
+    oracle mirrors the complete algorithm (signatures, banding, the
+    candidate rule, and the k/16 dyadic-rational estimates, which round
+    exactly) and the driver records a full value-hash row.
 
     Candidates form ONLY inside (band_idx, band_hash) equi-join buckets —
     never an all-pairs crossJoin — so the cost is linear in bucket
@@ -142,7 +216,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col(f"h{b * _MH_R + r}") for r in range(_MH_R)])
+                    F.concat(
+                        *[F.col(f"h{b * _MH_R + r}") for r in range(_MH_R)]
+                    )
                     for b in range(_MH_B)
                 ]
             )

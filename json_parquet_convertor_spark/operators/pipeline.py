@@ -23,83 +23,162 @@ from json_parquet_convertor_spark.sources.io import load_table, spread
 # ---------------------------------------------------------------------------
 
 
-def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp) 64-bit SimHash fingerprints, one Arrow/numpy pass.
+def _simhash_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, ch) SimHash fingerprints as 8×8-bit chunk arrays.
 
-    fp bit i = sign of the per-bit vote sum over token hashes (+1 if the
-    token's hash has bit i set, else -1; term frequency weights the vote
-    naturally). All tokens of an Arrow batch are hashed in ONE vectorized
-    call (pandas' fixed-key siphash — deterministic across processes and
-    executors), then each doc's ±1 votes reduce in a tiny numpy matrix.
+    Chunk bits come from per-bit vote sums over token hashes (+1 if the
+    token's hash has the bit set, else -1; term frequency weights the
+    vote naturally). The token-hash family is md5 (r13 promotion): bit j
+    of a token = bit (j mod 4) of hex nibble ⌊j/4⌋ of md5(token), which
+    DuckDB computes identically — making the fingerprints, the banded
+    candidate set, and the Hamming distances cross-engine EXACT so
+    q_dedup_simhash carries a full value-hash oracle. (The previous
+    fingerprint used pandas' fixed-key siphash in a zero-shuffle Arrow
+    pass; md5 costs ~2× per token and reduces through one
+    64-conditional-sum hash aggregate — map-side combined, so the
+    shuffle carries per-DOC partials, never tokens.)"""
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # digest once per token occurrence; nibbles as 16 small-int columns
+    # so the 64 vote sums stay in whole-stage codegen
+    nib = toks.select("doc_id", F.md5("tok").alias("h")).select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", k + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{k}")
+            for k in range(16)
+        ],
+    )
+    votes = nib.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
 
-    100 TB: fingerprints are computed entirely partition-local — zero
-    shuffle, linear in tokens (the previous formulation exploded tokens and
-    shuffled them into a 64-conditional-sum aggregation)."""
-
-    def batches(it):
-        import numpy as np
-        import pandas as pd
-
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            tok_lists = [t.split(" ") for t in pdf["text"]]
-            counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
-            bounds = np.concatenate(([0], np.cumsum(counts)))
-            all_toks = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists]
+    def chunk(c: int):
+        bits = [
+            F.when(F.col(f"v{8 * c + j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
             )
-            hs = pd.util.hash_array(all_toks)  # uint64, deterministic key
-            fps = np.empty(len(pdf), dtype=np.uint64)
-            for i in range(len(pdf)):
-                seg = hs[bounds[i] : bounds[i + 1]]
-                ones = ((seg[:, None] >> shifts) & np.uint64(1)).sum(
-                    axis=0, dtype=np.int64
-                )
-                votes = 2 * ones - len(seg)
-                fps[i] = ((votes > 0).astype(np.uint64) << shifts).sum(
-                    dtype=np.uint64
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "fp": fps.view(np.int64)}
-            )
+            for j in range(8)
+        ]
+        return sum(bits[1:], bits[0]).cast("int")
 
-    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, fp long")
+    return votes.select(
+        "doc_id", F.array(*[chunk(c) for c in range(8)]).alias("ch")
+    )
 
 
-@query("q_dedup_simhash")  # rows-only: the siphash fingerprint has no DuckDB twin
+# the identical token → md5-bit → vote → chunk pipeline as DuckDB SQL
+_SH_NIB_COLS = ",\n               ".join(
+    f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1 AS n{k}"
+    for k in range(16)
+)
+_SH_VOTE_COLS = ",\n               ".join(
+    f"SUM(CASE WHEN (n{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+    f" AS v{j}"
+    for j in range(64)
+)
+_SH_CHUNK_LIST = "[" + ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN v{8 * c + j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    + ")"
+    for c in range(8)
+) + "]"
+_SH_CAND_SQL = "\n        UNION\n".join(
+    f"""        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.ch AS ca, b.ch AS cb
+        FROM chunks a JOIN chunks b
+          ON a.ch[{c + 1}] = b.ch[{c + 1}] AND a.doc_id < b.doc_id"""
+    for c in range(8)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id,
+               {_SH_NIB_COLS}
+        FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+    ),
+    votes AS (
+        SELECT doc_id,
+               {_SH_VOTE_COLS}
+        FROM nib GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, {_SH_CHUNK_LIST} AS ch FROM votes
+    ),
+    cand AS (
+{_SH_CAND_SQL}
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> bit_count(xor(ca[i], cb[i])))) AS BIGINT) AS hamming
+        FROM cand
+    )
+    WHERE hamming <= 7
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint = sign of per-bit vote
-    sums over token hashes (see :func:`_simhash_fingerprints`), then banded
+    sums over token hashes (see :func:`_simhash_chunks`), then banded
     search — fingerprints split into 8×8-bit chunks, pairs meet only inside
     chunk equi-join buckets, final filter keeps Hamming distance <= 7
-    (bit_count of XOR, a single JVM op). With 8 chunks and threshold 7 the
+    (bit_count of XOR per chunk). With 8 chunks and threshold 7 the
     banding is EXACT by pigeonhole: any pair within distance 7 must agree on
     at least one full chunk, so no qualifying pair can be missed
     (tests/test_pipeline.py asserts this against a brute-force
     recomputation over the same fingerprints).
 
-    100 TB: fingerprints are shuffle-free and linear; the band join
-    shuffles (doc_id, 8-bit chunk) only. Deterministic: fixed-key siphash."""
+    Driver contract (r12 verdict task 2, promoted from rows-only): the
+    md5-derived fingerprint bits are engine-portable, so the oracle
+    mirrors the complete algorithm — token hashing, vote sums, chunk
+    packing, the banded candidate rule, and the Hamming refilter — and
+    the driver records a full value-hash row.
+
+    100 TB: the fingerprint pass is linear in tokens with map-side
+    combine (per-doc partials shuffle, never tokens); the band join
+    shuffles (doc_id, 8-bit chunk) only."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    # the chunk self-join reads fps twice — cache the tiny (doc_id, fp)
+    # the chunk self-join reads fps twice — cache the tiny (doc_id, ch)
     # table instead of recomputing the fingerprint pass per side
-    fps = _simhash_fingerprints(docs).cache()
+    fps = _simhash_chunks(docs).cache()
 
     chunks = fps.select(
         "doc_id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("fp", 8 * j).bitwiseAND(F.lit(0xFF))
-                    for j in range(8)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        "ch",
+        F.posexplode("ch").alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            "ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
     return (
         a.join(
             b,
@@ -110,12 +189,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-            ).alias("hamming"),
+            F.col("a.ch").alias("ca"),
+            F.col("b.ch").alias("cb"),
         )
-        .filter(F.col("hamming") <= 7)
         .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 7)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -48,20 +48,22 @@ def test_simhash_banding_is_exact(spark, sf_dir):
     O(n^2) recomputation over the collected fingerprints (test-only; the
     query itself never does all-pairs)."""
     from json_parquet_convertor_spark.operators.pipeline import (
-        _simhash_fingerprints,
+        _simhash_chunks,
     )
     from json_parquet_convertor_spark.sources.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = {
-        r["doc_id"]: r["fp"] for r in _simhash_fingerprints(docs).collect()
+        r["doc_id"]: list(r["ch"]) for r in _simhash_chunks(docs).collect()
     }
     ids = sorted(fps)
     brute = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 7
+        if sum(
+            bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b])
+        ) <= 7
     }
     banded = _pairs(registry.QUERIES["q_dedup_simhash"](spark, sf_dir))
     assert banded == brute
