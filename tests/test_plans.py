@@ -133,6 +133,8 @@ def test_query_has_no_cartesian(spark, sf_dir, name):
             "q_feature_target_encode",  # 1-row global-mean broadcast
             "q_stats_anova",  # 1-row (k, N, ΣY) totals broadcast
             "q_feature_gini",  # 1-row total-count broadcast onto cells
+            "q_agg_hll_union",  # 1-row exact-ALL-count broadcast (r13)
+            "q_agg_sketch_cms",  # 1-row total-N broadcast for the εN bound
         }, f"unexpected BNLJ in {name}:\n{plan}"
     # HOF lambdas defeat codegen subexpression elimination (r11,
     # --longtext): split(text) INSIDE a lambda body re-splits the document
