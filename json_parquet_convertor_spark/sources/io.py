@@ -196,9 +196,36 @@ def read_widened(spark: SparkSession, path: str | list[str]) -> DataFrame:
             else [p]
         )
     ]
-    unified = pa.unify_schemas(
-        [pq.read_schema(f) for f in files], promote_options="permissive"
-    )
+    schemas = [pq.read_schema(f) for f in files]
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # timestamp FLAVOR drift (r13, --tz): INT96 (arrow sees ns,
+        # no tz), µs TIMESTAMP_NTZ, and µs UTC-adjusted part files in one
+        # directory — the three generations a real lake accumulates.
+        # pa.unify_schemas refuses tz-aware/naive mixes even permissively,
+        # so coerce every timestamp field to µs UTC-adjusted first: under
+        # the pinned-UTC session the flavors all denote the same instants
+        # (the axis contract: naive == UTC wall clock), and Spark's
+        # reader converts each physical flavor correctly when handed the
+        # TimestampType schema (verified in the r13 probes).
+        def utc_ts(s: pa.Schema) -> pa.Schema:
+            for idx in range(len(s)):
+                f = s.field(idx)
+                if pa.types.is_timestamp(f.type):
+                    s = s.set(
+                        idx,
+                        pa.field(
+                            f.name,
+                            pa.timestamp("us", tz="UTC"),
+                            f.nullable,
+                        ),
+                    )
+            return s
+
+        unified = pa.unify_schemas(
+            [utc_ts(s) for s in schemas], promote_options="permissive"
+        )
     schema = from_arrow_schema(unified, prefer_timestamp_ntz=True)
     return spark.read.schema(schema).parquet(*paths)
 

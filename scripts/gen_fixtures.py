@@ -235,13 +235,37 @@ visible file (16 bytes IO each), reads only the intact ones, and REPORTS
 the quarantined list; hidden files are ignored by the listing rule alone;
 a mixed-codec directory is read transparently under either policy.
 
+With --tz (r13), SESSION-TIMEZONE AND TIMESTAMP-FLAVOR TRAPS — the axis
+the driver's own America/New_York default-session probe composes with.
+Two halves. VALUES (events.ts only): deterministic bands land inside the
+2024-11-03 America/New_York FALL-BACK window (04:30-06:30 UTC — every
+local wall-clock in 01:00-02:00 EST/EDT happens TWICE; --dates plants
+only the spring-forward gap), within ±90 s of a New_York midnight
+(05:00 UTC — any date_trunc/day bucket computed in session tz instead of
+the pinned UTC flips these rows across a day boundary), and within
+±90 s of a UTC midnight (the mirror trap: session-tz bucketing that
+"accidentally works" for mid-day data flips here in the other
+direction). LAYOUT (the --evolve mechanism applied to the one type
+family io.py special-cases): ~20% of events rows land in part files
+whose ts is INT64 µs TIMESTAMP_NTZ (isAdjustedToUTC=false — the naive
+producer), one part file is REWRITTEN as INT64 µs UTC-ADJUSTED
+(isAdjustedToUTC=true — the spec-compliant producer), and the rest stay
+Spark's INT96 default (the legacy writer) — the three timestamp
+generations a real lake accumulates. The reader contract: all three
+flavors denote the SAME instants (naive == UTC wall clock);
+load_table's pinned-UTC session makes every election identity, DuckDB's
+union_by_name promotes to TIMESTAMPTZ under the harness's pinned-UTC
+connection, and the widen-policy footer union coerces timestamp flavors
+to µs-UTC before unification (pa.unify_schemas refuses tz-flavor
+mixes).
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
        [--hotkey] [--bigid] [--ctrl] [--nullkey] [--rowdup] [--manyfiles]
-       [--longtext] [--evolve] [--filedirt]
+       [--longtext] [--evolve] [--filedirt] [--tz]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
 [_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey][_rowdup]
-[_manyfiles][_longtext][_evolve] — the
+[_manyfiles][_longtext][_evolve][_filedirt][_tz] — the
 variant suffix keeps adversarial sets from being mistaken for the plain
 one by consumers that reuse an existing dir (scale_probe_gen's
 exists-check).
@@ -410,6 +434,42 @@ def _inject_filedirt(target: str) -> None:
         f.write(b"\x00" * 8)
 
 
+def _retype_one_part_utc(target: str) -> None:
+    """--tz (r13): rewrite ONE part file's ts column as INT64 µs with
+    isAdjustedToUTC=true — the spec-compliant third timestamp generation
+    next to Spark's INT96 default and the naive producer's µs NTZ files.
+    Content is preserved exactly: the INT96 read coerces to MICROSECONDS
+    (the r12 lesson — pyarrow's default ns read silently wraps --dates
+    instants past 2262-04-11 by a full 2^64 ns; Spark writes µs-quantized
+    values into INT96, so µs coercion is lossless), and the naive→UTC
+    cast is metadata-only (verified value-identical in the r13 probes)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(target, "part-*.parquet")))
+    assert parts, target
+    # rewrite one of the NTZ (INT64 µs, naive) files where possible, so
+    # the directory keeps all THREE flavors even at 1-part scale factors
+    # (retyping the only INT96 file would collapse the mix to two)
+    ntz = [
+        p
+        for p in parts
+        if str(pq.read_schema(p).field("ts").type) == "timestamp[us]"
+    ]
+    src = ntz[0] if ntz else parts[0]
+    t = pq.ParquetFile(src, coerce_int96_timestamp_unit="us").read()
+    i = t.schema.get_field_index("ts")
+    typ = pa.timestamp("us", tz="UTC")
+    t = t.set_column(
+        i, pa.field("ts", typ, t.schema.field(i).nullable),
+        t.column(i).cast(typ),
+    )
+    os.remove(src)
+    pq.write_table(t, os.path.join(target, "part-00000-utcadj-tz.parquet"))
+
+
 def build(
     spark, dst: str, sf: float, nulls: bool = False,
     unicode_text: bool = False, empty: bool = False,
@@ -417,7 +477,7 @@ def build(
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
     ctrl: bool = False, nullkey_on: bool = False, rowdup: bool = False,
     manyfiles: bool = False, longtext: bool = False, evolve: bool = False,
-    filedirt: bool = False,
+    filedirt: bool = False, tz_on: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -487,6 +547,44 @@ def build(
                 )
             )
         return e.otherwise(col)
+
+    def tz_warp(col, key):
+        """With --tz, override a deterministic ~3% of EVENT timestamps
+        with session-timezone traps (module docstring): the 2024
+        America/New_York FALL-BACK window (each local wall-clock in
+        01:00-02:00 happens twice — the ambiguity --dates' spring-forward
+        band lacks), ±90 s of a New_York midnight, and ±90 s of a UTC
+        midnight (day-bucket flips in both directions for any date_trunc
+        computed in the wrong timezone). Applied OUTSIDE date_warp so the
+        bands win on residue collisions; modulus 97 is distinct from
+        every date_warp band so composition stays dense."""
+        if not tz_on:
+            return col
+        return (
+            # 2024-11-03 04:30-06:30 UTC: America/New_York fall-back
+            # (01:00-02:00 local repeats; UTC-5 vs UTC-4 ambiguity)
+            F.when(
+                key % 97 == 17,
+                F.timestamp_seconds(F.lit(1730608200) + key % 7200),
+            )
+            # ±90 s of New_York midnight 2024-01-15 (05:00:00 UTC)
+            .when(
+                key % 97 == 61,
+                F.timestamp_seconds(
+                    F.lit(1705294800 - 90) + key % 181
+                    + (key % 997) / 1000.0
+                ),
+            )
+            # ±90 s of UTC midnight 2024-01-20 (00:00:00 UTC)
+            .when(
+                key % 97 == 83,
+                F.timestamp_seconds(
+                    F.lit(1705708800 - 90) + key % 181
+                    + (key % 991) / 1000.0
+                ),
+            )
+            .otherwise(col)
+        )
 
     def neg_warp(col, key, salt):
         """With --negative, negate ~1/59 of values, zero ~1/101
@@ -618,6 +716,20 @@ def build(
             )
             evolve_new = new.select(*reversed(new.columns))
             df = df.filter((g % 4 != 1) & (g % 11 != 3))
+        tz_ntz = None
+        if tz_on and not empty and name == "events":
+            # timestamp-FLAVOR drift (module docstring): ~20% of rows into
+            # part files whose ts is INT64 µs TIMESTAMP_NTZ (the naive
+            # producer; the cast is wall-clock identity under the gen
+            # session's pinned UTC), the rest stay Spark's INT96 default,
+            # and _retype_one_part_utc below rewrites one file as µs
+            # UTC-adjusted. Full-row-hash selection (rowdup-stable), a
+            # modulus distinct from the --evolve split's.
+            gtz = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(4093))
+            tz_ntz = df.filter(gtz % 5 == 2).withColumn(
+                "ts", F.expr("CAST(ts AS TIMESTAMP_NTZ)")
+            )
+            df = df.filter(gtz % 5 != 2)
         if manyfiles and not empty:
             # pathological LAYOUT, identical content (module docstring):
             # ~180-280 tiny files (round-robin; per-table count derived
@@ -644,6 +756,9 @@ def build(
         if evolve_old is not None:
             evolve_old.coalesce(2).write.mode("append").parquet(target)
             evolve_new.coalesce(2).write.mode("append").parquet(target)
+        if tz_ntz is not None:
+            tz_ntz.coalesce(2).write.mode("append").parquet(target)
+            _retype_one_part_utc(target)
         if filedirt and not empty:
             _inject_filedirt(target)
         print(f"gen {name}", file=sys.stderr)
@@ -815,21 +930,25 @@ def build(
     write(
         spark.range(n_ev).select(
             F.col("id").alias("event_id"),
-            date_warp(
-                dd(
-                    F.timestamp_seconds(
-                        F.lit(1704067200)  # 2024-01-01 UTC
-                        + u(0, 30 * 86400, 29)
+            tz_warp(
+                date_warp(
+                    dd(
+                        F.timestamp_seconds(
+                            F.lit(1704067200)  # 2024-01-01 UTC
+                            + u(0, 30 * 86400, 29)
+                        ),
+                        # 48 distinct instants: tie-DENSE (user, ts) pairs
+                        # drive every asof/nearest/window tiebreak through
+                        # event_id
+                        F.timestamp_seconds(
+                            F.lit(1704067200)
+                            + F.floor(u(0, 48, 29)).cast("long") * 53754
+                        ),
                     ),
-                    # 48 distinct instants: tie-DENSE (user, ts) pairs drive
-                    # every asof/nearest/window tiebreak through event_id
-                    F.timestamp_seconds(
-                        F.lit(1704067200)
-                        + F.floor(u(0, 48, 29)).cast("long") * 53754
-                    ),
+                    F.col("id"),
+                    evt=True,
                 ),
                 F.col("id"),
-                evt=True,
             ).alias("ts"),
             # --extreme: ONE user owns every event — per-user windows,
             # asof partitions, and sessionization all collapse to a single
@@ -1157,6 +1276,7 @@ def main() -> int:
     ap.add_argument("--longtext", action="store_true")
     ap.add_argument("--evolve", action="store_true")
     ap.add_argument("--filedirt", action="store_true")
+    ap.add_argument("--tz", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -1177,7 +1297,9 @@ def main() -> int:
         "_manyfiles" if args.manyfiles else ""
     ) + ("_longtext" if args.longtext else "") + (
         "_evolve" if args.evolve else ""
-    ) + ("_filedirt" if args.filedirt else "")
+    ) + ("_filedirt" if args.filedirt else "") + (
+        "_tz" if args.tz else ""
+    )
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -1189,7 +1311,7 @@ def main() -> int:
           hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
           nullkey_on=args.nullkey, rowdup=args.rowdup,
           manyfiles=args.manyfiles, longtext=args.longtext,
-          evolve=args.evolve, filedirt=args.filedirt)
+          evolve=args.evolve, filedirt=args.filedirt, tz_on=args.tz)
     print(dst)
     return 0
 

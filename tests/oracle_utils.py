@@ -243,6 +243,14 @@ def register_duck_views(con, sf_dir: str) -> None:
         quarantine_scan,
     )
 
+    # pin the connection timezone (r13, --tz): a UTC-ADJUSTED part file
+    # (isAdjustedToUTC=true — the --tz axis's third timestamp generation)
+    # reads as TIMESTAMPTZ, and every oracle's CAST(ts AS TIMESTAMP)
+    # then converts through the connection's TimeZone setting. load_table
+    # pins the Spark session to UTC for exactly this reason; the harness
+    # must mirror it or the comparison depends on the host's /etc/timezone.
+    con.execute("SET TimeZone = 'UTC'")
+
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.environ.get("JPC_FILE_POLICY") == "quarantine":

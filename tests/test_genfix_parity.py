@@ -1878,3 +1878,134 @@ def test_mixed_codec_reads_transparently_under_strict_default(
         f"SELECT count(*) FROM read_parquet('{src}')"
     ).fetchone()[0]
     assert n == dn == 2 * base
+
+
+# r13 --tz: session-timezone + timestamp-FLAVOR traps (judge r12 task 5).
+# Three timestamp generations in ONE events directory — Spark's INT96
+# default, the naive producer's INT64 µs TIMESTAMP_NTZ, one µs
+# UTC-ADJUSTED rewrite — all denoting the SAME instants (naive == UTC
+# wall clock), plus value bands inside the America/New_York fall-back
+# window and ±90 s of NY/UTC midnights. The contract: both engines read
+# identical instants whatever footer they elect, and every day/window
+# bucket is computed in pinned UTC, never the session default.
+@pytest.fixture(scope="module")
+def tz_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.001_dates_tz")
+    # dates=True composes the 1902/2262/2304 instants with the flavor
+    # drift: the UTC-adjusted rewrite must carry them losslessly (the
+    # r12 INT96-ns-wrap class) and the NTZ cast must hold year 2304
+    build(spark, dst, 0.001, dates=True, tz_on=True)
+    return dst
+
+
+def test_tz_fixture_carries_three_timestamp_flavors(tz_dir):
+    """Fixture shape: the events directory holds INT96 (arrow: ns,
+    no tz), µs NTZ, and µs UTC-adjusted part files simultaneously."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    found = {
+        str(pq.read_schema(f).field("ts").type)
+        for f in glob.glob(os.path.join(tz_dir, "events.parquet", "part-*.parquet"))
+    }
+    assert {"timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]"} <= found, found
+
+
+def test_tz_mixed_flavors_read_identical_instants(spark, tz_dir):
+    """Cross-engine content identity on the mixed-flavor directory: the
+    (event_id, epoch-microsecond) multiset must agree exactly between
+    Spark's load_table (pinned-UTC session) and the DuckDB harness view
+    (pinned-UTC connection, TIMESTAMPTZ promotion via union_by_name)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+    from tests.oracle_utils import register_duck_views
+
+    sp = sorted(
+        (r["event_id"], r["us"])
+        for r in load_table(spark, tz_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        register_duck_views(con, tz_dir)
+        du = sorted(
+            (int(a), int(b))
+            for a, b in con.execute(
+                "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM events"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert sp == du
+    # the traps actually populate: fall-back window + NY-midnight band
+    fb = [1 for _, us in sp if 1730608200_000000 <= us <= 1730615400_000000]
+    nym = [1 for _, us in sp if abs(us - 1705294800_000000) <= 91_000000]
+    assert fb and nym, (len(fb), len(nym))
+
+
+def test_tz_differential_matches_on_ts_heavy_queries(spark, tz_dir):
+    """End-to-end parity on the mixed-flavor fixture for queries whose
+    semantics live in timestamp bucketing/windowing."""
+    import duckdb
+
+    from tests.oracle_utils import compare_query, register_duck_views
+
+    con = duckdb.connect()
+    try:
+        register_duck_views(con, tz_dir)
+        for name in [
+            "q_stream_tumbling",
+            "q_agg_time_rollup",
+            "q_win_time_range",
+            "q_stream_watermark",
+            "q_fn_date",
+        ]:
+            ok, detail = compare_query(
+                spark, con, registry.QUERIES[name],
+                registry.ORACLES[name], tz_dir,
+            )
+            assert ok, f"{name}: {detail}"
+    finally:
+        con.close()
+
+
+def test_tz_widen_policy_unifies_timestamp_flavors(spark, tz_dir):
+    """JPC_SCHEMA_POLICY=widen must survive the tz-flavor mix: the
+    pa.unify_schemas tz-aware/naive refusal falls back to µs-UTC
+    coercion (sources/io.py read_widened) and reads the same instants
+    as the default path."""
+    from pyspark.sql import functions as F
+
+    from json_parquet_convertor_spark.sources.io import load_table
+
+    base = sorted(
+        (r["event_id"], r["us"])
+        for r in load_table(spark, tz_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    os.environ["JPC_SCHEMA_POLICY"] = "widen"
+    try:
+        wide = sorted(
+            (r["event_id"], r["us"])
+            for r in load_table(spark, tz_dir, "events")
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .collect()
+        )
+    finally:
+        del os.environ["JPC_SCHEMA_POLICY"]
+    assert wide == base
