@@ -71,6 +71,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # reports removals instead of silently absorbing them (same result
     # set; re-confirm the contract row).
     "q_stream_join",
+    # r13 --tz sweep catch: the one oracle that used bare `ts` without
+    # the house CAST(ts AS TIMESTAMP) — renders tz-aware under the new
+    # axis's TIMESTAMPTZ union promotion.
+    "q_fn_timezone",
     # With 14 changed entries, verify_order's stalest-first tier hands
     # the REST of the driver's ~50-slot budget to the r4-era tier (31
     # queries: the ML-dataset batch, composites q5/q7/q18, …) and the

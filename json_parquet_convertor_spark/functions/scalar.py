@@ -658,11 +658,11 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_timezone",
     oracle="""
     SELECT event_id,
-           ts + INTERVAL 330 MINUTE AS ts_ist,
-           ts AS ts_roundtrip,
-           ts + INTERVAL 2 HOUR AS ts_plus2,
-           date_trunc('quarter', ts) AS quarter_start,
-           date_trunc('week', ts) AS week_start
+           CAST(ts AS TIMESTAMP) + INTERVAL 330 MINUTE AS ts_ist,
+           CAST(ts AS TIMESTAMP) AS ts_roundtrip,
+           CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS ts_plus2,
+           date_trunc('quarter', CAST(ts AS TIMESTAMP)) AS quarter_start,
+           date_trunc('week', CAST(ts AS TIMESTAMP)) AS week_start
     FROM events
     WHERE event_id % 20 = 0
     """,

@@ -1666,6 +1666,12 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one GLOBAL flag (same value on every row): mean ||z||² over ALL
     # vectors vs the fit stage's trace-identity expectation
+    # tolerance is RANK-AWARE (r13 --tz sweep catch): on near-rank-2
+    # generated embeddings the ε-floor amplifies eigensolve/assembly
+    # noise by 1/ε in each floored direction (~0.25% of the trace
+    # observed at sf0.01) — 1% relative + 1e-3·d absolute keeps the flag
+    # meaningful (a broken transform is off by O(1) per direction) while
+    # absorbing the amplified float noise on degenerate fixtures
     flag = (
         grouped.agg(
             F.sum("n_vectors").alias("__n"), F.sum("__ssq").alias("__s")
@@ -1674,7 +1680,8 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (
                 F.abs(F.col("__s") / F.col("__n") - F.col("expected_msq"))
-                <= 1e-3 * F.greatest(F.lit(1.0), F.col("expected_msq"))
+                <= 0.01 * F.greatest(F.lit(1.0), F.col("expected_msq"))
+                + 1e-3 * d
             )
             .cast("bigint")
             .alias("whiten_identity_ok")
