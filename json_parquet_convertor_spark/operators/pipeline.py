@@ -1438,6 +1438,29 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Finite-VECTOR guard (r13 sixteen-axes composed catch): --extreme plants
+#: NaN/±Inf components, and a vector with one has no geometry — moments,
+#: eigensolves, distances, and inertia all go NaN and every downstream
+#: invariant flag turns 0/NULL. The moment/centroid family EXCLUDES such
+#: vectors on BOTH sides (the same per-operator choice the quantizer makes
+#: by saturating, corpus.py:278). The Spark predicate treats a NULL
+#: component as non-finite (forall yields NULL → filter drops); the DuckDB
+#: twin states that explicitly (list_filter drops NULL lambda results).
+_DUCK_FINITE_VEC = (
+    "embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]),"
+    " x -> NOT isfinite(x) OR x IS NULL)) = 0"
+)
+
+
+def _finite_vec(col):
+    """All-components-finite predicate for an array<double> column."""
+    _inf = float("inf")
+    return F.forall(
+        col,
+        lambda x: ~F.isnan(x) & (x > F.lit(-_inf)) & (x < F.lit(_inf)),
+    )
+
+
 def _embed_moment_partials(emb: DataFrame, d: int) -> DataFrame:
     """Per-Arrow-batch (n, Σx, ΣxxT) moment partials over an embedding
     column — the shared fit stage of q_embed_pca and q_embed_whiten.
@@ -1467,8 +1490,9 @@ def _embed_moment_partials(emb: DataFrame, d: int) -> DataFrame:
 
 @query(
     "q_embed_pca",
-    oracle="""
-    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors
+               FROM embeddings WHERE {_DUCK_FINITE_VEC})
     SELECT CAST(i AS INT) AS component,
            n.n_vectors,
            CAST(1 AS BIGINT) AS evals_nonincreasing,
@@ -1505,10 +1529,17 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags are RANK-AWARE (generated fixtures' sin-family embeddings are
     near rank-2: trailing eigenvalues are ±1e-18-noise, so range checks
     carry a relative tolerance and a zero-variance corpus passes
-    vacuously). The oracle states the counts and expects every flag 1;
-    tests re-verify raw eigenvalues against a full-data numpy PCA."""
+    vacuously). Vectors with a non-finite or NULL component are
+    EXCLUDED on both sides (_DUCK_FINITE_VEC — the r13 composed-sweep
+    catch: one NaN poisons the whole eigensolve). The oracle states the
+    counts and expects every flag 1; tests re-verify raw eigenvalues
+    against a full-data numpy PCA."""
     d = 64
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter(_finite_vec(F.col("embedding")))
+    )
     parts = _embed_moment_partials(emb, d)
 
     def eig_top(it):
@@ -1563,11 +1594,12 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_whiten",
-    oracle="""
+    oracle=f"""
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(1 AS BIGINT) AS whiten_identity_ok
     FROM embeddings
+    WHERE {_DUCK_FINITE_VEC}
     GROUP BY label
     """,
 )
@@ -1587,8 +1619,9 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity is RANK-AWARE by construction (an ε-floored zero eigenvalue
     contributes ~0, so near-rank-2 generated fixtures pass with
     effective-rank ≈ 2, not d); tolerance 1e-3 relative absorbs the
-    ε-amplified eigensolve noise. The oracle states per-label counts and
-    expects the flag to be 1.
+    ε-amplified eigensolve noise. Vectors with a non-finite or NULL
+    component are EXCLUDED on both sides (_DUCK_FINITE_VEC). The oracle
+    states per-label counts and expects the flag to be 1.
 
     Scale design: the fit stage reduces to one 33 KB matrix row; APPLY
     broadcasts that single-row frame onto the embedding scan (a 1-row
@@ -1599,7 +1632,14 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrices, codebooks) — model state flows through the plan, never
     through the driver."""
     d = 64
-    df = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    df = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter(_finite_vec(F.col("embedding")))
+    )
     parts = _embed_moment_partials(df.select("embedding"), d)
 
     def fit(it):
@@ -1948,8 +1988,9 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_kmeans",
-    oracle="""
-    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors
+               FROM embeddings WHERE {_DUCK_FINITE_VEC})
     SELECT CAST(i AS INT) AS centroid_id,
            n.n_vectors,
            CAST(1 AS BIGINT) AS inertia_monotone,
@@ -1982,8 +2023,11 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size plus 0/1 flags: total inertia non-increasing across the
     Lloyd iterations (the algorithm's defining guarantee, up to 1e-9
     relative float slack) and every vector assigned to exactly one
-    cluster. The oracle states k = min(8, n) rows and expects both
-    flags 1; raw sizes/inertia stay numpy-re-verified in tests."""
+    cluster. Vectors with a non-finite or NULL component are EXCLUDED
+    on both sides (_DUCK_FINITE_VEC — NaN distances poison inertia and
+    assignment). The oracle states k = min(8, n) rows over the finite
+    corpus and expects both flags 1; raw sizes/inertia stay
+    numpy-re-verified in tests."""
     model = _kmeans_model(spark, sf_dir)
     if model is None:
         # empty corpus: no centroids to fit — same output schema, 0 rows
@@ -2022,8 +2066,13 @@ def _kmeans_model(spark: SparkSession, sf_dir: str) -> dict | None:
     import numpy as np
 
     d, k, iters = 64, 8, 3
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter(_finite_vec(F.col("embedding")))
     )
     seeds = [
         np.asarray(r["embedding"], dtype="float64")
@@ -2089,7 +2138,7 @@ def _kmeans_model(spark: SparkSession, sf_dir: str) -> dict | None:
             )
             .collect()
         )
-        inertias.append(float(sum(r["inr"] for r in rows)))
+        inertias.append(float(sum((r["inr"] or 0.0) for r in rows)))
         new = cent.copy()  # empty clusters keep their centroid
         for r in rows:
             new[r["c"]] = (
@@ -2106,7 +2155,7 @@ def _kmeans_model(spark: SparkSession, sf_dir: str) -> dict | None:
         .agg(F.sum("n").alias("n"), F.sum("inertia").alias("inr"))
         .collect()
     )
-    inertias.append(float(sum(r["inr"] for r in final_rows)))
+    inertias.append(float(sum((r["inr"] or 0.0) for r in final_rows)))
     return {
         "k": k,
         "d": d,
