@@ -1657,10 +1657,19 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = s_tot / n_tot
         cov = g_tot / n_tot - np.outer(mu, mu)
         evals, evecs = np.linalg.eigh(cov)
-        w = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T  # Λ^{-1/2} Uᵀ
+        # RELATIVE eigenvalue floor (rcond-style; r13 sf0.1 composed
+        # catch): an absolute 1e-12 floor amplifies covariance float
+        # noise by λmax·ulp/ε ≈ 5e-3 PER floored direction — 60 floored
+        # directions on the rank-2 fixtures put ~0.3 of noise into the
+        # trace identity. ε = 1e-9·λmax bounds the amplification at
+        # ~1e-7 per direction regardless of data scale (and is the
+        # standard pinv/rcond practice); full-rank corpora never notice.
+        eps = max(1e-12, 1e-9 * float(np.abs(evals).max(initial=0.0)))
+        evals_f = np.maximum(evals, eps)
+        w = (evecs / np.sqrt(evals_f)).T  # Λ^{-1/2} Uᵀ
         # the trace identity the contract flag checks: global mean ||z||²
         # must equal Σ λ/max(λ, ε) (≈ effective rank for floored dims)
-        expected = float((evals / np.maximum(evals, 1e-12)).sum())
+        expected = float((evals / evals_f).sum())
         yield pd.DataFrame(
             {
                 "mu": [mu.tolist()],

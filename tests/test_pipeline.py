@@ -198,7 +198,9 @@ def test_whitened_covariance_is_identity(spark, sf_dir):
     mu = m.mean(axis=0)
     cov = np.cov(m, rowvar=False, bias=True)
     evals, evecs = np.linalg.eigh(cov)
-    w = (evecs / np.sqrt(np.maximum(evals, 1e-12))).T
+    # mirror the engine's RELATIVE eigenvalue floor (rcond-style, r13)
+    eps = max(1e-12, 1e-9 * float(np.abs(evals).max(initial=0.0)))
+    w = (evecs / np.sqrt(np.maximum(evals, eps))).T
     z = (m - mu) @ w.T
     # whitening gives IDENTITY covariance only in the non-degenerate
     # directions: an eigenvalue at ~0 (rank-deficient data — the r12 10x
