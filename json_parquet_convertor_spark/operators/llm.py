@@ -140,11 +140,29 @@ _DN_BAND_KEYS = ",\n           ".join(
     " || ".join(f"h{b * _MH_R + r}" for r in range(_MH_R)) + f" AS k{b}"
     for b in range(_MH_B)
 )
+#: hot-bucket cap (r13 sf1.0 --hotkey catch, same policy as
+#: pipeline._DE_BUCKET_CAP): a boilerplate clique (50% near-identical
+#: docs) collides into ONE band bucket and makes pair emission itself
+#: O(clique²) — over-dense buckets are excluded from pairwise
+#: generation on BOTH sides (the q_dedup_ngram_jaccard df≤100
+#: stop-shingle precedent applied to LSH bands; cliques belong to the
+#: clustering/canonical-assignment path, not all-pairs emission)
+_MH_BUCKET_CAP = 200
+
+_DN_OCC_SQL = ",\n".join(
+    f"""    occ{b} AS (
+        SELECT k{b} AS k FROM bands GROUP BY 1
+        HAVING COUNT(*) <= {_MH_BUCKET_CAP}
+    )"""
+    for b in range(_MH_B)
+)
+
 _DN_CAND_SQL = "\n        UNION\n".join(
     f"""        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.sig AS sa, b.sig AS sb
         FROM bands a JOIN bands b
-          ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id"""
+          ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id
+        JOIN occ{b} ON a.k{b} = occ{b}.k"""
     for b in range(_MH_B)
 )
 
@@ -172,6 +190,7 @@ _DN_CAND_SQL = "\n        UNION\n".join(
            {_DN_BAND_KEYS}
         FROM sig
     ),
+{_DN_OCC_SQL},
     cand AS (
 {_DN_CAND_SQL}
     )
@@ -223,6 +242,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_hash"),
+    )
+    # hot-bucket cap (see _MH_BUCKET_CAP): exclude over-dense band
+    # buckets from pairwise generation — boilerplate cliques otherwise
+    # make pair emission itself quadratic
+    occ = (
+        bands.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") <= _MH_BUCKET_CAP)
+        .select("band_idx", "band_hash")
+    )
+    bands = bands.join(
+        F.broadcast(occ), ["band_idx", "band_hash"], "left_semi"
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

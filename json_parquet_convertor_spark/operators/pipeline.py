@@ -99,11 +99,27 @@ _SH_CHUNK_LIST = "[" + ", ".join(
     + ")"
     for c in range(8)
 ) + "]"
+#: hot-bucket cap — same policy and rationale as _DE_BUCKET_CAP: a
+#: boilerplate clique (--hotkey: 50% near-identical docs) lands in ONE
+#: chunk bucket and makes pair emission O(clique²); over-dense buckets
+#: are boilerplate-class and excluded from pairwise generation (the
+#: clique belongs to q_dedup_cluster / exact dedup, not all-pairs)
+_SH_BUCKET_CAP = 200
+
+_SH_OCC_SQL = ",\n".join(
+    f"""    occ{c} AS (
+        SELECT ch[{c + 1}] AS k FROM chunks GROUP BY 1
+        HAVING COUNT(*) <= {_SH_BUCKET_CAP}
+    )"""
+    for c in range(8)
+)
+
 _SH_CAND_SQL = "\n        UNION\n".join(
     f"""        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.ch AS ca, b.ch AS cb
         FROM chunks a JOIN chunks b
-          ON a.ch[{c + 1}] = b.ch[{c + 1}] AND a.doc_id < b.doc_id"""
+          ON a.ch[{c + 1}] = b.ch[{c + 1}] AND a.doc_id < b.doc_id
+        JOIN occ{c} ON a.ch[{c + 1}] = occ{c}.k"""
     for c in range(8)
 )
 
@@ -128,6 +144,7 @@ _SH_CAND_SQL = "\n        UNION\n".join(
     chunks AS (
         SELECT doc_id, {_SH_CHUNK_LIST} AS ch FROM votes
     ),
+{_SH_OCC_SQL},
     cand AS (
 {_SH_CAND_SQL}
     )
@@ -150,7 +167,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is EXACT by pigeonhole: any pair within distance 7 must agree on
     at least one full chunk, so no qualifying pair can be missed
     (tests/test_pipeline.py asserts this against a brute-force
-    recomputation over the same fingerprints).
+    recomputation over the same fingerprints). Exactness holds WITHIN
+    the hot-bucket cap (r13): buckets with > _SH_BUCKET_CAP members are
+    a boilerplate clique whose all-pairs emission is quadratic by
+    construction — they are excluded from pairwise generation on both
+    sides and belong to the clustering/canonical path instead.
 
     Driver contract (r12 verdict task 2, promoted from rows-only): the
     md5-derived fingerprint bits are engine-portable, so the oracle
@@ -170,6 +191,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ch",
         F.posexplode("ch").alias("chunk_idx", "chunk"),
+    )
+    # hot-bucket cap (see _SH_BUCKET_CAP): exclude over-dense chunk
+    # buckets from pairwise generation — the pigeonhole exactness
+    # guarantee then holds WITHIN the capped buckets (boilerplate
+    # cliques route to the clustering path instead of all-pairs)
+    occ = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .count()
+        .filter(F.col("count") <= _SH_BUCKET_CAP)
+        .select("chunk_idx", "chunk")
+    )
+    chunks = chunks.join(
+        F.broadcast(occ), ["chunk_idx", "chunk"], "left_semi"
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.aggregate(
@@ -482,10 +516,31 @@ _DE_BUCKET_SQL = [
     for t in range(4)
 ]
 
+#: Hot-bucket cap (r13 sf1.0 --hotkey catch): 50% of a corpus being one
+#: near-identical boilerplate clique puts n/2 vectors into ONE bucket of
+#: every table — pair EMISSION is then inherently O((n/2)²) whatever the
+#: candidate machinery does (3.1e8 pairs at sf1.0; the rows-only era
+#: counted them, a value-hash oracle must materialize them). Buckets
+#: with > _DE_BUCKET_CAP members are boilerplate-class and are excluded
+#: from PAIRWISE generation — the q_dedup_ngram_jaccard df≤100
+#: stop-shingle precedent applied to LSH buckets; the clique class
+#: belongs to the clustering/canonical-assignment path
+#: (q_dedup_cluster), not all-pairs emission. Stated on BOTH sides.
+_DE_BUCKET_CAP = 200
+
+_DE_OCC_SQL = ",\n".join(
+    f"""    occ{t} AS (
+        SELECT b{t} AS k FROM s GROUP BY 1
+        HAVING COUNT(*) <= {_DE_BUCKET_CAP}
+    )"""
+    for t in range(4)
+)
+
 _DE_CAND_SQL = "\n        UNION\n".join(
     f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM s a JOIN s b
-          ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
+          ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id
+        JOIN occ{t} ON a.b{t} = occ{t}.k"""
     for t in range(4)
 )
 
@@ -506,6 +561,7 @@ _DE_CAND_SQL = "\n        UNION\n".join(
                {_DE_BUCKET_SQL[3]} AS b3
         FROM e
     ),
+{_DE_OCC_SQL},
     cand AS (
 {_DE_CAND_SQL}
     )
@@ -582,6 +638,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table_idx", "bucket"
         ),
     ).cache()
+    # hot-bucket cap (see _DE_BUCKET_CAP): boilerplate cliques make pair
+    # emission itself quadratic — exclude over-dense buckets from
+    # pairwise generation (the df-pruning precedent); the occupancy
+    # table is bucket-cardinality-sized and broadcastable
+    occ = (
+        sigs.groupBy("table_idx", "bucket")
+        .count()
+        .filter(F.col("count") <= _DE_BUCKET_CAP)
+        .select("table_idx", "bucket")
+    )
+    sigs = sigs.join(F.broadcast(occ), ["table_idx", "bucket"], "left_semi")
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
