@@ -259,13 +259,34 @@ connection, and the widen-policy footer union coerces timestamp flavors
 to µs-UTC before unification (pa.unify_schemas refuses tz-flavor
 mixes).
 
+With --conflict (r13), CONFLICTING RE-DELIVERY — the non-idempotent
+sibling of --rowdup, and the last at-least-once integrity violation the
+reference can produce: a record UPDATED at the source between two
+deliveries arrives twice with the SAME primary id but a DIFFERENT
+payload (--rowdup's copies are byte-identical, so any order-dependent
+per-key pick stays invisibly "correct"; a conflicting payload makes
+every unstable pick VISIBLE as a cross-engine value divergence). A
+deterministic ~1/37 of every table's rows (full-row hash, pre-warp)
+gain a v2 copy and a disjoint ~1/211 gain v2 AND v3 (breaking "exactly
+two copies" assumptions). Key columns (ids, FKs, l_linenumber) and
+temporal columns (o_orderdate, l_shipdate, ts) are IDENTICAL across
+versions — the ambiguity must not be resolvable by any (key, time)
+sort — while payload attributes drift deterministically per version:
+strings get a '~v2'/'~v3' suffix, doubles +0.125/+0.25 (exactly
+representable), int payloads +1/+2 (overflow-guarded); arrays/binary
+and events.props stay stable (valid-JSON drift is not this axis's job —
+dirty bytes are --ctrl's). It attacks every first()/any_value(),
+row_number/rank ordered by a no-longer-determining key, argmax chain,
+dropDuplicates-by-key, upsert/CDC/SCD2 key-match, and as-of pick whose
+tie-break assumed (id) or (id, ts) was a total order.
+
 Usage: python scripts/gen_fixtures.py --sf 0.3 [--out DIR] [--nulls]
        [--unicode] [--empty] [--dupes] [--extreme] [--dates] [--negative]
        [--hotkey] [--bigid] [--ctrl] [--nullkey] [--rowdup] [--manyfiles]
-       [--longtext] [--evolve] [--filedirt] [--tz]
+       [--longtext] [--evolve] [--filedirt] [--tz] [--conflict]
 Default out: $TMPDIR/jpc_genfix_sf<sf>[_nulls][_unicode][_empty][_dupes]
 [_extreme][_dates][_negative][_hotkey][_bigid][_ctrl][_nullkey][_rowdup]
-[_manyfiles][_longtext][_evolve][_filedirt][_tz] — the
+[_manyfiles][_longtext][_evolve][_filedirt][_tz][_conflict] — the
 variant suffix keeps adversarial sets from being mistaken for the plain
 one by consumers that reuse an existing dir (scale_probe_gen's
 exists-check).
@@ -322,6 +343,17 @@ BIGID_COLS = frozenset({
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
     "doc_id", "vec_id",
 })
+
+#: --conflict: columns IDENTICAL across conflicting versions of one row.
+#: Keys/FKs (referential integrity: an update never rewrites identity)
+#: plus the temporal columns (so no (key, time) sort can re-totalize the
+#: pick — that ambiguity IS the axis) plus events.props (valid-JSON
+#: drift would be a dirty-bytes trap, which is --ctrl's job).
+CONFLICT_KEEP = BIGID_COLS | {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_nationkey",
+    "s_nationkey", "l_linenumber", "o_orderdate", "l_shipdate", "ts",
+    "props",
+}
 
 #: --evolve: the "late-added" column OLD part files are missing (read back
 #: as NULL under the catalog contract) and the UNKNOWN column NEW part
@@ -477,7 +509,7 @@ def build(
     negative: bool = False, hotkey: bool = False, bigid: bool = False,
     ctrl: bool = False, nullkey_on: bool = False, rowdup: bool = False,
     manyfiles: bool = False, longtext: bool = False, evolve: bool = False,
-    filedirt: bool = False, tz_on: bool = False,
+    filedirt: bool = False, tz_on: bool = False, conflict: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -656,6 +688,51 @@ def build(
         return F.element_at(lit, idx + 1)
 
     def write(df, name, parts):
+        if conflict:
+            # conflicting re-delivery (module docstring): the update
+            # happened at the SOURCE, so it precedes --rowdup's transport
+            # duplication (a v2 copy can itself be re-delivered exactly)
+            # and the --bigid warp (keys identical across versions get
+            # the same affine map — referential integrity holds). The
+            # selection modulus 6421 is distinct from every other axis's
+            # so compositions stay independent.
+            hc = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(6421))
+
+            def _drift(src, ver):
+                out = src
+                for fld in src.schema.fields:
+                    if fld.name in CONFLICT_KEEP:
+                        continue
+                    t = fld.dataType.simpleString()
+                    if t == "string":
+                        out = out.withColumn(
+                            fld.name,
+                            F.concat(F.col(fld.name), F.lit(f"~v{ver}")),
+                        )
+                    elif t == "double":
+                        # exactly-representable delta: both engines see
+                        # bit-identical drifted values
+                        out = out.withColumn(
+                            fld.name,
+                            F.col(fld.name) + F.lit(0.125 * (ver - 1)),
+                        )
+                    elif t in ("int", "bigint"):
+                        # ANSI-safe: step DOWN at the type ceiling so a
+                        # composed --extreme/--longtext max never throws
+                        lim = (2**31 - 3) if t == "int" else (2**63 - 3)
+                        out = out.withColumn(
+                            fld.name,
+                            F.col(fld.name)
+                            + F.when(
+                                F.col(fld.name) < F.lit(lim),
+                                F.lit(ver - 1),
+                            ).otherwise(F.lit(-(ver - 1))).cast(t),
+                        )
+                return out
+
+            v2 = _drift(df.filter((hc % 37 == 17) | (hc % 211 == 5)), 2)
+            v3 = _drift(df.filter(hc % 211 == 5), 3)
+            df = df.unionByName(v2).unionByName(v3)
         if rowdup:
             # at-least-once re-delivery: EXACT duplicate rows including
             # duplicated primary ids (module docstring). Selected by a
@@ -1277,6 +1354,7 @@ def main() -> int:
     ap.add_argument("--evolve", action="store_true")
     ap.add_argument("--filedirt", action="store_true")
     ap.add_argument("--tz", action="store_true")
+    ap.add_argument("--conflict", action="store_true")
     args = ap.parse_args()
 
     from json_parquet_convertor_spark.session import get_spark
@@ -1299,7 +1377,7 @@ def main() -> int:
         "_evolve" if args.evolve else ""
     ) + ("_filedirt" if args.filedirt else "") + (
         "_tz" if args.tz else ""
-    )
+    ) + ("_conflict" if args.conflict else "")
     dst = args.out or os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"jpc_genfix_sf{args.sf}{suffix}"
     )
@@ -1311,7 +1389,8 @@ def main() -> int:
           hotkey=args.hotkey, bigid=args.bigid, ctrl=args.ctrl,
           nullkey_on=args.nullkey, rowdup=args.rowdup,
           manyfiles=args.manyfiles, longtext=args.longtext,
-          evolve=args.evolve, filedirt=args.filedirt, tz_on=args.tz)
+          evolve=args.evolve, filedirt=args.filedirt, tz_on=args.tz,
+          conflict=args.conflict)
     print(dst)
     return 0
 
