@@ -20,12 +20,26 @@ Spark (exact-expansion HALF_UP) vs DuckDB (scaled multiply) then disagree on
 derived measures, cast the FACTORS to decimal and multiply in decimal
 arithmetic (exact in both engines while precision stays ≤ 38).
 
+r13 REFINEMENT (--conflict sweep): the "stored columns round identically"
+premise holds only while the stored values carry FEWER decimals than the cast
+scale. The conflicting-re-delivery axis drifts 2-dp money columns by +0.125,
+producing 3-dp values that are exact MIDPOINTS of a scale-2 cast — and there
+the engines' cast paths split: Spark string-roundtrips the double (shortest
+repr "0.145") and rounds HALF_UP, while DuckDB scales the binary double
+(0.1449999…) and rounds to nearest, i.e. DOWN whenever the bits sit below the
+exact midpoint. Oracle-side rule: every CAST(double_col AS DECIMAL(p,s)) with
+s ≤ 2 must route through VARCHAR — CAST(CAST(x AS VARCHAR) AS DECIMAL(p,s)) —
+so DuckDB parses the same shortest decimal string Spark's cast materializes
+(string→decimal is HALF_UP away-from-zero in both engines; probed r13).
+Scale-4 casts stay direct: a 3-dp value is exact at scale 4.
+
 Spark side helpers below; the oracle side uses the same construction inline:
 
     CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sum_x
     CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x) AS avg_x
-    -- derived measure, decimal factors:
-    CAST(SUM(CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(4,2)))) AS DOUBLE)
+    -- derived measure, decimal factors (s<=2: note the VARCHAR hop):
+    CAST(SUM(CAST(CAST(p AS VARCHAR) AS DECIMAL(12,2))
+             * (1 - CAST(CAST(d AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE)
 """
 
 from __future__ import annotations

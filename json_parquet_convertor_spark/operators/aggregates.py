@@ -47,8 +47,15 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           -- double->DECIMAL through VARCHAR (r13, --conflict): a
+           -- 3-decimal value (x.xx5 after the +0.125 payload drift) is a
+           -- scale-2 midpoint. Spark's cast string-roundtrips the double
+           -- (shortest repr "0.145") then rounds HALF_UP; DuckDB's direct
+           -- cast scales the BINARY double (0.1449999...) and rounds DOWN
+           -- whenever the bits sit below the exact midpoint. The VARCHAR
+           -- hop makes DuckDB see the same shortest decimal string.
+           CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(4,2))) * (1 + CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,

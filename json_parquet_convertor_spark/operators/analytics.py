@@ -94,14 +94,14 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH old AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 3 = 0
-                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                    THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2))
                          * CAST(0.9 AS DECIMAL(2,1))
-                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                    ELSE CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2))
                               AS DECIMAL(15,3)) END AS price
         FROM orders WHERE o_orderkey % 7 <> 0
     ), new AS (
         SELECT o_orderkey,
-               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3))
+               CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(12,2)) AS DECIMAL(15,3))
                    AS price
         FROM orders WHERE o_orderkey % 5 <> 0
     )

@@ -432,7 +432,9 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           -- VARCHAR hop: scale-2 midpoint parity (r13 --conflict rule,
+           -- see q_agg_groupby's oracle comment)
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) * (1 - CAST(CAST(l.l_discount AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -605,8 +607,8 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_composite_q3",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2))
+                    * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE)
                AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer
@@ -1360,8 +1362,8 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_composite_q5",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2))
+                    * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE)
                AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1716,8 +1718,8 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- 365.25-day-year boundary would otherwise flip the year
            CAST(floor(floor(epoch(CAST(l_shipdate AS TIMESTAMP)))
                       / 86400 / 365.25) AS BIGINT) AS ship_year,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2))
+                    * (1 - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(4,2)))) AS DOUBLE)
                AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey

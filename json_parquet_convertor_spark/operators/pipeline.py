@@ -2455,8 +2455,8 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_records,
            min_by(r.name, r.k) AS canonical_name,
-           floor((MAX(CAST(r.price AS DECIMAL(12,2)))
-                  - MIN(CAST(r.price AS DECIMAL(12,2))))
+           floor((MAX(CAST(CAST(r.price AS VARCHAR) AS DECIMAL(12,2)))
+                  - MIN(CAST(CAST(r.price AS VARCHAR) AS DECIMAL(12,2))))
                  * 10000 + 0.5) / 10000 AS price_spread
     FROM rec r JOIN canon c ON c.blk = r.blk AND c.name = r.name
     GROUP BY 1

@@ -174,7 +174,9 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey AS id,
            c_name AS full_name,
            CAST(c_nationkey AS TINYINT) AS nat_tiny,
-           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec
+           -- VARCHAR hop: scale-2 midpoint parity (r13 --conflict rule,
+           -- see q_agg_groupby's oracle comment)
+           CAST(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec
     FROM customer
     """,
 )
