@@ -389,11 +389,14 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           -- component-level mirror (r12, --unicode case-fold traps):
-           -- java.net.URI NULLs the HOST of an authority carrying
-           -- non-ASCII ('srcß4' sources) while PATH/QUERY/PROTOCOL still
-           -- parse — guard host alone, not the whole URL
-           CASE WHEN bad OR regexp_matches(source, '[^\\x00-\\x7f]')
+           -- component-level mirror (r12 --unicode, widened r13
+           -- --conflict): java.net.URI accepts a server-based authority
+           -- only over the hostname alphabet [A-Za-z0-9.-]; anything
+           -- else ('srcß4', the drift marker 'src0~v2' — '~' is RFC 3986
+           -- unreserved but NOT hostname-legal) demotes the authority to
+           -- registry-based and getHost() is NULL while PATH/QUERY/
+           -- PROTOCOL still parse — guard host alone, not the whole URL
+           CASE WHEN bad OR regexp_matches(source, '[^-A-Za-z0-9.]')
                 THEN NULL
                 ELSE source || '.example.com' END AS host,
            CASE WHEN bad THEN NULL
