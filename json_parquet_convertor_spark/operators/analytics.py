@@ -1220,7 +1220,8 @@ def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, event_type AS src,
                lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                   event_type ASC NULLS FIRST
                ) AS dst
         FROM events
     ),
@@ -1255,7 +1256,9 @@ def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("event_type")
+    )
     s = ev.select(
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
@@ -1961,8 +1964,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
         SELECT user_id, event_type,
+               -- event_type tiebreak (r13, --conflict): conflicting
+               -- copies tie (ts, event_id) with drifted types
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS FIRST
                ) AS rn
         FROM events
     ),
@@ -1997,7 +2003,9 @@ def q_seq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("event_type")
+    )
     ranked = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 5)
@@ -2311,8 +2319,11 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
         SELECT user_id, event_type,
+               -- event_type tiebreak (r13, --conflict): conflicting
+               -- copies tie (ts, event_id) with drifted types
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS FIRST
                ) AS rn
         FROM events
     ),
@@ -2349,7 +2360,9 @@ def q_seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("event_type")
+    )
     ranked = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 6)

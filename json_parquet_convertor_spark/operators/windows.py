@@ -84,15 +84,23 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(value) OVER w AS next_value,
            FIRST_VALUE(event_id) OVER w AS first_event,
            LAST_VALUE(event_id) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
+             (PARTITION BY user_id ORDER BY ts, event_id,
+              value ASC NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- value tiebreak (r13, --conflict): (ts, event_id) is no longer a
+    -- total order once a conflicting re-delivery duplicates event_id
+    -- with a drifted value — lag/lead association over the tie pair
+    -- would be engine-arbitrary. NULLS FIRST matches Spark's ASC default.
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id,
+                 value ASC NULLS FIRST)
     """,
 )
 def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("value")
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return ev.select(
         "user_id",
@@ -110,12 +118,18 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame_rows",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
+           -- o_totalprice tiebreak (r13, --conflict): a conflicting
+           -- re-delivery ties (o_orderdate, o_orderkey) with drifted
+           -- prices, so the running sum's accumulation order needs the
+           -- price itself to stay total. NULLS FIRST = Spark ASC default.
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey,
+                   o_totalprice ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend,
            CAST(COUNT(*) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey,
+                   o_totalprice ASC NULLS FIRST
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS last3_cnt
     FROM orders
@@ -125,7 +139,9 @@ def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum over a ROWS frame — decimal-exact so the running totals
     hash-match the oracle at every row."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", F.asc_nulls_first("o_totalprice")
+    )
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last3 = w.rowsBetween(-2, Window.currentRow)
     return orders.select(
@@ -596,7 +612,9 @@ def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEAD(value) OVER w AS next_v
         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
               FROM events)
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        -- value tiebreak (r13, --conflict): see q_win_analytic
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id,
+                     value ASC NULLS FIRST)
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -612,7 +630,10 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     local minima ("dips" — drop then recovery) and maxima ("peaks") in
     each user's value series — the down-up / up-down shapes behind
     bounce detection, double-bottom alerts, and sensor-glitch filters,
-    expressed with lag/lead instead of a CEP engine.
+    expressed with lag/lead instead of a CEP engine. The window order
+    carries a value tiebreak (r13, --conflict): a conflicting re-delivery
+    ties (ts, event_id) with drifted values, and a dip/peak count over an
+    engine-arbitrary tie order is not symmetric.
 
     Scale design: one shuffle on user_id; lag/lead and the dip/peak
     conditionals all evaluate inside the SAME window partitioning (no
@@ -620,7 +641,9 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-1/t/t+1 self-join would shuffle the table three times). Per-user
     sequence state is two rows, whatever the history length."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("value")
+    )
     s = ev.select(
         "user_id",
         "value",
@@ -648,8 +671,12 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- per-user trailing window over anonymous rows would lump
         -- different people into one pseudo-user (--nullkey axis)
         SELECT user_id, event_id, event_type,
+               -- event_type tiebreak (r13, --conflict): conflicting
+               -- copies tie (ts, event_id) with drifted types, and the
+               -- trailing frame CONTENT depends on the tie order
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS FIRST
                ) AS rn
         FROM events
         WHERE user_id IS NOT NULL
@@ -687,7 +714,7 @@ def q_win_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", F.asc_nulls_first("event_type"))
         .rowsBetween(-9, Window.currentRow)
     )
     return ev.select(
@@ -764,7 +791,12 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
            ), 4) AS ewma
     FROM (
         SELECT user_id,
-               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+               -- value tiebreak (r13, --conflict): the Spark twin sorts
+               -- (ts, event_id, v) structs, so its fold already breaks
+               -- conflicting-copy ties by the value; mirror it (NULLS
+               -- FIRST = Spark's null-field-smallest struct order)
+               list(CAST(value AS DOUBLE)
+                    ORDER BY ts, event_id, value ASC NULLS FIRST) AS vals
         FROM events
         GROUP BY user_id
     )
