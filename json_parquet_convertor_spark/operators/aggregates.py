@@ -2461,8 +2461,12 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT user_id, relevant,
+               -- relevant tiebreak (r13, --conflict): a conflicting copy
+               -- shares event_id (hence score) but flips relevance
+               -- ('purchase~v2'), so the first-relevant rank needs it
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY score DESC, event_id
+                   PARTITION BY user_id ORDER BY score DESC, event_id,
+                       relevant
                ) AS rk
         FROM scored
     ),
@@ -2516,7 +2520,7 @@ def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.desc("score"), "event_id"
+        F.desc("score"), "event_id", "relevant"
     )
     ranked = scored.withColumn("rk", F.row_number().over(w))
     firsts = ranked.groupBy("user_id").agg(

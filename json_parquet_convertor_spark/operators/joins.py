@@ -334,18 +334,22 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     best AS (
-        -- DISTINCT: the payload join-back matches EVERY physical copy of
-        -- the winning event, and --rowdup re-delivers exact copies with
-        -- the same event_id — without it a duplicated winner fans the
-        -- LEFT JOIN below out to one extra (identical) row per copy
-        SELECT DISTINCT ue.user_id, ue.k,
+        -- GROUP BY + MAX(type), not DISTINCT (r11 --rowdup, r13
+        -- --conflict): the payload join-back matches EVERY physical copy
+        -- of the winning event_id — exact re-delivered copies (DISTINCT
+        -- collapsed those) AND conflicting re-deliveries whose drifted
+        -- event_type DISTINCT kept, fanning the LEFT JOIN below. The
+        -- contract pick among same-(ts, event_id) versions is the MAX
+        -- event_type, mirroring the Spark carry window's type tiebreak.
+        SELECT ue.user_id, ue.k,
                make_timestamp(CAST(ue.pk // 10000000000000000000
                                    AS BIGINT)
                               - 100000000000000000) AS last_event_ts,
-               ev.event_type AS last_event_type
+               max(ev.event_type) AS last_event_type
         FROM ue JOIN events ev
           ON ev.user_id = ue.user_id
          AND ev.event_id = CAST(ue.pk % 10000000000000000000 AS BIGINT)
+        GROUP BY 1, 2, 3
     )
     SELECT o.o_orderkey, o.o_custkey,
            best.last_event_ts, best.last_event_type
@@ -394,9 +398,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing, so the NULL-custkey partition must carry NO events — the
     # orders there still emit, with NULL last_event (left-join semantics)
     merged = orders.unionByName(ev.filter(F.col("u").isNotNull()))
+    # ev_type tiebreak (r13, --conflict): conflicting copies tie the full
+    # (ts, is_order, event_id) key with drifted types; last() then picks
+    # the MAX type — the same contract the oracle's join-back states
     w = (
         Window.partitionBy("u")
-        .orderBy("ts", "is_order", F.col("event_id").asc_nulls_first())
+        .orderBy(
+            "ts",
+            "is_order",
+            F.col("event_id").asc_nulls_first(),
+            F.asc_nulls_first("ev_type"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -553,6 +565,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ELSE CAST(1.30 AS DECIMAL(4,2)) END))
                 AS VARCHAR) AS DOUBLE) AS weighted_price
     FROM lineitem
+    -- inner-join fidelity (r13, --conflict): the engine joins the fact
+    -- to a 3-row dim, so a drifted flag ('A~v2') matches NOTHING — the
+    -- CASE lookup's ELSE arm must not resurrect it as a phantom group
+    WHERE l_returnflag IN ('A', 'N', 'R')
     GROUP BY 1
     """,
 )
@@ -1587,8 +1603,15 @@ def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- nullable (old-schema part files) and DuckDB arg_max
                -- SKIPS NULL values where Spark max_by returns the value
                -- at the true extreme key; chr(1) makes every row visible
-               -- to arg_max and decodes back to NULL in the final select
-               max_by(COALESCE(o_orderpriority, chr(1)), o_orderkey)
+               -- and decodes back to NULL in the final select.
+               -- Lexicographic STRUCT max, not arg_max (r13, --conflict):
+               -- a conflicting re-delivery ties the max o_orderkey with
+               -- drifted priorities, so the pick carries the priority as
+               -- its own tiebreak — both engines compare (key, payload)
+               -- structs field-wise left to right.
+               (max(struct_pack(
+                   k := o_orderkey,
+                   p := COALESCE(o_orderpriority, chr(1))))).p
                    AS state
         FROM orders GROUP BY 1, 2
     ),
@@ -1664,10 +1687,20 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tests/test_genfix_parity.py::test_nul_sentinel_absent_from_
         # orders_priority; a future fixture axis that dirties orders
         # strings must avoid \x01 (or this decode must switch sentinel)
+        # struct max, not max_by (r13, --conflict): see oracle comment —
+        # the coalesce must sit INSIDE the compared struct so a
+        # NULL-priority copy loses to its non-NULL twin identically in
+        # both engines (Spark struct comparison would sort a NULL field
+        # smallest anyway; chr(1) keeps that explicit and decodeable)
         .agg(
-            F.coalesce(
-                F.max_by("o_orderpriority", "o_orderkey"), F.lit("\x01")
-            ).alias("state")
+            F.max(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.coalesce(
+                        F.col("o_orderpriority"), F.lit("\x01")
+                    ).alias("p"),
+                )
+            )["p"].alias("state")
         )
         .select("custkey", "d", F.lit(0).alias("kind"), "state",
                 F.lit(None).cast("bigint").alias("l_orderkey"),

@@ -853,14 +853,18 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH h AS (
         -- one fingerprint per DOCUMENT, not per delivery: --rowdup
-        -- re-delivers exact copies (same doc_id, same text), which the
-        -- Spark twin's groupBy(doc_id) collapses — dedup here too
+        -- re-delivers exact copies and --conflict re-delivers DRIFTED
+        -- versions of the same doc_id; the canonical text is the MAX
+        -- version (deterministic binary compare in both engines, NULLs
+        -- skipped by both MAX aggregates) — fingerprinting a merged
+        -- shingle union would hash a chimera matching no real version
         SELECT doc_id,
                list_sort(list_distinct(
                    list_transform({_DUCK_SHINGLES}, s -> md5(s))
                )) AS hs
         FROM (SELECT doc_id, string_split(text, ' ') AS l
-              FROM (SELECT DISTINCT doc_id, text FROM documents))
+              FROM (SELECT doc_id, max(text) AS text
+                    FROM documents GROUP BY doc_id))
         WHERE len(l) >= 3
     )
     SELECT doc_id,
@@ -875,8 +879,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch — stable under small edits, the MOSS/winnowing idea), and
     digest them into one fingerprint. md5 is used as the shingle hash
     because both engines implement it identically, making the whole
-    sketch oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sketch oracle-checkable. Conflicting re-delivered versions of a
+    doc_id (r13, --conflict) resolve to the MAX text before shingling —
+    one fingerprint per document, of one real version."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+    )
     sh = _spark_shingles(docs).select("doc_id", F.md5("sh").alias("h"))
     return (
         sh.groupBy("doc_id")

@@ -269,8 +269,13 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, event_id,
                CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_epoch,
+               -- event_type tiebreak in BOTH passes (r13, --conflict):
+               -- conflicting copies tie (ts, event_id) with drifted
+               -- types, so change detection and version numbering both
+               -- need the type to stay a total order
                LAG(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS FIRST
                ) AS prev_type
         FROM events
     ),
@@ -282,10 +287,12 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type,
            ts_epoch AS valid_from,
            LEAD(ts_epoch) OVER (
-               PARTITION BY user_id ORDER BY ts_epoch, event_id
+               PARTITION BY user_id ORDER BY ts_epoch, event_id,
+                   event_type ASC NULLS FIRST
            ) AS valid_to,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts_epoch, event_id
+               PARTITION BY user_id ORDER BY ts_epoch, event_id,
+                   event_type ASC NULLS FIRST
            ) AS BIGINT) AS version
     FROM changes
     """,
@@ -310,7 +317,9 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsec("ts").alias("ts_epoch"),
         F.col("ts"),
     )
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_order = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.asc_nulls_first("event_type")
+    )
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w_order))
         .filter(
@@ -319,7 +328,9 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_type", "ts_epoch", "event_id")
     )
-    w_ver = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    w_ver = Window.partitionBy("user_id").orderBy(
+        "ts_epoch", "event_id", F.asc_nulls_first("event_type")
+    )
     return changes.select(
         "user_id",
         "event_type",

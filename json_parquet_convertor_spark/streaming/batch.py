@@ -36,6 +36,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from json_parquet_convertor_spark import convert
 from json_parquet_convertor_spark.exact import dsum
@@ -187,7 +188,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         FROM events WHERE event_id % 10 = 0
     )
-    SELECT DISTINCT event_id, user_id, event_type, ts, value FROM amplified
+    SELECT event_id, user_id, event_type, ts, value FROM amplified
+    -- least-payload-wins (r13, --conflict): see the docstring contract.
+    -- NULLS FIRST on every payload column = Spark's ASC default; a
+    -- struct-MAX pick would NOT mirror (DuckDB sorts a NULL struct
+    -- field greatest, Spark smallest — probed r13).
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_id
+        ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST,
+                 ts ASC NULLS FIRST, value ASC NULLS FIRST
+    ) = 1
     """,
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,20 +208,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (dropDuplicates within a watermark, bounded state) is exercised in
     tests/test_streaming.py.
 
-    Invariant this query's engine/oracle agreement rests on: copies of a
-    primary id are IDENTICAL rows (the at-least-once model — redelivery
-    re-sends the same bytes), so per-id dropDuplicates and the oracle's
-    full-row DISTINCT pick the same survivors. A same-id row with a
-    DIFFERENT payload is an upstream id-collision bug, not legal input —
-    when the r12 sf1.0 sweep fed one in (a fixture-injector INT96→ns
-    wrap forged 30 such rows), per-id dedup kept an arbitrary variant
-    while full-row DISTINCT kept both, and the differential flagged it
-    exactly as an id-integrity check should."""
+    Winner contract (r13, --conflict): copies of a primary id need NOT be
+    identical — a record updated at the source between deliveries arrives
+    with the same id and a drifted payload (the non-idempotent
+    at-least-once race). An arbitrary dropDuplicates keep is then
+    engine-nondeterministic, so the dedup picks the lexicographically
+    LEAST payload (user_id, event_type, ts, value; NULLS FIRST —
+    Spark's ASC default, pinned in the oracle). With a real version /
+    ingest-sequence column the same window would order by it instead —
+    the shape is last-writer-wins with a total version order. (The r12
+    sf1.0 INT96-wrap forgery was a different thing — a fixture BUG this
+    differential rightly flagged; --conflict makes the legal-update case
+    part of the contract.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
     redelivered = ev.filter(F.col("event_id") % 10 == 0)
-    return ev.unionByName(redelivered).dropDuplicates(["event_id"])
+    w = Window.partitionBy("event_id").orderBy(
+        F.asc_nulls_first("user_id"),
+        F.asc_nulls_first("event_type"),
+        F.asc_nulls_first("ts"),
+        F.asc_nulls_first("value"),
+    )
+    return (
+        ev.unionByName(redelivered)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------
