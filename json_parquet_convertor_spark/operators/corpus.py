@@ -342,8 +342,11 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        generate_series(1, len(l) - 4),
                        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
                             || ' ' || l[i + 3] || ' ' || l[i + 4])) AS g
+            -- canonical version per doc_id (r13, --conflict): see
+            -- pipeline._DUCK_CANON_DOCS
             FROM (SELECT doc_id, string_split(text, ' ') AS l
-                  FROM documents))
+                  FROM (SELECT doc_id, max(text) AS text
+                        FROM documents GROUP BY doc_id)))
     ),
     bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
     train AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 97 <> 0)
@@ -374,10 +377,11 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incl. doc_id) dedup before gram extraction — otherwise a duplicated
     training doc reports exactly 2x its true overlap. Mirrors the
     oracle's DISTINCT (doc_id, h) train set."""
+    # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .dropDuplicates()
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
     )
     # token array materialized BEFORE the HOF lambda indexes it (r11,
     # --longtext): an inline split under transform() re-splits the text

@@ -252,8 +252,18 @@ _DUCK_SHINGLES = """
 """
 
 # the bound-tokens FROM clause _DUCK_SHINGLES indexes into
+# Canonical per-doc_id text (r13, --conflict): a conflicting re-delivery
+# carries the same doc_id with a DRIFTED text, so every doc_id-keyed
+# shingle/gram index must resolve versions first — max(text) is the
+# deterministic winner (binary compare, NULLs skipped identically by
+# both engines' MAX). This also subsumes the r11 --rowdup exact-copy
+# dedup for (doc_id, text).
+_DUCK_CANON_DOCS = (
+    "(SELECT doc_id, max(text) AS text FROM documents GROUP BY doc_id)"
+)
+
 _DUCK_TOKENIZED = (
-    "(SELECT doc_id, string_split(text, ' ') AS l FROM documents)"
+    f"(SELECT doc_id, string_split(text, ' ') AS l FROM {_DUCK_CANON_DOCS})"
 )
 
 
@@ -349,10 +359,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same set semantics."""
     from pyspark.sql.window import Window
 
+    # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .dropDuplicates()
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
     )
     # token array materialized BEFORE the HOF lambda indexes it (r11,
     # --longtext): an inline split under transform() re-splits the text
@@ -1453,10 +1464,11 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise inflated asymmetrically around the 0.5 threshold)."""
     from pyspark.sql.window import Window
 
+    # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .dropDuplicates()
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
     )
     # token array materialized BEFORE the HOF lambda indexes it (r11,
     # --longtext): an inline split under transform() re-splits the text
@@ -1885,10 +1897,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexing (set semantics, mirroring the oracle's DISTINCT index)."""
     from pyspark.sql.window import Window
 
+    # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .dropDuplicates()
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
     )
     # token array materialized BEFORE the HOF lambda indexes it (r11,
     # --longtext): an inline split under transform() re-splits the text
@@ -2440,31 +2453,45 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     nm AS (
         SELECT blk, name, MIN(k) AS nk FROM rec GROUP BY 1, 2
     ),
+    -- the closure is BLOCK-LOCAL (r13, --conflict): node identity is
+    -- (blk, nk), not nk alone — conflicting re-delivered copies give the
+    -- v2/v3 name nodes of one source row the same min partkey in
+    -- different blocks, and a bare-nk reach would bridge components the
+    -- per-block clustering (correctly) keeps apart
     pairs AS (
-        SELECT a.nk AS ka, b.nk AS kb
+        SELECT a.blk AS blk, a.nk AS ka, b.nk AS kb
         FROM nm a JOIN nm b
           ON a.blk = b.blk AND a.nk < b.nk
          AND levenshtein(a.name, b.name) <= 2
     ),
     edges AS (
-        SELECT ka AS s, kb AS d FROM pairs
+        SELECT blk, ka AS s, kb AS d FROM pairs
         UNION ALL
-        SELECT kb, ka FROM pairs
+        SELECT blk, kb, ka FROM pairs
     ),
-    reach(s, d) AS (
-        SELECT s, d FROM edges
+    reach(blk, s, d) AS (
+        SELECT blk, s, d FROM edges
         UNION
-        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        SELECT r.blk, r.s, e.d FROM reach r
+        JOIN edges e ON r.blk = e.blk AND r.d = e.s
     ),
     canon AS (
         SELECT n.blk, n.name,
                coalesce(LEAST(n.nk, (SELECT MIN(d) FROM reach
-                                     WHERE s = n.nk)), n.nk) AS entity_id
+                                     WHERE s = n.nk AND blk = n.blk)),
+                        n.nk) AS entity_id
         FROM nm n
     )
     SELECT c.entity_id,
            CAST(COUNT(*) AS BIGINT) AS n_records,
-           min_by(r.name, r.k) AS canonical_name,
+           -- sentinel struct-min, not min_by (r13, --conflict): version
+           -- copies TIE the min row key with drifted names; the name
+           -- rides the compared struct as its own tiebreak (chr(1)
+           -- sentinel for NULL names — both engines then compare
+           -- non-NULL fields only; see q_join_point_in_time)
+           NULLIF((min(struct_pack(
+               k := r.k, nm := COALESCE(r.name, chr(1))))).nm, chr(1))
+               AS canonical_name,
            floor((MAX(CAST(CAST(r.price AS VARCHAR) AS DECIMAL(12,2)))
                   - MIN(CAST(CAST(r.price AS VARCHAR) AS DECIMAL(12,2))))
                  * 10000 + 0.5) / 10000 AS price_spread
@@ -2554,18 +2581,45 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parent[max(ra, rb)] = min(ra, rb)
         ks = list(parent)
         return pd.DataFrame(
-            {"nk": pd.Series(ks, dtype="int64"),
+            {"blk": pd.Series([key[0]] * len(ks), dtype="object"),
+             "nk": pd.Series(ks, dtype="int64"),
              "lab": pd.Series([find(k) for k in ks], dtype="int64")}
         )
 
     labels = nm.select("blk", "nk").groupBy("blk").cogroup(
         pairs.groupBy("blk")
-    ).applyInPandas(block_cc, "nk long, lab long")
-    name_entity = nm.join(labels, "nk").select("blk", "name", "lab")
+    ).applyInPandas(block_cc, "blk string, nk long, lab long")
+    # join on (blk, nk), not nk alone (r13, --conflict): conflicting
+    # re-delivered copies give the v2/v3 name nodes of ONE source row the
+    # same min partkey in DIFFERENT blocks, so a bare-nk join fans every
+    # such row out once per version block. The final entity_id group-by
+    # still merges those versions into one entity — deliberately: they
+    # are versions of the same real-world record, and the oracle's
+    # nk-keyed closure states the same merge.
+    name_entity = nm.join(labels, ["blk", "nk"]).select("blk", "name", "lab")
     joined = rec.join(F.broadcast(name_entity), ["blk", "name"])
     return joined.groupBy(F.col("lab").alias("entity_id")).agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.min_by("name", "k").alias("canonical_name"),
+        # sentinel struct-min (r13, --conflict): see oracle comment
+        F.when(
+            F.min(
+                F.struct(
+                    F.col("k"),
+                    F.coalesce(F.col("name"), F.lit("\x01")).alias("nm"),
+                )
+            )["nm"]
+            == "\x01",
+            F.lit(None).cast("string"),
+        )
+        .otherwise(
+            F.min(
+                F.struct(
+                    F.col("k"),
+                    F.coalesce(F.col("name"), F.lit("\x01")).alias("nm"),
+                )
+            )["nm"]
+        )
+        .alias("canonical_name"),
         (
             F.floor(
                 (
