@@ -2009,3 +2009,142 @@ def test_tz_widen_policy_unifies_timestamp_flavors(spark, tz_dir):
     finally:
         del os.environ["JPC_SCHEMA_POLICY"]
     assert wide == base
+
+
+# ---------------------------------------------------------------------------
+# r13 --conflict sweep: CONFLICTING RE-DELIVERY (same primary id, drifted
+# payload — the non-idempotent at-least-once race --rowdup's byte-identical
+# copies can never surface) caught TWENTY-FOUR queries in four classes.
+# [1] double→DECIMAL(p,2) midpoints: the +0.125 drift makes 2-dp money
+# columns 3-dp, and Spark's string-roundtrip HALF_UP cast splits from
+# DuckDB's binary-double scaling whenever the bits sit below the exact
+# midpoint — oracle casts at scale ≤ 2 route through VARCHAR (exact.py).
+# [2] Window/argmax picks over a no-longer-unique sort key: every window
+# ordered by (ts, event_id) / (o_orderdate, o_orderkey) gained the sorted
+# payload column as a NULLS-FIRST-pinned tiebreak; argmax picks became
+# lexicographic struct extremes carrying the payload.
+# [3] Per-key dedup/canonicalization: q_stream_dedup picks the least
+# payload via row_number (struct-MAX would NOT mirror: DuckDB sorts NULL
+# struct fields greatest, Spark smallest); the doc-index family resolves
+# doc_id versions to max(text) before indexing (_DUCK_CANON_DOCS).
+# [4] Identity collisions: q_er_pipeline's label join and oracle closure
+# are block-local — version nodes of one source row share its min
+# partkey across blocks; q_fn_url's host guard widened to the
+# java.net.URI hostname alphabet ('~' is unreserved but not
+# hostname-legal); q_join_salted's oracle mirrors inner-join semantics.
+CONFLICT_SENSITIVE = [
+    "q_agg_groupby",
+    "q_cdc_diff",
+    "q_dedup_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
+    "q_er_pipeline",
+    "q_fn_url",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_join_point_in_time",
+    "q_join_salted",
+    "q_rank_mrr",
+    "q_scd2_history",
+    "q_seq_markov",
+    "q_seq_paths",
+    "q_seq_transitions",
+    "q_stream_dedup",
+    "q_text_containment",
+    "q_text_decontaminate",
+    "q_text_fingerprint",
+    "q_win_analytic",
+    "q_win_ewma",
+    "q_win_frame_rows",
+    "q_win_moving_distinct",
+    "q_win_pattern",
+]
+
+
+@pytest.fixture(scope="module")
+def conflict_dir(spark, tmp_path_factory):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_fixtures import build
+
+    # 0.003 like the rowdup fixture: the ~1/37 band needs enough rows to
+    # deterministically hit documents (≥1 conflicted doc_id); the rarer
+    # 1/211 v3 band is asserted on the bigger events/lineitem tables only
+    dst = str(tmp_path_factory.mktemp("genfix") / "sf0.003_conflict")
+    build(spark, dst, 0.003, conflict=True)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def conflict_duck(conflict_dir):
+    import duckdb
+
+    from json_parquet_convertor_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(conflict_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CONFLICT_SENSITIVE)
+def test_conflict_sensitive_queries_match_on_conflict_fixture(
+    spark, conflict_duck, conflict_dir, name
+):
+    from tests.oracle_utils import compare_query
+
+    ok, detail = compare_query(
+        spark, conflict_duck, registry.QUERIES[name], registry.ORACLES[name],
+        conflict_dir,
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_conflict_fixture_has_conflicting_versions(conflict_duck):
+    """The axis's shape contract: same primary id with a DIFFERENT
+    payload (the violation --rowdup never produces — its copies are
+    byte-identical), keys and temporal columns IDENTICAL across
+    versions, and a v3 band on the bigger tables."""
+    n = lambda sql: conflict_duck.execute(sql).fetchone()[0]  # noqa: E731
+    # conflicting (not just duplicated) ids on events, orders, documents
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT event_id FROM events GROUP BY 1"
+        " HAVING COUNT(DISTINCT event_type) > 1)"
+    ) > 0
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1"
+        " HAVING COUNT(DISTINCT o_totalprice) > 1)"
+    ) > 0
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT doc_id FROM documents GROUP BY 1"
+        " HAVING COUNT(DISTINCT text) > 1)"
+    ) > 0
+    # three versions somewhere on events (the 1/211 band)
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT event_id FROM events GROUP BY 1"
+        " HAVING COUNT(DISTINCT event_type) >= 3)"
+    ) > 0
+    # temporal and key columns identical across versions: the ambiguity
+    # must not be resolvable by any (key, time) sort
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT event_id FROM events GROUP BY 1"
+        " HAVING COUNT(DISTINCT ts) > 1 OR COUNT(DISTINCT user_id) > 1)"
+    ) == 0
+    assert n(
+        "SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1"
+        " HAVING COUNT(DISTINCT o_orderdate) > 1"
+        " OR COUNT(DISTINCT o_custkey) > 1)"
+    ) == 0
+    # drift is marked: v2 strings carry the suffix
+    assert n(
+        "SELECT COUNT(*) FROM orders WHERE o_orderstatus LIKE '%~v2'"
+    ) > 0
