@@ -79,6 +79,42 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the REST of the driver's ~50-slot budget to the r4-era tier (31
     # queries: the ML-dataset batch, composites q5/q7/q18, …) and the
     # front of the r5 tier — judge r12 task 1.
+    #
+    # r13 --conflict axis (conflicting re-delivery: same primary id,
+    # drifted payload): 24 queries changed — decimal-midpoint VARCHAR
+    # routes, payload tiebreaks on formerly-total window sorts,
+    # deterministic per-key pick contracts, canonical doc-version
+    # resolution, block-local ER identity. All 286 re-matched on the
+    # conflict fixture and the driver fixtures after the fixes.
+    "q_agg_groupby",
+    "q_cdc_diff",
+    "q_dedup_incremental",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
+    "q_er_pipeline",
+    "q_fn_url",
+    "q_join_asof",
+    "q_join_multiway",
+    "q_join_point_in_time",
+    "q_join_salted",
+    "q_rank_mrr",
+    "q_scd2_history",
+    "q_seq_markov",
+    "q_seq_paths",
+    "q_seq_transitions",
+    "q_stream_dedup",
+    "q_text_containment",
+    "q_text_decontaminate",
+    "q_text_fingerprint",
+    "q_win_analytic",
+    "q_win_ewma",
+    "q_win_frame_rows",
+    "q_win_moving_distinct",
+    "q_win_pattern",
+    "q_project_rename_cast",
+    "q_composite_q3",
+    "q_composite_q5",
+    "q_composite_q7",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
