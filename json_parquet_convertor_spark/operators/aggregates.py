@@ -801,7 +801,7 @@ def q_agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT l_returnflag,
-               CAST(l_quantity AS BIGINT) AS xq,
+               CAST(trunc(l_quantity) AS BIGINT) AS xq,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
         FROM lineitem
     ),
@@ -949,7 +949,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT l_returnflag,
-               CAST(l_quantity AS BIGINT) AS q,
+               CAST(trunc(l_quantity) AS BIGINT) AS q,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
         FROM lineitem
     )
@@ -1121,7 +1121,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT l_returnflag,
-               CAST(l_quantity AS BIGINT) AS xq,
+               CAST(trunc(l_quantity) AS BIGINT) AS xq,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
         FROM lineitem
     ),
@@ -1855,9 +1855,17 @@ def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p WHERE xp IS NOT NULL GROUP BY 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           floor((n * sxy - sx * sxp)
-                 / sqrt((n * sxx - sx * sx) * (n * spp - sxp * sxp))
-                 * 10000 + 0.5) / 10000 AS autocorr_1
+           -- zero-variance guard (r13, --conflict composed): a drifted
+           -- event_type with a single daily pair (or a constant series)
+           -- zeroes a variance term — ANSI DIVIDE_BY_ZERO Spark-side,
+           -- Inf/NaN here. Autocorrelation of a constant is undefined:
+           -- NULL on both sides (CASE is lazy, so the division never
+           -- evaluates on the guarded rows).
+           CASE WHEN (n * sxx - sx * sx) * (n * spp - sxp * sxp) > 0
+                THEN floor((n * sxy - sx * sxp)
+                     / sqrt((n * sxx - sx * sx) * (n * spp - sxp * sxp))
+                     * 10000 + 0.5) / 10000
+           END AS autocorr_1
     FROM s
     """,
 )
@@ -1899,14 +1907,17 @@ def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xp") * F.col("xp")).alias("spp"),
     )
     n = F.col("n")
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sxp")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("spp") - F.col("sxp") * F.col("sxp"))
+    denom = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("spp") - F.col("sxp") * F.col("sxp")
     )
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sxp")) / F.sqrt(denom)
     return s.select(
         "event_type",
         n.cast("bigint").alias("n_pairs"),
-        (F.floor(r * 10000 + 0.5) / 10000).alias("autocorr_1"),
+        # zero-variance guard (r13, --conflict composed): see oracle
+        F.when(denom > 0, F.floor(r * 10000 + 0.5) / 10000).alias(
+            "autocorr_1"
+        ),
     )
 
 
@@ -2185,7 +2196,7 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- r8 price-NULL sweep)
         SELECT l_returnflag,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
-               CAST(l_quantity AS BIGINT) AS w
+               CAST(trunc(l_quantity) AS BIGINT) AS w
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),

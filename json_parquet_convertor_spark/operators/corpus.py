@@ -177,7 +177,7 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_mode_median",
     oracle="""
     WITH v AS (
-        SELECT l_returnflag, CAST(l_quantity AS INT) AS qty FROM lineitem
+        SELECT l_returnflag, CAST(trunc(l_quantity) AS INT) AS qty FROM lineitem
     ), c AS (
         SELECT l_returnflag, qty, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM v GROUP BY 1, 2

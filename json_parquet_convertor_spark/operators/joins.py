@@ -1468,10 +1468,10 @@ def q_composite_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hq AS (
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+               CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        HAVING SUM(CAST(trunc(l_quantity) AS BIGINT)) > 250
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, hq.sum_qty

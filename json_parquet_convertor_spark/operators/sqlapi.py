@@ -346,7 +346,7 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY 1
     """,

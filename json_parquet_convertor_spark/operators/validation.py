@@ -176,7 +176,7 @@ def q_qc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(md5_number_lower(concat_ws('|',
                l_orderkey, l_linenumber,
-               CAST(l_quantity AS BIGINT),
+               CAST(trunc(l_quantity) AS BIGINT),
                CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT)
            )) AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
                AS row_checksum

@@ -873,7 +873,7 @@ def q_stream_s3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'quarantine' END AS sink,
            l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(SUM(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY 1, 2
     """,
