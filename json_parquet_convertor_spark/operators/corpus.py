@@ -814,10 +814,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- already NULLed every non-ASCII host.
         SELECT doc_id,
                CASE WHEN regexp_matches(raw_url, '\s') THEN NULL
+                    -- full java.net.URI hostname alphabet (r13,
+                    -- --conflict at sf0.1): '~' version markers are
+                    -- RFC-unreserved but not hostname-legal, so Spark's
+                    -- HOST is NULL and the URL falls through to content
+                    -- dedup — subsumes the r12 non-ASCII arm
                     WHEN regexp_matches(
                         regexp_extract(raw_url,
                                        '^([A-Za-z]+)://([^/?#]+)', 2),
-                        '[^\\x00-\\x7f]') THEN NULL
+                        '[^-A-Za-z0-9.]') THEN NULL
                     ELSE
                lower(regexp_extract(raw_url, '^([A-Za-z]+)://([^/?#]+)', 1))
                    || '://'

@@ -2148,3 +2148,35 @@ def test_conflict_fixture_has_conflicting_versions(conflict_duck):
     assert n(
         "SELECT COUNT(*) FROM orders WHERE o_orderstatus LIKE '%~v2'"
     ) > 0
+
+
+def test_uri_host_rejects_version_marker(spark):
+    """The behavior both URL oracles mirror (q_fn_url, q_text_dedup_url):
+    java.net.URI demotes an authority containing any char outside
+    [A-Za-z0-9.-] to registry-based, so HOST extraction is NULL — '~' is
+    RFC 3986 unreserved but not hostname-legal. Only the sf0.1 composed
+    fixture populates a >1-doc dedup group on a drifted host, so the JVM
+    rule is pinned directly here."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.try_parse_url(
+                F.lit("https://crawl-src0~v2.example.com/a/b?q=1"),
+                F.lit("HOST"),
+            ).alias("h"),
+            F.try_parse_url(
+                F.lit("https://crawl-src0~v2.example.com/a/b?q=1"),
+                F.lit("PATH"),
+            ).alias("p"),
+            F.try_parse_url(
+                F.lit("https://crawl-src0.example.com/a/b?q=1"),
+                F.lit("HOST"),
+            ).alias("ok"),
+        )
+        .first()
+    )
+    assert row["h"] is None          # component-local NULL
+    assert row["p"] == "/a/b"        # path still parses
+    assert row["ok"] == "crawl-src0.example.com"
