@@ -407,13 +407,21 @@ def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.percentile_approx(
         "l_extendedprice", ps, 1000
     ).cast("array<double>")
-    lo = F.percentile("l_extendedprice", F.array(*[F.lit(p - 0.02) for p in ps]))
-    hi = F.percentile("l_extendedprice", F.array(*[F.lit(p + 0.02) for p in ps]))
+    # r13 optimization (guide §2.3 aggregate less): the lo/hi exact band
+    # bounds were TWO separate `percentile` aggregates — two full
+    # per-group value buffers and two sorts. One 8-element percentile
+    # call computes all bounds from a single buffer/sort; Spark's exact
+    # percentile derives every requested point from the same sorted
+    # counts map, so the values are bit-identical to the split calls
+    # (band[2i] = p−0.02, band[2i+1] = p+0.02).
+    band_arr = F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(p + d) for p in ps for d in (-0.02, 0.02)]),
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.count("l_extendedprice").cast("bigint").alias("n_prices"),
         approx.alias("__a"),
-        lo.alias("__lo"),
-        hi.alias("__hi"),
+        band_arr.alias("__band"),
     )
 
     def band(i: int, name: str):
@@ -422,8 +430,8 @@ def q_agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("__a").isNull(), F.lit(1))
             .otherwise(
                 (
-                    (a >= F.col("__lo").getItem(i))
-                    & (a <= F.col("__hi").getItem(i))
+                    (a >= F.col("__band").getItem(2 * i))
+                    & (a <= F.col("__band").getItem(2 * i + 1))
                 ).cast("bigint")
             )
             .alias(name)
@@ -2024,11 +2032,24 @@ def q_agg_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("vc"),
     )
     q4 = lambda c: F.floor(c / 10000 * 10000 + 0.5) / 10000  # noqa: E731
-    return b.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n"),
-        q4(F.percentile("vc", 0.50)).alias("p50"),
-        q4(F.percentile("vc", 0.95)).alias("p95"),
-        q4(F.percentile("vc", 0.99)).alias("p99"),
+    # r13 optimization (guide §2.3 aggregate less): p50/p95/p99 were
+    # THREE separate percentile aggregates — three per-group value
+    # buffers and three sorts. One 3-element percentile computes all
+    # bands from a single buffer/sort; Spark derives every requested
+    # point from the same sorted counts, so values are bit-identical.
+    pct = F.percentile(
+        "vc", F.array(F.lit(0.50), F.lit(0.95), F.lit(0.99))
+    )
+    return (
+        b.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("__p"))
+        .select(
+            "day",
+            "n",
+            q4(F.col("__p").getItem(0)).alias("p50"),
+            q4(F.col("__p").getItem(1)).alias("p95"),
+            q4(F.col("__p").getItem(2)).alias("p99"),
+        )
     )
 
 

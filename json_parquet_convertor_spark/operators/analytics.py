@@ -671,21 +671,40 @@ def q_pairs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_dedup_ngram_jaccard's stop-shingle df cap. The pair-count
     aggregate combines map-side, and the HAVING floor prunes the long
     tail before anything downstream consumes it."""
-    li = (
+    # r13 optimization (guide §2.4 remove shuffles): the basket self-join
+    # needed a distinct (1 exchange) + two join-side exchanges + the pair
+    # aggregate exchange. Collapsing each basket to its sorted distinct
+    # part set FIRST (collect_set combines map-side, one exchange on the
+    # basket key) lets the pairs be generated IN-ROW from the array —
+    # identical pair set (i<j over a sorted set ≡ the a.pk < b.pk join;
+    # collect_set drops NULL parts exactly as the < predicate did, and
+    # NULL order keys join to nothing, hence the explicit filter), then
+    # one exchange for the pair counts. 4 exchanges + join → 2 exchanges.
+    # The in-row slice() is bounded by basket size (≤7 on TPC-H shapes;
+    # the documented cap-k guard below still applies at adversarial k).
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice("ps", i + F.lit(2), F.size("ps")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
+    )
+    return (
+        baskets.select(pair.alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.a").alias("part_a"),
+            F.col("p.b").alias("part_b"),
         )
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -741,21 +760,33 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and triangle counts grow with edge density, not input rows — the
     work is output-bound, which no plan can beat; the degree-orientation
     above is what keeps the constant factor linear in Σ(wedges)."""
-    li = (
+    # r13 optimization (guide §2.4): edge generation shares
+    # q_pairs_copurchase's in-basket rewrite — collect_set + in-row
+    # sorted-pair explode instead of the distinct + basket self-join
+    # (identical edge set; NULL keys drop on both shapes)
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice("ps", i + F.lit(2), F.size("ps")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
+    )
+    e = (
+        baskets.select(pair.alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
+            F.col("p.a").alias("pa"),
+            F.col("p.b").alias("pb"),
         )
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
@@ -1081,16 +1112,32 @@ def q_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     supp = li.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # r13 optimization (guide §2.4): same in-basket pair generation as
+    # q_pairs_copurchase — the basket self-join becomes one collect_set
+    # aggregate + an in-row sorted-pair explode, identical pair counts
+    # (supp/n stay on the full distinct table, which still counts
+    # NULL-order rows exactly as the oracle's GROUP BY does)
+    baskets = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice("ps", i + F.lit(2), F.size("ps")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
+    )
+    pairs = (
+        baskets.select(pair.alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.a").alias("part_a"),
+            F.col("p.b").alias("part_b"),
         )
         .agg(F.count("*").alias("ab"))
         .filter(F.col("ab") >= 3)

@@ -223,11 +223,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     via skew-join splitting. Estimated Jaccard = fraction of matching
     signature components; pairs below 0.5 are dropped."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The band search self-joins the signatures; without a materialization
-    # barrier Spark recomputes the whole explode+hash+groupBy pipeline for
-    # BOTH join sides. Cache the (small: K longs/doc) signature table; at
-    # 100 TB you'd write it to a parquet stage table instead.
-    sig = _minhash_signatures(docs).cache()
+    # single consumer since the r13 bucket-list rewrite below (the band
+    # self-join and its double signature evaluation are gone) — no cache
+    sig = _minhash_signatures(docs)
 
     bands = sig.select(
         "doc_id",
@@ -243,31 +241,49 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
-    # hot-bucket cap (see _MH_BUCKET_CAP): exclude over-dense band
-    # buckets from pairwise generation — boilerplate cliques otherwise
-    # make pair emission itself quadratic
-    occ = (
+    # r13 optimization (guide §2.4 remove shuffles): candidate generation
+    # was [occupancy count → broadcast semi-join → band self-join →
+    # dropDuplicates]; one groupBy collapses each (band_idx, band_hash)
+    # bucket to its sorted member list and pairs are emitted IN-ROW —
+    # identical candidate set (i<j over the doc_id-sorted list ≡ the
+    # a.doc_id < b.doc_id join; the when() guard drops NULL doc_ids
+    # exactly as the < predicate did, while cnt still counts every row,
+    # mirroring the oracle's HAVING COUNT(*) hot-bucket cap
+    # _MH_BUCKET_CAP). 2 exchanges instead of 4, no broadcast; in-row
+    # emission is bounded by the cap (≤ cap²/2 pairs per bucket).
+    buckets = (
         bands.groupBy("band_idx", "band_hash")
-        .count()
-        .filter(F.col("count") <= _MH_BUCKET_CAP)
-        .select("band_idx", "band_hash")
-    )
-    bands = bands.join(
-        F.broadcast(occ), ["band_idx", "band_hash"], "left_semi"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id").isNotNull(),
+                        F.struct("doc_id", "sig"),
+                    )
+                )
+            ).alias("ms"),
+            F.count(F.lit(1)).alias("cnt"),
         )
+        .filter(F.col("cnt") <= _MH_BUCKET_CAP)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice("ms", i + F.lit(2), F.size("ms")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair.alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -409,6 +425,7 @@ def _dot(a, b):
     )
 
 
+
 @query(
     "q_sim_cosine_topk",
     oracle="""
@@ -438,13 +455,17 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: brute force IS the right baseline (one linear scan, no state);
     the sub-linear path is q_sim_pairs_lsh's bucketing. Floats widen to
     double before math to match DuckDB exactly."""
+    # r13 optimization (guide §1.2 don't recompute): the probe's self-dot
+    # is a constant of the 1-row broadcast frame — compute it there once
+    # instead of once per corpus row (same fold, bit-equal cosines); the
+    # corpus-side self-dot stays per row, where it is irreducible.
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
-    cos = _dot("e", "pe") / (
-        F.sqrt(_dot("e", "e")) * F.sqrt(_dot("pe", "pe"))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("pe"), _dot("e", "e").alias("n2p")
     )
+    cos = _dot("e", "pe") / (F.sqrt(_dot("e", "e")) * F.sqrt("n2p"))
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
@@ -561,10 +582,17 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = sum(
         (bit * F.lit(2**i) for i, bit in enumerate(bits)), F.lit(0)
     ).cast("bigint")
-    sigs = emb.select("vec_id", "e", bucket.alias("bucket"))
+    # r13 optimization (guide §1.2 don't recompute): norm² rides the
+    # signature row — computed once per VECTOR instead of twice per
+    # candidate pair; sqrt(n2a)·sqrt(n2b) is the identical IEEE
+    # expression over identical doubles, so the 4-dp cosines are
+    # bit-equal (see q_dedup_embed's refilter note)
+    sigs = emb.select(
+        "vec_id", "e", _dot("e", "e").alias("n2"), bucket.alias("bucket")
+    )
 
     a, b = sigs.alias("a"), sigs.alias("b")
-    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    cos = _dot("ea", "eb") / (F.sqrt("n2a") * F.sqrt("n2b"))
     return (
         a.join(
             b,
@@ -576,6 +604,8 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.e").alias("ea"),
             F.col("b.e").alias("eb"),
+            F.col("a.n2").alias("n2a"),
+            F.col("b.n2").alias("n2b"),
         )
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc_nulls_last(), "vec_a", "vec_b")
@@ -959,7 +989,15 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # r13 optimization (guide §1.2 don't compute what you throw away):
+    # n_docs counted distinct doc_ids over the EXPLODED terms — a third
+    # full tokenize+explode pass of the corpus. The same number falls out
+    # of the un-exploded docs table: explode drops exactly the NULL-text
+    # rows (split(NULL) is NULL; every non-NULL text yields ≥1 token),
+    # and countDistinct skips NULL doc_ids on both shapes.
+    n = docs.filter(F.col("text").isNotNull()).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))

@@ -40,37 +40,37 @@ def _simhash_chunks(docs: DataFrame) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    # digest once per token occurrence; nibbles as 16 small-int columns
-    # so the 64 vote sums stay in whole-stage codegen
-    nib = toks.select("doc_id", F.md5("tok").alias("h")).select(
+    # digest once per token occurrence; the 16 nibbles ride as TWO 32-bit
+    # words instead of 16 conv(substring) columns (r13 optimization,
+    # guide §2.3 narrower types / §4.1 cheaper per-row work: 2 string
+    # parses per token instead of 16). conv parses hex big-endian, so
+    # nibble k of the digest sits at bits [4*(7 - k mod 8), +3] of its
+    # word — the identical bit j = bit (j%4) of nibble ⌊j/4⌋ extraction,
+    # just addressed by shift instead of per-nibble column.
+    words = toks.select("doc_id", F.md5("tok").alias("h")).select(
         "doc_id",
-        *[
-            F.conv(F.substring("h", k + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"n{k}")
-            for k in range(16)
-        ],
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w0"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w1"),
     )
-    votes = nib.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"n{j // 4}"), j % 4).bitwiseAND(
-                        F.lit(1)
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+
+    def _bit(j: int):
+        k, b = j // 4, j % 4
+        w = F.col("w0") if k < 8 else F.col("w1")
+        return F.shiftright(w, 4 * (7 - k % 8) + b).bitwiseAND(F.lit(1))
+
+    # vote sign: v_j = Σ(±1) = 2·(count of set bits) − n, so the aggregate
+    # sums the raw 0/1 bit (branch-free codegen) and the sign test below
+    # becomes 2b > n — exact integer math, same chunk bits as the ±1 fold
+    votes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[F.sum(_bit(j)).alias(f"b{j}") for j in range(64)],
     )
 
     def chunk(c: int):
         bits = [
-            F.when(F.col(f"v{8 * c + j}") > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
+            F.when(
+                2 * F.col(f"b{8 * c + j}") > F.col("n_toks"), F.lit(1 << j)
+            ).otherwise(F.lit(0))
             for j in range(8)
         ]
         return sum(bits[1:], bits[0]).cast("int")
@@ -183,48 +183,67 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine (per-doc partials shuffle, never tokens); the band join
     shuffles (doc_id, 8-bit chunk) only."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    # the chunk self-join reads fps twice — cache the tiny (doc_id, ch)
-    # table instead of recomputing the fingerprint pass per side
-    fps = _simhash_chunks(docs).cache()
+    # single consumer since the r13 bucket-list rewrite below — no cache
+    fps = _simhash_chunks(docs)
 
     chunks = fps.select(
         "doc_id",
         "ch",
         F.posexplode("ch").alias("chunk_idx", "chunk"),
     )
-    # hot-bucket cap (see _SH_BUCKET_CAP): exclude over-dense chunk
-    # buckets from pairwise generation — the pigeonhole exactness
-    # guarantee then holds WITHIN the capped buckets (boilerplate
-    # cliques route to the clustering path instead of all-pairs)
-    occ = (
+    # r13 optimization (guide §2.4 remove shuffles): candidate generation
+    # was [occupancy count → broadcast semi-join → chunk self-join →
+    # dropDuplicates]; one groupBy collapses each (chunk_idx, chunk)
+    # bucket to its sorted member list and pairs are emitted IN-ROW —
+    # identical candidate set (i<j over the doc_id-sorted list ≡ the
+    # a.doc_id < b.doc_id join; the when() guard drops NULL doc_ids
+    # exactly as the < predicate did, while cnt counts every row,
+    # mirroring the oracle's HAVING COUNT(*) cap _SH_BUCKET_CAP, so the
+    # pigeonhole exactness guarantee still holds WITHIN capped buckets).
+    # 2 exchanges instead of 4; ≤ cap²/2 in-row pairs per bucket.
+    buckets = (
         chunks.groupBy("chunk_idx", "chunk")
-        .count()
-        .filter(F.col("count") <= _SH_BUCKET_CAP)
-        .select("chunk_idx", "chunk")
-    )
-    chunks = chunks.join(
-        F.broadcast(occ), ["chunk_idx", "chunk"], "left_semi"
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.aggregate(
-        F.zip_with(
-            "ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("bigint")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id").isNotNull(),
+                        F.struct("doc_id", "ch"),
+                    )
+                )
+            ).alias("ms"),
+            F.count(F.lit(1)).alias("cnt"),
         )
+        .filter(F.col("cnt") <= _SH_BUCKET_CAP)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.transform(
+                    F.slice("ms", i + F.lit(2), F.size("ms")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    # r13 optimization: unrolled codegen twin of the 8-element HOF
+    # Hamming fold — ch arrays are construction-fixed 8-int arrays (the
+    # F.array(...) above), and integer addition has no -0.0/ordering
+    # corner, so Σ bit_count(ca[i]^cb[i]) is exactly the fold
+    _ham = F.lit(0)
+    for _i in range(8):
+        _ham = _ham + F.bit_count(
+            F.get("ca", _i).bitwiseXOR(F.get("cb", _i))
+        )
+    hamming = _ham.cast("bigint")
+    return (
+        buckets.select(pair.alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ch").alias("ca"),
-            F.col("b.ch").alias("cb"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.ch").alias("ca"),
+            F.col("p.b.ch").alias("cb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", hamming.alias("hamming"))
@@ -357,8 +376,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard denominator n_a + n_b - c hits exactly 0 (ANSI
     DIVIDE_BY_ZERO). The oracle's DISTINCT (doc_id, shingle) index states
     the same set semantics."""
-    from pyspark.sql.window import Window
-
     # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -391,20 +408,46 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    shw = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("sh"))
-    ).cache()
-    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r13 optimization (guide §2.4 remove shuffles): the inverted index
+    # was [window df count (exchange+sort) → cache → shingle self-join →
+    # pair aggregate]; one groupBy collapses each shingle bucket to its
+    # sorted doc list — df is the same bucket's row count (counting NULL
+    # doc_ids exactly like the window did, while collect_list drops them
+    # exactly like the a.doc_id < b.doc_id predicate did) — and the
+    # intersection pairs are emitted IN-ROW (i<j over the sorted list ≡
+    # the < join). The df ≤ 100 stop-shingle cap bounds in-row emission
+    # at ≤ df²/2 pairs per shingle. The (doc, hash) index is cached for
+    # its two consumers (buckets, sizes) — cheaper rows than the old
+    # cached window output (no df column, no window sort).
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("doc_id").isNotNull(), F.col("doc_id"))
+                )
+            ).alias("ds"),
+            F.count(F.lit(1)).alias("df"),
         )
+        .filter(F.col("df") <= 100)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice("ds", i + F.lit(2), F.size("ds")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    pairs = (
+        buckets.select(pair.alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .agg(F.count("*").alias("c"))
     )
@@ -639,46 +682,72 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return sum(bits[1:], bits[0]).cast("bigint")
 
-    # the bucket self-join reads sigs twice, and self-joins recompute the
-    # whole upstream plan per side — cache the signature table so the
-    # 32-dot pass runs once (at 100 TB this is the materialized
-    # signature stage)
     sigs = emb.select(
         "vec_id",
         F.posexplode(F.array(*[bucket(t) for t in range(4)])).alias(
             "table_idx", "bucket"
         ),
-    ).cache()
-    # hot-bucket cap (see _DE_BUCKET_CAP): boilerplate cliques make pair
-    # emission itself quadratic — exclude over-dense buckets from
-    # pairwise generation (the df-pruning precedent); the occupancy
-    # table is bucket-cardinality-sized and broadcastable
-    occ = (
-        sigs.groupBy("table_idx", "bucket")
-        .count()
-        .filter(F.col("count") <= _DE_BUCKET_CAP)
-        .select("table_idx", "bucket")
     )
-    sigs = sigs.join(F.broadcast(occ), ["table_idx", "bucket"], "left_semi")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # r13 optimization (guide §2.4 remove shuffles): candidate generation
+    # was [occupancy aggregate → broadcast semi-join → bucket self-join →
+    # distinct] — four exchanges plus a cached second read of sigs. One
+    # groupBy collapses each (table, bucket) to its sorted member list
+    # (collect_list skips NULL vec_ids exactly as the old a.vec_id <
+    # b.vec_id predicate did; cnt counts every row, mirroring the
+    # oracle's HAVING COUNT(*)), the hot-bucket cap (_DE_BUCKET_CAP)
+    # becomes a filter on that same row, and pairs are emitted IN-ROW
+    # (i<j over the sorted list ≡ the < join; the a!=b guard covers
+    # conflicting re-deliveries that share a vec_id, which the strict <
+    # excluded). Identical candidate set, 2 exchanges instead of 4, no
+    # broadcast, sigs read once (cache dropped). In-row emission is
+    # bounded by the cap: ≤ cap²/2 pairs per bucket by construction.
+    buckets = (
+        sigs.groupBy("table_idx", "bucket")
+        .agg(
+            F.array_sort(F.collect_list("vec_id")).alias("vs"),
+            F.count(F.lit(1)).alias("cnt"),
         )
+        .filter(F.col("cnt") <= _DE_BUCKET_CAP)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "vs",
+                lambda x, i: F.transform(
+                    F.slice("vs", i + F.lit(2), F.size("vs")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair.alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b")
         )
         .distinct()
     )
 
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = _dot("ea", "eb") / (
-        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
+    # r13 optimization (guide §1.2 don't recompute): the exact-cosine
+    # refilter evaluated THREE interpreted HOF dots per candidate pair
+    # (38k pairs at sf0.1); the two self-dots depend only on the vector,
+    # so compute norm² once per VECTOR (|V| dots, not 2·|pairs|) and
+    # carry the 8-byte scalar through the join. sqrt(n2a)·sqrt(n2b) is
+    # the identical IEEE expression over identical doubles — bit-equal
+    # cosines (this restores the pre-promotion precomputed-norms shape).
+    emb_n = emb.select("vec_id", "e", _dot("e", "e").alias("n2"))
+    ea = emb_n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("n2").alias("n2a"),
     )
+    eb = emb_n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("n2").alias("n2b"),
+    )
+    cos = _dot("ea", "eb") / (F.sqrt("n2a") * F.sqrt("n2b"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -1263,15 +1332,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact refinement those pipelines share."""
     from pyspark.sql.window import Window
 
+    # r13 optimization (guide §1.2 don't recompute): each self-dot is a
+    # function of one side only, so it is computed ONCE per corpus row /
+    # probe row BELOW the crossJoin instead of once per (row × probe)
+    # pair — |V| + |P| interpreted HOF dots instead of 2·|V|·|P|. Same
+    # fold over the same doubles → bit-equal cosines.
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).select("vec_id", "v", _dot("v", "v").alias("n2v"))
     probes = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("p_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("p_id"),
+        F.col("v").alias("pv"),
+        F.col("n2v").alias("n2p"),
     )
-    cos = _dot("v", "pv") / (
-        F.sqrt(_dot("v", "v")) * F.sqrt(_dot("pv", "pv"))
-    )
+    cos = _dot("v", "pv") / (F.sqrt("n2v") * F.sqrt("n2p"))
     pairs = (
         emb.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("p_id"))
@@ -1462,8 +1536,6 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard as q_dedup_ngram_jaccard: the index is a SET per doc, so
     re-delivered copies dedup before indexing (containment c/n is
     otherwise inflated asymmetrically around the 0.5 threshold)."""
-    from pyspark.sql.window import Window
-
     # canonical version per doc_id (r13, --conflict): see _DUCK_CANON_DOCS
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1496,21 +1568,43 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    shw = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("sh"))
-    ).cache()
-    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    # r13 optimization (guide §2.4 remove shuffles): same bucket-list
+    # rewrite as q_dedup_ngram_jaccard, directed variant — each shingle
+    # bucket's sorted doc list emits BOTH orientations in-row (x≠y over
+    # the list ≡ the a.doc_id != b.doc_id join; collect_list drops NULL
+    # doc_ids exactly as != did; df counts every row like the window).
+    # Emission stays bounded at ≤ df² pairs per bucket by the df ≤ 100
+    # stop-shingle cap — the same bound the directed join had.
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("doc_id").isNotNull(), F.col("doc_id"))
+                )
+            ).alias("ds"),
+            F.count(F.lit(1)).alias("df"),
         )
+        .filter(F.col("df") <= 100)
+    )
+    cross = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x: F.transform(
+                    "ds", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        )
+    )
+    pairs = (
+        buckets.select(cross.alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
         )
         .agg(F.count("*").alias("c"))
     )
@@ -1929,18 +2023,46 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    shw = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("sh"))
-    ).cache()
-    sizes = shw.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pruned = shw.filter(F.col("df") <= 100).select("doc_id", "sh")
-    batch = pruned.filter(F.col("doc_id") % 5 == 0).alias("b")
-    corpus = pruned.filter(F.col("doc_id") % 5 != 0).alias("c")
+    # r13 optimization (guide §2.4 remove shuffles): same bucket-list
+    # rewrite as q_dedup_ngram_jaccard — one groupBy per shingle collects
+    # the bucket's batch members and corpus members as two lists (the
+    # when() conditions mirror the old batch/corpus filters exactly,
+    # dropping NULL doc_ids as those filters did), df is the bucket row
+    # count (counting every row like the old window), and batch×corpus
+    # candidate pairs are emitted IN-ROW — bounded by the df ≤ 100
+    # stop-shingle cap. Replaces [window df (exchange+sort) → cache →
+    # batch⋈corpus join] with one aggregate; the (doc, hash) index is
+    # cached for its two consumers (buckets, sizes).
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(
+            F.collect_list(
+                F.when(F.col("doc_id") % 5 == 0, F.col("doc_id"))
+            ).alias("bs"),
+            F.collect_list(
+                F.when(F.col("doc_id") % 5 != 0, F.col("doc_id"))
+            ).alias("cs"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter(F.col("df") <= 100)
+    )
+    cross = F.explode(
+        F.flatten(
+            F.transform(
+                "bs",
+                lambda x: F.transform(
+                    "cs", lambda y: F.struct(x.alias("b"), y.alias("c"))
+                ),
+            )
+        )
+    )
     pairs = (
-        batch.join(corpus, F.col("b.sh") == F.col("c.sh"))
+        buckets.select(cross.alias("p"))
         .groupBy(
-            F.col("b.doc_id").alias("new_doc"),
-            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("p.b").alias("new_doc"),
+            F.col("p.c").alias("corpus_doc"),
         )
         .agg(F.count("*").alias("i"))
     )
@@ -2687,13 +2809,29 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support filter that keeps the graph sparse. DuckDB twins it
     with a recursive CTE capped at the same depth."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    # r13 optimization (guide §2.4): in-basket pair generation replaces
+    # the distinct + basket self-join — see q_pairs_copurchase (identical
+    # edge set: i<j over each basket's sorted distinct part set)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair_col = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice("ps", i + F.lit(2), F.size("ps")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        baskets.select(pair_col.alias("pp"))
+        .groupBy(F.col("pp.a").alias("pa"), F.col("pp.b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
     )

