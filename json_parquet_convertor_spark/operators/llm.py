@@ -223,18 +223,24 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     via skew-join splitting. Estimated Jaccard = fraction of matching
     signature components; pairs below 0.5 are dropped."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # single consumer since the r13 bucket-list rewrite below (the band
-    # self-join and its double signature evaluation are gone) — no cache
-    sig = _minhash_signatures(docs)
-
-    bands = sig.select(
+    # three consumers since the r13 join-back rewrite: the band explode
+    # plus both per-pair signature join-backs (the band self-join and
+    # its double signature evaluation are gone)
+    sigv = _minhash_signatures(docs).select(
         "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(_MH_K)]).alias("sig"),
+    ).cache()
+
+    bands = sigv.select(
+        "doc_id",
         F.posexplode(
             F.array(
                 *[
                     F.concat(
-                        *[F.col(f"h{b * _MH_R + r}") for r in range(_MH_R)]
+                        *[
+                            F.get("sig", b * _MH_R + r)
+                            for r in range(_MH_R)
+                        ]
                     )
                     for b in range(_MH_B)
                 ]
@@ -244,24 +250,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 optimization (guide §2.4 remove shuffles): candidate generation
     # was [occupancy count → broadcast semi-join → band self-join →
     # dropDuplicates]; one groupBy collapses each (band_idx, band_hash)
-    # bucket to its sorted member list and pairs are emitted IN-ROW —
-    # identical candidate set (i<j over the doc_id-sorted list ≡ the
-    # a.doc_id < b.doc_id join; the when() guard drops NULL doc_ids
-    # exactly as the < predicate did, while cnt still counts every row,
-    # mirroring the oracle's HAVING COUNT(*) hot-bucket cap
-    # _MH_BUCKET_CAP). 2 exchanges instead of 4, no broadcast; in-row
-    # emission is bounded by the cap (≤ cap²/2 pairs per bucket).
+    # bucket to its sorted doc_id list and pairs are emitted IN-ROW —
+    # identical candidate set (i<j over the sorted list ≡ the a.doc_id <
+    # b.doc_id join; the when() guard drops NULL doc_ids exactly as the
+    # < predicate did, while cnt still counts every row, mirroring the
+    # oracle's HAVING COUNT(*) hot-bucket cap _MH_BUCKET_CAP). The lists
+    # hold ONLY doc_ids — the 16-digest signatures join back per deduped
+    # pair from the cached signature table instead of riding (and being
+    # struct-sorted inside) every bucket list; in-row emission bounded
+    # by the cap (≤ cap²/2 pairs per bucket).
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.when(
-                        F.col("doc_id").isNotNull(),
-                        F.struct("doc_id", "sig"),
-                    )
+                    F.when(F.col("doc_id").isNotNull(), F.col("doc_id"))
                 )
-            ).alias("ms"),
+            ).alias("ds"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .filter(F.col("cnt") <= _MH_BUCKET_CAP)
@@ -269,23 +274,28 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = F.explode(
         F.flatten(
             F.transform(
-                "ms",
+                "ds",
                 lambda x, i: F.transform(
-                    F.slice("ms", i + F.lit(2), F.size("ms")),
+                    F.slice("ds", i + F.lit(2), F.size("ds")),
                     lambda y: F.struct(x.alias("a"), y.alias("b")),
                 ),
             )
         )
     )
+    sa = sigv.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigv.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
     cand = (
         buckets.select(pair.alias("p"))
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.sig").alias("sig_a"),
-            F.col("p.b.sig").alias("sig_b"),
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
     )
     est = (
         F.aggregate(

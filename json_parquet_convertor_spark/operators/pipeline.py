@@ -183,35 +183,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine (per-doc partials shuffle, never tokens); the band join
     shuffles (doc_id, 8-bit chunk) only."""
     docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    # single consumer since the r13 bucket-list rewrite below — no cache
-    fps = _simhash_chunks(docs)
+    # three consumers since the r13 join-back rewrite: the chunk explode
+    # plus both per-pair fingerprint join-backs
+    fps = _simhash_chunks(docs).cache()
 
     chunks = fps.select(
         "doc_id",
-        "ch",
         F.posexplode("ch").alias("chunk_idx", "chunk"),
     )
     # r13 optimization (guide §2.4 remove shuffles): candidate generation
     # was [occupancy count → broadcast semi-join → chunk self-join →
     # dropDuplicates]; one groupBy collapses each (chunk_idx, chunk)
-    # bucket to its sorted member list and pairs are emitted IN-ROW —
-    # identical candidate set (i<j over the doc_id-sorted list ≡ the
-    # a.doc_id < b.doc_id join; the when() guard drops NULL doc_ids
-    # exactly as the < predicate did, while cnt counts every row,
-    # mirroring the oracle's HAVING COUNT(*) cap _SH_BUCKET_CAP, so the
-    # pigeonhole exactness guarantee still holds WITHIN capped buckets).
-    # 2 exchanges instead of 4; ≤ cap²/2 in-row pairs per bucket.
+    # bucket to its sorted doc_id list and pairs are emitted IN-ROW —
+    # identical candidate set (i<j over the sorted list ≡ the a.doc_id <
+    # b.doc_id join; the when() guard drops NULL doc_ids exactly as the
+    # < predicate did, while cnt counts every row, mirroring the
+    # oracle's HAVING COUNT(*) cap _SH_BUCKET_CAP, so the pigeonhole
+    # exactness guarantee still holds WITHIN capped buckets). The lists
+    # hold ONLY doc_ids — sorting structs that carry the ch arrays
+    # measured slower than joining the tiny fingerprint table back per
+    # deduped pair (interleaved A/B: old self-join 6.18 s, struct lists
+    # 5.93 s, this shape 5.22 s at sf0.1). ≤ cap²/2 in-row pairs/bucket.
     buckets = (
         chunks.groupBy("chunk_idx", "chunk")
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.when(
-                        F.col("doc_id").isNotNull(),
-                        F.struct("doc_id", "ch"),
-                    )
+                    F.when(F.col("doc_id").isNotNull(), F.col("doc_id"))
                 )
-            ).alias("ms"),
+            ).alias("ds"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .filter(F.col("cnt") <= _SH_BUCKET_CAP)
@@ -219,14 +219,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = F.explode(
         F.flatten(
             F.transform(
-                "ms",
+                "ds",
                 lambda x, i: F.transform(
-                    F.slice("ms", i + F.lit(2), F.size("ms")),
+                    F.slice("ds", i + F.lit(2), F.size("ds")),
                     lambda y: F.struct(x.alias("a"), y.alias("b")),
                 ),
             )
         )
     )
+    cand = (
+        buckets.select(pair.alias("p"))
+        .select(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("ch").alias("ca"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("cb"))
     # r13 optimization: unrolled codegen twin of the 8-element HOF
     # Hamming fold — ch arrays are construction-fixed 8-int arrays (the
     # F.array(...) above), and integer addition has no -0.0/ordering
@@ -238,14 +247,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hamming = _ham.cast("bigint")
     return (
-        buckets.select(pair.alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.ch").alias("ca"),
-            F.col("p.b.ch").alias("cb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 7)
         .orderBy("doc_a", "doc_b")

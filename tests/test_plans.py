@@ -550,3 +550,30 @@ def test_range_join_aggregates_events_before_the_join(spark, sf_dir):
     ]
     assert join_lines, plan
     assert any(re.search(r"\bd#\d+L?\b", l) for l in join_lines), plan
+
+
+def test_lsh_candidate_generation_is_join_free(spark, sf_dir):
+    """r13 optimization pin: the LSH dedup candidate generators emit
+    pairs IN-ROW from per-bucket sorted doc_id lists (one aggregate on
+    the bucket key), not via a bucket SELF-join — the self-join shape
+    cost 4-5 exchanges plus an occupancy broadcast per query. The only
+    joins allowed in q_dedup_near/q_dedup_simhash are the broadcast
+    join-backs that attach each deduped pair's signatures/fingerprints
+    (doc-count-sized build sides); the basket pair miner has no join at
+    all. A shuffle-side join reappearing here means the bucket-list
+    rewrite regressed."""
+    for name in ("q_dedup_near", "q_dedup_simhash", "q_pairs_copurchase"):
+        plan = _plan(spark, sf_dir, name)
+        for node in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert node not in plan, (name, node, plan)
+    plan = _plan(spark, sf_dir, "q_pairs_copurchase")
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_embed_refilter_carries_per_vector_norms(spark, sf_dir):
+    """r13 optimization pin: the exact-cosine refilter joins back a
+    per-vector norm² scalar (n2a/n2b) instead of recomputing two
+    self-dots per candidate pair — the per-pair work is ONE dot."""
+    plan = _plan(spark, sf_dir, "q_dedup_embed")
+    assert "n2a" in plan and "n2b" in plan, plan
