@@ -115,6 +115,21 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q_composite_q3",
     "q_composite_q5",
     "q_composite_q7",
+    # r13 OPTIMIZATION round: implementations restructured for plan
+    # shape (bucket-list in-row pair generation, single-array
+    # percentiles, norm² hoisting, n_docs without a third explode) with
+    # results proven identical locally (OPTIMIZATION_r13.md) — the
+    # driver should re-confirm them first. The dedup/LSH family members
+    # also rewritten this round are already listed above.
+    "q_pairs_copurchase",
+    "q_pairs_lift",
+    "q_graph_triangles",
+    "q_graph_bfs",
+    "q_knn_graph",
+    "q_sim_cosine_topk",
+    "q_agg_percentile_daily",
+    "q_text_keywords",
+    "q_agg_sketch_quantiles",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
