@@ -127,6 +127,45 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _screen_hot_buckets(
+    keyed: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Drop every row of an over-cap bucket BEFORE the member-list
+    aggregate materializes it (r14 optimization, guide §5 + §2.5).
+
+    The r13 bucket-list rewrite applied the hot-bucket cap as a filter on
+    ``cnt <= cap`` AFTER ``collect_list`` had built the bucket's full
+    member array in one aggregation buffer — collect buffers cannot spill
+    mid-group, so a corpus-sized boilerplate clique (the --hotkey axis) is
+    a single-task OOM vector at 100 TB even though its pairs are then
+    discarded. This pre-screen restores the r12 occupancy guard with the
+    cheap polarity: a COUNT aggregate (fixed-size buffers, map-side
+    partials — a hot key's rows reduce to one partial per map task) finds
+    the over-cap KEYS, a set that is tiny by construction (only
+    boilerplate cliques exceed the cap), and a broadcast LEFT ANTI join
+    drops their rows map-side — the hot bucket's members never even
+    shuffle into the list aggregate. Null-safe equality keeps a
+    hypothetical NULL-keyed over-cap bucket covered (a plain ``=`` anti
+    join would pass NULL keys through to the collect).
+
+    Result-identical by construction: the downstream ``cnt <= cap``
+    filter removed exactly these buckets' rows; it stays in place as the
+    oracle-mirroring belt and braces (it is a no-op after the screen)."""
+    over = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > cap)
+        .select(
+            *[F.col(c).alias(f"__hot{i}") for i, c in enumerate(key_cols)]
+        )
+    )
+    cond = None
+    for i, c in enumerate(key_cols):
+        eq = keyed[c].eqNullSafe(F.col(f"__hot{i}"))
+        cond = eq if cond is None else cond & eq
+    return keyed.join(F.broadcast(over), cond, "left_anti")
+
+
 # the identical shingle → md5-minhash → band pipeline, as DuckDB SQL
 # (mirrors _minhash_signatures + q_dedup_near's banding exactly; the
 # bound-tokens subquery shape follows pipeline._DUCK_TOKENIZED — the
@@ -258,7 +297,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hold ONLY doc_ids — the 16-digest signatures join back per deduped
     # pair from the cached signature table instead of riding (and being
     # struct-sorted inside) every bucket list; in-row emission bounded
-    # by the cap (≤ cap²/2 pairs per bucket).
+    # by the cap (≤ cap²/2 pairs per bucket). r14: over-cap buckets are
+    # screened out BEFORE the list aggregate (see _screen_hot_buckets) so
+    # a boilerplate clique never materializes one giant member array.
+    bands = _screen_hot_buckets(
+        bands, ["band_idx", "band_hash"], _MH_BUCKET_CAP
+    )
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(

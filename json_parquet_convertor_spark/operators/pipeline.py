@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_parquet_convertor_spark.operators.llm import _dot
+from json_parquet_convertor_spark.operators.llm import (
+    _dot,
+    _screen_hot_buckets,
+)
 from json_parquet_convertor_spark.registry import query
 from json_parquet_convertor_spark.sources.io import load_table, spread
 
@@ -204,6 +207,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured slower than joining the tiny fingerprint table back per
     # deduped pair (interleaved A/B: old self-join 6.18 s, struct lists
     # 5.93 s, this shape 5.22 s at sf0.1). ≤ cap²/2 in-row pairs/bucket.
+    # r14: over-cap buckets are screened out BEFORE the list aggregate
+    # (llm._screen_hot_buckets) so a boilerplate clique never
+    # materializes one giant member array in an aggregation buffer.
+    chunks = _screen_hot_buckets(
+        chunks, ["chunk_idx", "chunk"], _SH_BUCKET_CAP
+    )
     buckets = (
         chunks.groupBy("chunk_idx", "chunk")
         .agg(
@@ -424,8 +433,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached window output (no df column, no window sort).
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r14: stop-shingle buckets (df > 100) are screened out BEFORE the
+    # list aggregate (llm._screen_hot_buckets) so a boilerplate shingle
+    # never materializes one giant member array; sizes stay on the FULL
+    # index, exactly as the oracle computes them.
     buckets = (
-        sh.groupBy("sh")
+        _screen_hot_buckets(sh, ["sh"], 100)
+        .groupBy("sh")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -704,6 +718,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # excluded). Identical candidate set, 2 exchanges instead of 4, no
     # broadcast, sigs read once (cache dropped). In-row emission is
     # bounded by the cap: ≤ cap²/2 pairs per bucket by construction.
+    # r14: over-cap buckets are screened out BEFORE the list aggregate
+    # (llm._screen_hot_buckets); the screen is sigs' second consumer, so
+    # the 32-dot signature pass is cached again (tiny rows: id + 2 ints)
+    # rather than recomputed for the occupancy count.
+    sigs = sigs.cache()
+    sigs = _screen_hot_buckets(
+        sigs, ["table_idx", "bucket"], _DE_BUCKET_CAP
+    )
     buckets = (
         sigs.groupBy("table_idx", "bucket")
         .agg(
@@ -1580,8 +1602,12 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stop-shingle cap — the same bound the directed join had.
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r14: stop-shingle buckets screened out BEFORE the list aggregate
+    # (llm._screen_hot_buckets); sizes stay on the FULL index, exactly
+    # as the oracle computes them.
     buckets = (
-        sh.groupBy("sh")
+        _screen_hot_buckets(sh, ["sh"], 100)
+        .groupBy("sh")
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -2038,8 +2064,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached for its two consumers (buckets, sizes).
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r14: stop-shingle buckets screened out BEFORE the list aggregates
+    # (llm._screen_hot_buckets); sizes stay on the FULL index, exactly
+    # as the oracle computes them.
     buckets = (
-        sh.groupBy("sh")
+        _screen_hot_buckets(sh, ["sh"], 100)
+        .groupBy("sh")
         .agg(
             F.collect_list(
                 F.when(F.col("doc_id") % 5 == 0, F.col("doc_id"))

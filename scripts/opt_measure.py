@@ -59,7 +59,7 @@ def main() -> int:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("JPC_PLANS_DIR", "r14"),
     )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)

@@ -553,22 +553,44 @@ def test_range_join_aggregates_events_before_the_join(spark, sf_dir):
 
 
 def test_lsh_candidate_generation_is_join_free(spark, sf_dir):
-    """r13 optimization pin: the LSH dedup candidate generators emit
-    pairs IN-ROW from per-bucket sorted doc_id lists (one aggregate on
-    the bucket key), not via a bucket SELF-join — the self-join shape
-    cost 4-5 exchanges plus an occupancy broadcast per query. The only
-    joins allowed in q_dedup_near/q_dedup_simhash are the broadcast
-    join-backs that attach each deduped pair's signatures/fingerprints
-    (doc-count-sized build sides); the basket pair miner has no join at
-    all. A shuffle-side join reappearing here means the bucket-list
-    rewrite regressed."""
-    for name in ("q_dedup_near", "q_dedup_simhash", "q_pairs_copurchase"):
+    """r13 optimization pin, r14-hardened: the LSH dedup candidate
+    generators emit pairs IN-ROW from per-bucket sorted doc_id lists
+    (one aggregate on the bucket key), not via a bucket SELF-join — the
+    self-join shape cost 4-5 exchanges per query. The only joins allowed
+    in q_dedup_near/q_dedup_simhash are (a) the two equi join-backs that
+    attach each deduped pair's signatures/fingerprints and (b) the r14
+    broadcast LEFT ANTI hot-bucket screen that drops over-cap buckets
+    BEFORE the member-list aggregate (guide §5); the basket pair miner
+    has no join at all. Joins are pinned by COUNT and kind, not by
+    strategy (r13 ADVICE: the join-backs' strategy legitimately depends
+    on autoBroadcastJoinThreshold/stats at fixture scale — a stats
+    change flipping BroadcastHashJoin to SortMergeJoin must not fail
+    this pin while results stay correct)."""
+    import re
+
+    for name in ("q_dedup_near", "q_dedup_simhash"):
         plan = _plan(spark, sf_dir, name)
-        for node in ("SortMergeJoin", "ShuffledHashJoin",
-                     "BroadcastNestedLoopJoin", "CartesianProduct"):
+        # never a pair-forming non-equi join
+        for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert node not in plan, (name, node, plan)
+        # the in-row pair emission survived (bucket lists + explode)
+        assert "collect_list" in plan and "flatten" in plan, (name, plan)
+        # exactly: 1 anti occupancy screen + 2 signature join-backs —
+        # a bucket self-join reappearing pushes the count past 3
+        joins = [
+            m.group(0)
+            for m in re.finditer(
+                r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*",
+                plan,
+            )
+        ]
+        assert len(joins) == 3, (name, joins, plan)
+        anti = [j for j in joins if "LeftAnti" in j]
+        assert len(anti) == 1, (name, joins)
     plan = _plan(spark, sf_dir, "q_pairs_copurchase")
-    assert "BroadcastHashJoin" not in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, (node, plan)
 
 
 def test_embed_refilter_carries_per_vector_norms(spark, sf_dir):
