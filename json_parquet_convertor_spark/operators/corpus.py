@@ -205,33 +205,59 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, smallest value wins ties — engines' built-in mode() is
     tie-nondeterministic, so it is computed explicitly via count + rank).
 
-    Scale design: median is Spark's built-in sort-based exact percentile —
-    one shuffle on the group key; mode is a two-level aggregation
-    (group+value counts, then a tiny per-group top-1 window) whose first
-    level does map-side partial aggregation, so the wide rows never move.
-    The 3-row mode side is broadcast back onto the median aggregate.
+    Scale design (r14 optimization, guide §2.3/§1.2): EVERYTHING derives
+    from the (group, value) counts table — one scan with map-side partial
+    aggregation, so the wide rows never move and no per-group VALUE
+    buffer (the old shape ran a second scan branch through Spark's
+    sort-based exact median, buffering every qty per group, then joined
+    the mode back on). The median is read off the counts' cumulative
+    distribution (the q_agg_weighted_median precedent): with m non-NULL
+    values, val(k) = smallest qty whose running count reaches k, and
+    median = (val(⌊(m+1)/2⌋) + val(⌊(m+2)/2⌋)) / 2 — exactly Spark's
+    lower+0.5·(upper−lower) interpolation on the integer-valued qty grid
+    (both midpoints of int32 values are exact in double, so the bits
+    match F.median and DuckDB's median). The mode falls out of the same
+    final aggregate as max(struct(cnt, −qty)) — ties break to the
+    smallest qty, NULL ordering identical to the old row_number sort
+    (struct comparison puts a NULL field smallest, as the window's
+    NULLS-FIRST asc did). One scan, two exchanges, zero joins, zero
+    windows-over-values (the cumulative window runs over
+    value-CARDINALITY rows, not data rows).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
     )
     counts = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cnt").desc(), F.col("qty")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc_nulls_last("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mode = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.col("qty").alias("mode_qty"),
-            F.col("cnt").alias("mode_count"),
-        )
+    whole = Window.partitionBy("l_returnflag")
+    c = counts.select(
+        "l_returnflag",
+        "qty",
+        "cnt",
+        F.sum("cnt").over(cum).alias("cw"),
+        F.sum("cnt").over(whole).alias("tw"),
+        F.sum(F.when(F.col("qty").isNull(), F.col("cnt"))).over(whole)
+        .alias("nullw"),
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.median(F.col("qty").cast("double")).alias("median_qty"),
+    m = F.col("tw") - F.coalesce(F.col("nullw"), F.lit(0))
+    k1 = F.floor((m + 1) / 2)
+    k2 = F.floor((m + 2) / 2)
+    val = lambda k: F.min(  # noqa: E731
+        F.when(F.col("qty").isNotNull() & (F.col("cw") >= k), F.col("qty"))
     )
-    return med.join(F.broadcast(mode), "l_returnflag")
+    pick = F.max(
+        F.struct(F.col("cnt").alias("c"), (-F.col("qty")).alias("q"))
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min("tw").cast("bigint").alias("n"),
+        ((val(k1) + val(k2)).cast("double") / 2).alias("median_qty"),
+        (-pick["q"]).cast("int").alias("mode_qty"),
+        pick["c"].alias("mode_count"),
+    )
 
 
 @query(
