@@ -80,12 +80,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller may hand us a default-configured session: timestamp literals in
     the queries must mean the same wall-clock instants the (tz-naive) DuckDB
     oracle sees.
+
+    r14 optimization (guide §1 measured, §6 file-listing cache): building
+    this DataFrame costs ~87 ms per call on an idle host — a driver-side
+    footer read for schema election plus reader construction — and a full
+    bench run makes ~1200 such calls (286 queries × reps × tables), i.e.
+    the single largest component of the flat per-query overhead tail the
+    r13 verdict flagged. The ANALYZED PLAN (never data — `clearCache`
+    semantics are untouched, every action still scans parquet) is memoized
+    per session, keyed on (sf_dir, table, read-policy envs, directory
+    mtime): the same catalog-metadata caching a metastore-backed
+    `spark.table()` read gets for free, done here because this lake reads
+    bare paths. The mtime stamp drops the memo when a fixture directory is
+    rewritten mid-session; DataFrames are immutable, so sharing the plan
+    object is semantically invisible.
     """
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        stamp = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        stamp = None
+    key = (
+        sf_dir,
+        name,
+        os.environ.get("JPC_FILE_POLICY"),
+        os.environ.get("JPC_SCHEMA_POLICY"),
+        stamp,
+    )
+    memo = spark.__dict__.setdefault("_jpc_table_memo", {})
+    df = memo.get(key)
+    if df is None:
+        df = _load_table_fresh(spark, sf_dir, name)
+        memo[key] = df
+    return df
+
+
+def _load_table_fresh(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """The un-memoized read behind :func:`load_table`."""
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _read_contract(spark, sf_dir, name)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
@@ -353,9 +393,37 @@ def spread(df: DataFrame) -> DataFrame:
     one task doing all the hashing/dot-product work. If the scan has fewer
     partitions than the cluster has slots, repartition up; at real scale the
     input is already split (partitions >> cores) and this is a no-op, so no
-    gratuitous shuffle is added on big inputs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    gratuitous shuffle is added on big inputs.
+
+    r14 optimization (guide §1 measured): the partition probe
+    (``df.rdd.getNumPartitions()``) runs a full Catalyst physical-planning
+    pass on the FIRST touch of each fresh DataFrame (~20-50 ms; later
+    touches of the same object are free via PySpark's ``_lazy_rdd``), and
+    queries rebuild their lineage every invocation. The measured count is
+    memoized per (session, canonical-plan semanticHash, columns): the same
+    analyzed plan under fixed session confs always physical-plans to the
+    same partition count, so the DECISION is bit-identical — only the
+    probe is skipped. defaultParallelism (a py4j hop per call) is memoized
+    per session for the same reason."""
+    sess = df.sparkSession
+    memo = sess.__dict__.setdefault("_jpc_spread_memo", {})
+    target = memo.get("__dp")
+    if target is None:
+        target = sess.sparkContext.defaultParallelism
+        memo["__dp"] = target
+    try:
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(df.columns),
+        )
+    except Exception:  # private-API belt and braces: fall back to probing
+        key = None
+    n = memo.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            memo[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
