@@ -429,7 +429,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — at 100 TB broadcast it; here AQE makes that call. The n_docs
     scalar joins in as a broadcast literal (crossJoin with a 1-row frame, the
     scale-safe way to attach a global constant)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = spread(raw)
     # split bound ONCE before the explode (r11, --longtext): codegen
     # re-evaluates the Generate's SIBLING projections per OUTPUT row, so
     # an inline size(split(text)) next to explode(split(text)) re-splits
@@ -448,7 +449,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document frequency derives from tf (already one row per (doc, term)) —
     # a count, not a second explode+countDistinct pass over the corpus
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    # r14 (guide §2.4): n_docs counts the UN-spread scan — the same
+    # number, minus the spread() repartition the 1-row branch paid as
+    # its own stage (its empty-ReadSchema scan subtree shared nothing
+    # with the tf branch's, so that exchange never got reused)
+    n = raw.agg(F.count("*").alias("n_docs"))
     tfidf = (F.col("tf_raw") / F.col("doc_len")) * F.log(
         F.col("n_docs") / F.col("df")
     )
@@ -1026,7 +1031,8 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, and the rank ordering uses the raw double score (identical
     in both engines: pure counts through identical op order) with the
     term string as the deterministic tiebreak."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = spread(raw)
     # split bound ONCE before the explode (r11, --longtext): codegen
     # re-evaluates the Generate's SIBLING projections per OUTPUT row, so
     # an inline size(split(text)) next to explode(split(text)) re-splits
@@ -1042,14 +1048,25 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term", "doc_len").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r14 optimization (guide §2.3): the oracle's COUNT(DISTINCT doc_id)
+    # per term runs over tf, whose grouping key already CONTAINS doc_id —
+    # every (term, doc_id) appears exactly once (doc_len is functionally
+    # determined by doc_id), so the distinct count is a plain COUNT(*).
+    # Spark planned the countDistinct as a second keyed de-dup aggregate
+    # with its own exchange; the count drops that whole phase, value-
+    # identical (the q_text_tfidf df derivation, now shared).
+    df = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
     # r13 optimization (guide §1.2 don't compute what you throw away):
     # n_docs counted distinct doc_ids over the EXPLODED terms — a third
     # full tokenize+explode pass of the corpus. The same number falls out
     # of the un-exploded docs table: explode drops exactly the NULL-text
     # rows (split(NULL) is NULL; every non-NULL text yields ≥1 token),
-    # and countDistinct skips NULL doc_ids on both shapes.
-    n = docs.filter(F.col("text").isNotNull()).agg(
+    # and countDistinct skips NULL doc_ids on both shapes. r14: counted
+    # on the UN-spread scan (the same rows; the 1-row branch skips the
+    # spread() repartition stage).
+    n = raw.filter(F.col("text").isNotNull()).agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     scored = (
