@@ -1574,16 +1574,21 @@ def q_join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    hits = (
-        tok.join(F.broadcast(watch), tok.tok == watch.kw)
-        .select("doc_id", "tok")
-        .distinct()
+    hits = tok.join(F.broadcast(watch), tok.tok == watch.kw).select(
+        "doc_id", "tok"
     )
+    # r14 optimization (guide §2.4 remove shuffles): the distinct
+    # (doc, keyword) pair set was its own aggregate + exchange on
+    # (doc_id, tok) ahead of the per-doc rollup's second exchange —
+    # collect_set dedups inside the rollup aggregate itself, so one
+    # exchange carries only matched tokens. The set is bounded by the
+    # watchlist size (≤5 elements/doc), n_hits = |set| exactly as the
+    # old COUNT(*) over distinct pairs, and the equi-join emits no NULL
+    # tok, so set semantics are identical.
+    kws = F.sort_array(F.collect_set("tok"))
     return hits.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_hits"),
-        F.array_join(F.sort_array(F.collect_list("tok")), ",").alias(
-            "hits"
-        ),
+        F.size(kws).cast("bigint").alias("n_hits"),
+        F.array_join(kws, ",").alias("hits"),
     )
 
 
