@@ -33,6 +33,31 @@ def get_spark(
         # coalescing from a high initial value.
         shuffle_partitions = max(cpus, 8)
 
+    # Local-mode driver heap (r14, guide §5/§9): in local[N] the driver JVM
+    # IS the executor — N task threads, every broadcast, AND the streaming
+    # state stores (HDFSBackedStateStore keeps committed state maps on heap,
+    # and each streaming invocation's providers stay loaded after the query
+    # terminates) all share it. PySpark's bare 1g default collapses under
+    # that once a long session accumulates state: measured on the bench
+    # sequence, q_stream_join degrades 5.4 s → 15-42 s per run as the heap
+    # fills (GC thrash), and is flat 6 s at 8g. -Xmx is a CAP, not a
+    # reservation, so small test sessions are unaffected. Driver-heap
+    # configs are silently ignored at builder time (the JVM is already
+    # being launched), so this must go through PYSPARK_SUBMIT_ARGS — set
+    # only when we are actually the process launching the JVM and the
+    # caller hasn't configured their own. On a real cluster the submitter
+    # owns --driver-memory and this branch never fires.
+    from pyspark import SparkContext
+
+    if (
+        "PYSPARK_SUBMIT_ARGS" not in os.environ
+        and SparkContext._active_spark_context is None
+    ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

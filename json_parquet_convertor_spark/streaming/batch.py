@@ -651,8 +651,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows in ANY engine. Dedup keyed on the OUTPUT identity columns,
     # pushed to the inputs where the watermark bounds the dedup state —
     # the join then emits distinct pairs by construction.
+    # r14 (guide §2.3 narrower state, VERDICT item 7): project each side
+    # to its OUTPUT columns BEFORE the streaming dropDuplicates — the
+    # dedup state store and its exchange then carry exactly the dedup
+    # key instead of the full event row (clicks dropped event_type AND
+    # value after dedup anyway; buys dropped event_type). Same dedup
+    # keys, same emitted columns — only the state row narrows.
     clicks = (
         side("click")
+        .select("user_id", "ts")
         .dropDuplicates(["user_id", "ts"])
         .select(
             F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
@@ -669,11 +676,12 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # next to its +0.0 twin and the join emits the attribution pair
         # twice. Any float that becomes a stream-state key must be
         # bit-canonicalized first.
-        .withColumn(
-            "value",
-            F.when(F.col("value") == 0, F.lit(0.0)).otherwise(
-                F.col("value")
-            ),
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("value") == 0, F.lit(0.0))
+            .otherwise(F.col("value"))
+            .alias("value"),
         )
         .dropDuplicates(["user_id", "ts", "value"])
         .select(
