@@ -43,6 +43,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed block below: queries whose implementation or oracle changed this
 # round after their last driver check, so the driver re-confirms them.
 _CHANGED_THIS_ROUND: list[str] = [
+    # r14 OPTIMIZATION round: implementations restructured with results
+    # proven identical locally (OPTIMIZATION_r14.md; oracle sweeps at
+    # sf0.01/sf0.001 plus --hotkey/--conflict/--rowdup fixtures) — the
+    # driver should re-confirm them first.
+    #
+    # The six bucket-list dedup screens now drop over-cap buckets BEFORE
+    # the member-list aggregate (count-first broadcast-anti occupancy
+    # screen — the r13 verdict's §5 memory-bound item):
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_incremental",
+    "q_text_containment",
+    "q_dedup_cluster",  # consumes q_dedup_ngram_jaccard's pair set
+    # mode+median derived from one counts table (no second scan/join):
+    "q_agg_mode_median",
+    # per-term df as COUNT(*) over tf; n_docs off the un-spread scan:
+    "q_text_keywords",
+    "q_text_tfidf",
+    # r13 verdict item 3: rewritten in r13 but missed that round's
+    # 50-slot driver budget — still needs a driver row on the rewritten
+    # implementation (q_text_keywords above is the other one):
+    "q_agg_percentile_daily",
+]
+
+#: r13's changed-block, retired 2026-08-18 (all but the two steered
+#: above were driver-verified green in CORRECTNESS_r13; kept for the
+#: audit trail):
+_CHANGED_R13: list[str] = [
     # r13: the thirteen formerly rows-only queries were promoted to
     # driver-visible contracts (r12 verdict task 2) — every one now has
     # a DuckDB oracle (286/286 oracled) and needs a driver hash row to
