@@ -356,7 +356,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+        # r14 (guide §2.4): determinism-only global sort removed — see
+        # q_dedup_simhash's note (order-insensitive driver hash, no
+        # ORDER BY in the oracle, set-comparing tests).
     )
 
 

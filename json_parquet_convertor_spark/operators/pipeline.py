@@ -260,7 +260,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 7)
-        .orderBy("doc_a", "doc_b")
+        # r14 (guide §2.4): no final orderBy — it existed only to make the
+        # output row order deterministic, which nothing consumes (the
+        # driver's value-hash is order-insensitive, the oracle has no
+        # ORDER BY, tests compare sets); at scale it was a global
+        # range-exchange + sort of the whole pair set.
     )
 
 
@@ -778,7 +782,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
-        .orderBy("vec_a", "vec_b")
+        # r14 (guide §2.4): determinism-only global sort removed — see
+        # q_dedup_simhash's note (order-insensitive driver hash, no
+        # ORDER BY in the oracle, set-comparing tests).
     )
 
 
